@@ -1,0 +1,344 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** §2.1 relational/analytic core.
+  *
+  * Conventions shared with the DuckDB oracles (see [[graft.SparkEntry.oracleSql]]):
+  *  - every output column is explicitly aliased, with only
+  *    string / bigint / rounded-double types;
+  *  - every query ends in a deterministic ORDER BY with a unique
+  *    tie-break key;
+  *  - timestamps are emitted as `yyyy-MM-dd` strings.
+  *
+  * Scale notes: dimension tables are broadcast explicitly; fact-side
+  * filters are declared before joins so Catalyst pushes them into the
+  * parquet scan; aggregations rely on partial (map-side) aggregation.
+  */
+object Relational {
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q1 flavor: scan-heavy multi-aggregate. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(revenue), 2).as("sum_disc_price"),
+        round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Global sort + deterministic top-k (unique tie-break on key). */
+  def q2TopkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("total_price"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy(col("total_price").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** TPC-H Q3 flavor: broadcast dim join + fact join + agg + top-k. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(round(sum(revenue), 2).as("rev"))
+      .select(col("l_orderkey"), col("rev"), col("order_date"), col("o_orderpriority"))
+      .orderBy(col("rev").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** EXISTS via left-semi join + agg. */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val returned = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    Tables.orders(s, d)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5 flavor: 6-table star join; all dims broadcast. */
+  def q5LocalSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), revenue.as("line_rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("line_rev")), 2).as("rev"))
+      .orderBy(col("rev").desc, col("n_name").asc)
+  }
+
+  /** Tight filter + single aggregate: pushdown / pruning showcase. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("rev"),
+        count(lit(1)).as("n_lines"))
+
+  /** Window rank per group, keep top 3 per segment. */
+  def q7WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  /** ROLLUP hierarchical aggregate (nulls folded to 'ALL'). */
+  def q8Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** NOT EXISTS via left-anti join: customers without any large order. */
+  def q9AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 250000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** UNION (distinct) set semantics across two key sources. */
+  def q10SetOps(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val b = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000.0).select(col("o_custkey").as("c_custkey"))
+    a.union(b).distinct().orderBy(col("c_custkey"))
+  }
+
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  /** Pivot: day × event_type counts (missing cells → 0). */
+  def q11Pivot(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", eventTypes)
+      .count()
+    base.select(
+      col("day") +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("day"))
+  }
+
+  /** Running total per user over the event stream (frame-ordered). */
+  def q12RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") < 20)
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Gap-based sessionization (>30 min ⇒ new session) per user. */
+  def q13Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact percentiles per group (linear interpolation). */
+  def q14Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        round(min(col("value")), 2).as("vmin"),
+        round(max(col("value")), 2).as("vmax"))
+      .orderBy(col("event_type"))
+
+  /** Statistical aggregates: corr / stddev / covar. */
+  def q15Stats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(col("value")), 4).as("avg_value"),
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_vu"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 2).as("covar_vu"))
+      .orderBy(col("event_type"))
+
+  /** queries-map fragment for this module. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q2_topk_orders" -> q2TopkOrders _,
+    "q3_shipping_priority" -> q3ShippingPriority _,
+    "q4_order_priority" -> q4OrderPriority _,
+    "q5_local_supplier_volume" -> q5LocalSupplierVolume _,
+    "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q7_window_rank" -> q7WindowRank _,
+    "q8_rollup" -> q8Rollup _,
+    "q9_anti_join" -> q9AntiJoin _,
+    "q10_set_ops" -> q10SetOps _,
+    "q11_pivot" -> q11Pivot _,
+    "q12_running_sum" -> q12RunningSum _,
+    "q13_sessionize" -> q13Sessionize _,
+    "q14_percentiles" -> q14Percentiles _,
+    "q15_stats" -> q15Stats _)
+
+  /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS total_price,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS rev,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        | AND l_orderkey = o_orderkey
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        | AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, order_date, o_orderpriority
+        |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS rev
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY rev DESC, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS rev,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_window_rank" ->
+      """SELECT c_mktsegment, rnk, c_custkey, c_name, acctbal FROM (
+        | SELECT c_mktsegment,
+        |  CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk,
+        |  c_custkey, c_name, round(c_acctbal,2) AS acctbal
+        | FROM customer) WHERE rnk <= 3
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+    "q8_rollup" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q9_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_set_ops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |UNION
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        | CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        | CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "q12_running_sum" ->
+      """SELECT user_id, event_id, round(value,2) AS value,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_value
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q13_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM (SELECT user_id, epoch_us(ts) AS us,
+        |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
+        |  FROM events))
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q14_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5),4) AS p50,
+        | round(quantile_cont(value, 0.9),4) AS p90,
+        | round(min(value),2) AS vmin, round(max(value),2) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q15_stats" ->
+      """SELECT event_type,
+        | round(avg(value),4) AS avg_value,
+        | round(stddev_samp(value),4) AS sd_value,
+        | round(corr(value, CAST(user_id AS DOUBLE)),4) AS corr_vu,
+        | round(covar_samp(value, CAST(user_id AS DOUBLE)),2) AS covar_vu
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

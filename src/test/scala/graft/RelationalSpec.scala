@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("all declared queries run and return rows at sf0.001") {
+    // q9 can legitimately be tiny; everything else must be non-empty.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      if (name != "q9_anti_join") assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q1 aggregates are consistent with a direct recomputation") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val total = df.agg(org.apache.spark.sql.functions.sum("count_order")).head.getLong(0)
+    val li = sources.Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <= "1998-09-02")
+    assert(total == li.count())
+  }
+
+  test("q2 top-k is sorted descending with unique keys") {
+    val rows = SparkEntry.queries("q2_topk_orders")(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("total_price"))
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+    assert(rows.map(_.getAs[Long]("o_orderkey")).distinct.length == 10)
+  }
+
+  test("q13 session counts bounded by event counts") {
+    val rows = SparkEntry.queries("q13_sessionize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("n_sessions"); val e = r.getAs[Long]("n_events")
+      assert(s >= 1 && s <= e)
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs graft.Verify at a given SF dir, then executes each oracle SQL in
+DuckDB against the same parquet tables and compares:
+  - columns sorted by name on both sides
+  - rows sorted by all columns
+  - exact value equality (floats must match bitwise after the query's
+    own rounding; near-misses are reported separately to debug FP).
+
+Usage: python tools/check.py [sfdir] [outdir] [--skip-verify]
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(r.stderr[-4000:])
+        sys.exit("verify run failed")
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
+
+oracle = json.loads((OUT / "oracle_sql.json").read_text())
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        # duckdb HUGEINT -> object/float guard
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64")
+        if str(df[c].dtype) in ("int32", "int64", "uint32"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    pq_path = OUT / name
+    if not pq_path.exists():
+        print(f"FAIL {name}: spark output missing")
+        fail += 1
+        continue
+    spark_df = normalize(pd.read_parquet(pq_path))
+    try:
+        duck_df = normalize(con.execute(sql).df())
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error {e}")
+        fail += 1
+        continue
+    if list(spark_df.columns) != list(duck_df.columns):
+        print(f"FAIL {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+        fail += 1
+        continue
+    if len(spark_df) != len(duck_df):
+        print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+        fail += 1
+        continue
+    mism = []
+    for c in spark_df.columns:
+        a, b = spark_df[c], duck_df[c]
+        if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
+            af, bf = a.astype(float), b.astype(float)
+            exact = ((af == bf) | (af.isna() & bf.isna())).all()
+            close = (((af - bf).abs() < 1e-9) | (af.isna() & bf.isna())).all()
+            if not exact:
+                mism.append((c, "float-near" if close else "float-far"))
+        else:
+            if not (a.astype(str) == b.astype(str)).all():
+                mism.append((c, "value"))
+    if mism:
+        print(f"FAIL {name}: {mism}")
+        for c, _ in mism[:2]:
+            diff = spark_df[c].astype(str) != duck_df[c].astype(str)
+            idx = diff[diff].index[:5] if diff.any() else spark_df.index[:3]
+            print(pd.DataFrame({"spark": spark_df[c][idx], "duck": duck_df[c][idx]}))
+        fail += 1
+    else:
+        print(f"OK   {name} ({len(spark_df)} rows)")
+        ok += 1
+
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)
