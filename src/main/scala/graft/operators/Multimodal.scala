@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** §2.6 multimodal columns: media as opaque `binary` + typed metadata.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic stub ([[stubDecode]]); everything
+  * around it — binary column handling, metadata schema, batched
+  * per-partition execution shape, fixed-size feature output — is the
+  * real Spark plumbing a production decoder would drop into
+  * (mapPartitions over a typed Dataset is the Scala analog of
+  * `mapInPandas` batch iteration).
+  */
+object Multimodal {
+
+  /** Typed metadata for an opaque media blob. */
+  case class MediaMeta(doc_id: Long, size_bytes: Long, kind: String, header_hex: String)
+
+  case class MediaRow(doc_id: Long, blob: Array[Byte])
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, features: Array[Double])
+
+  val FeatureBins = 16
+
+  /** STUB — deterministic fake decoder. A real implementation would
+    * decode image/audio bytes (JPEG/PNG/WAV...) and emit model
+    * features; the container ships no codecs, so we emit a
+    * 16-bin byte histogram normalized to 1.0. Deterministic, so tests
+    * and reruns are stable.
+    */
+  def stubDecode(blob: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](FeatureBins)
+    var i = 0
+    while (i < blob.length) {
+      hist((blob(i) & 0xff) % FeatureBins) += 1.0
+      i += 1
+    }
+    val n = math.max(blob.length, 1).toDouble
+    hist.map(_ / n)
+  }
+
+  /** Media metadata extraction — pure column expressions (no decode
+    * needed), oracle-checkable: byte size, magic-byte kind sniffing,
+    * header hex.
+    */
+  def mmMetadata(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .select(
+        col("doc_id"),
+        length(col("blob")).cast("long").as("size_bytes"),
+        // Magic-byte sniffing over the first token of the blob — the
+        // same CASE shape real format detection (JPEG FF D8, PNG 89 50,
+        // RIFF) compiles to.
+        when(substring(col("blob"), 1, 3) === lit("key".getBytes), "key-doc")
+          .when(substring(col("blob"), 1, 3) === lit("the".getBytes), "the-doc")
+          .otherwise("other").as("kind"),
+        hex(substring(col("blob"), 1, 4)).as("header_hex"))
+      .orderBy(col("doc_id"))
+
+  /** Batched decode → fixed-size feature vectors. Runs as
+    * `mapPartitions` on a typed Dataset: one iterator per partition
+    * (batch shape), zero shuffle — at 100 TB this is a pure map stage
+    * whose parallelism is the input split count.
+    */
+  def mmFeatureExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRow]
+    media.mapPartitions { it =>
+      it.map { m =>
+        MediaFeatures(m.doc_id, m.blob.length.toLong, stubDecode(m.blob))
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        round(element_at(col("features"), 1), 6).as("f1"),
+        round(element_at(col("features"), 2), 6).as("f2"),
+        round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x), 6).as("f_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_metadata" -> mmMetadata _,
+    "mm_feature_extract" -> mmFeatureExtract _)
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_metadata" ->
+      """SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,
+        | CASE WHEN substring(text, 1, 3) = 'key' THEN 'key-doc'
+        |      WHEN substring(text, 1, 3) = 'the' THEN 'the-doc'
+        |      ELSE 'other' END AS kind,
+        | upper(to_hex(CAST(substring(text, 1, 4) AS BLOB))) AS header_hex
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

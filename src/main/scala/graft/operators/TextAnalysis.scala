@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** §2.5 text analysis over the documents table.
+  *
+  * All token work happens in higher-order array functions on a single
+  * `split` — one pass over the text, no UDFs, fully codegen'd, and no
+  * shuffle at all for the per-document operators (they stay map-side
+  * even at 100 TB; only the summary aggregations shuffle).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of `text` as an array column. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Distinct word 3-gram shingles (used by Dedup too). */
+  val shingleExpr: String =
+    """array_distinct(CASE WHEN size(toks) < 3 THEN cast(array() AS array<string>)
+      |ELSE transform(sequence(1, size(toks) - 2),
+      |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+      |END)""".stripMargin
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", tokens(col("text")))
+
+  /** Token counting: whitespace split + a BPE-ish word/punct regex. */
+  def textTokenCount(s: SparkSession, d: String): DataFrame =
+    withToks(Tables.documents(s, d))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).cast("long").as("n_re_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+
+  // Deterministic stopword groups for the heuristic language-ID.
+  val stopEn: Seq[String] = Seq("the", "a")
+  val stopSql: Seq[String] = Seq("join", "group", "order", "sort")
+  val stopData: Seq[String] = Seq("row", "column", "table", "data")
+
+  private def hitCount(group: Seq[String]): Column = {
+    val inList = group.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(toks, t -> t IN ($inList)))").cast("long")
+  }
+
+  /** n-gram/stopword-profile language ID: score three deterministic
+    * profiles, argmax with a fixed priority tie-break. (The corpus
+    * vocabulary is language-independent, so this is a self-consistent
+    * deterministic classifier, not a model.)
+    */
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    withToks(Tables.documents(s, d))
+      .select(col("doc_id"),
+        hitCount(stopEn).as("c_en"),
+        hitCount(stopSql).as("c_sql"),
+        hitCount(stopData).as("c_data"))
+      .withColumn("predicted_lang",
+        when(col("c_en") >= col("c_sql") && col("c_en") >= col("c_data"), "en")
+          .when(col("c_sql") >= col("c_data"), "sql")
+          .otherwise("data"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length score, stopword ratio, distinct-token
+    * ratio, and a weighted composite.
+    */
+  def textQualityScore(s: SparkSession, d: String): DataFrame =
+    withToks(Tables.documents(s, d))
+      .withColumn("nt", size(col("toks")).cast("double"))
+      .withColumn("len_score", least(col("n_chars") / lit(500.0), lit(1.0)))
+      .withColumn("stop_ratio", hitCount(stopEn) / col("nt"))
+      .withColumn("uniq_ratio", size(array_distinct(col("toks"))) / col("nt"))
+      // Per-row scalar floats are emitted unrounded: the expression
+      // tree is identical on both engines, so the doubles are
+      // bit-identical — rounding would only reintroduce half-boundary
+      // representation mismatches.
+      .select(col("doc_id"),
+        col("len_score"),
+        col("stop_ratio"),
+        col("uniq_ratio"),
+        (lit(0.4) * col("len_score") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+          + lit(0.3) * col("uniq_ratio")).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprinting: md5 over the sorted distinct token bag
+    * (order-insensitive content identity), plus a 16-bit bucket prefix
+    * usable as a shard key at scale.
+    */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    withToks(Tables.documents(s, d))
+      .withColumn("fingerprint", md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
+      .select(col("doc_id"), col("fingerprint"),
+        substring(col("fingerprint"), 1, 4).as("bucket"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> textTokenCount _,
+    "text_langid" -> textLangid _,
+    "text_quality_score" -> textQualityScore _,
+    "text_fingerprint" -> textFingerprint _)
+
+  private def hitSql(group: Seq[String]): String = {
+    val inList = group.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS BIGINT)"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_count" ->
+      raw"""SELECT doc_id,
+           | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_re_tokens,
+           | CAST(strlen(text) AS BIGINT) AS n_chars_measured
+           |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id,
+         | ${hitSql(stopEn)} AS c_en,
+         | ${hitSql(stopSql)} AS c_sql,
+         | ${hitSql(stopData)} AS c_data,
+         | CASE WHEN ${hitSql(stopEn)} >= ${hitSql(stopSql)}
+         |        AND ${hitSql(stopEn)} >= ${hitSql(stopData)} THEN 'en'
+         |      WHEN ${hitSql(stopSql)} >= ${hitSql(stopData)} THEN 'sql'
+         |      ELSE 'data' END AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |  ${hitSql(stopEn)} AS stop_hits,
+         |  len(list_distinct(string_split(text, ' '))) AS uniq,
+         |  least(n_chars / 500.0, 1.0) AS len_score
+         | FROM documents)
+         |SELECT doc_id,
+         | len_score,
+         | stop_hits / nt AS stop_ratio,
+         | uniq / nt AS uniq_ratio,
+         | 0.4 * len_score + 0.3 * (1.0 - stop_hits / nt) + 0.3 * (uniq / nt) AS quality_score
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+        | substring(md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')), 1, 4) AS bucket,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

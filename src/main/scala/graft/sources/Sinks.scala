@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.8 file formats beyond parquet, with the reference toolkit's
+  * conventions:
+  *  - CSV with header (normalize_parks_json.py output,
+  *    test_chat_assistant*.py results files);
+  *  - TSV with header and tab/CR/LF-sanitized cells
+  *    (extract_chat_qa_tsv.py:34-40 — `safe_text` guarantees a valid
+  *    TSV, re-expressed here as a declarative pre-write transform);
+  *  - JSON Lines (the scalable form of the reference's JSON files).
+  *
+  * All writers go through the DataFrameWriter so they scale to
+  * many-file distributed output; `singleFile` exists for the
+  * reference's one-file CLI ergonomics (explicit coalesce(1) — a
+  * deliberate, documented serial point, not a default).
+  */
+object Sinks {
+
+  /** Sanitize every string column for TSV safety (tab/CR/LF → space,
+    * trim) — the reference's safe_text applied engine-wide.
+    */
+  def sanitized(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        trim(translate(col(f.name), "\t\r\n", "   ")).as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeTsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) sanitized(df).coalesce(1) else sanitized(df))
+      .write.mode("overwrite")
+      .option("header", "true").option("sep", "\t").csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def readTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("sep", "\t")
+      .option("inferSchema", "true").csv(path)
+
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}

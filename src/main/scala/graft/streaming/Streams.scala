@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.sources.Tables
+
+/** §2.7 Structured Streaming operators.
+  *
+  * Each transform is written against a plain DataFrame so the SAME
+  * code runs in batch (for the oracle gate) and on a streaming source
+  * (readStream / MemoryStream in StreamingSpec). Watermarking is
+  * applied only when the input is actually streaming — event-time
+  * windows, not processing time, so results are replay-stable.
+  */
+object Streams {
+
+  /** Tumbling 1-hour event-time windows: count + sum(value) per
+    * (window, event_type). On a streaming input, call through
+    * [[windowedAggStream]] to get the watermark.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming flavor: 2-hour watermark bounds state. */
+  def windowedAggStream(events: DataFrame): DataFrame =
+    windowedAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Batch entry for the correctness gate (sorted deterministically). */
+  def streamWindowedAgg(s: SparkSession, d: String): DataFrame =
+    windowedAgg(Tables.events(s, d))
+      .orderBy(col("window_start"), col("event_type"))
+
+  // ------------------------------------------------------------------
+  // Stateful sessionization (flatMapGroupsWithState).
+  // ------------------------------------------------------------------
+
+  case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
+  case class SessState(count: Long, lastMicros: Long, sessions: Long)
+  case class SessionOut(user_id: Long, n_sessions: Long, n_events: Long)
+
+  val GapMicros: Long = 1800L * 1000000L
+
+  /** Event-at-a-time session counting with explicit state — the
+    * streaming analog of the batch `q13_sessionize` (same gap rule).
+    * Emits one running summary per user per trigger.
+    */
+  def sessionizeStateful(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var st = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            val newSession = st.count == 0 || e.tsMicros - st.lastMicros > GapMicros
+            st = SessState(st.count + 1, e.tsMicros,
+              st.sessions + (if (newSession) 1 else 0))
+          }
+          state.update(st)
+          Iterator(SessionOut(user, st.sessions, st.count))
+      }
+  }
+
+  /** Batch harness for the stateful sessionizer: run the same logic
+    * over the static events table (sorted per user) — used by the spec
+    * to cross-check against the window-function implementation.
+    */
+  def sessionizeBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[Ev]
+    val grouped = ev.groupByKey(_.user_id).mapGroups { (user, rows) =>
+      val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+      var count = 0L; var last = Long.MinValue; var sessions = 0L
+      sorted.foreach { e =>
+        if (count == 0 || e.tsMicros - last > GapMicros) sessions += 1
+        count += 1; last = e.tsMicros
+      }
+      SessionOut(user, sessions, count)
+    }
+    grouped.toDF()
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_windowed_agg" -> streamWindowedAgg _,
+    "stream_session_state" -> sessionizeBatch _)
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_windowed_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    // Same gap rule as q13 — the stateful path must agree with the
+    // declarative window-function formulation.
+    "stream_session_state" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM (SELECT user_id, epoch_us(ts) AS us,
+        |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events))
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * `Column` API. Spark 4 made the Expression↔Column converters
+  * (`classic.ExpressionUtils`) `private[sql]`, so this one-file shim
+  * lives in the `org.apache.spark.sql` package purely to re-export
+  * them for graft — the standard pattern for libraries that ship
+  * native expressions.
+  */
+object GraftColumnBridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("minhash LSH finds exactly the exact-jaccard pairs (recall 1 here)") {
+    val exact = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty, "corpus should contain near-dup pairs")
+  }
+
+  test("jaccard values are in (0,1] and symmetric by construction (a<b)") {
+    val rows = Dedup.dedupNgramJaccard(spark, sf).collect()
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= Dedup.JaccardThreshold && j <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("exact dedup groups: n_docs sums to table size, keep_id is min") {
+    val df = Dedup.dedupExact(spark, sf)
+    val total = df.agg(sum("n_docs")).head.getLong(0)
+    assert(total == sources.Tables.documents(spark, sf).count())
+  }
+
+  test("simhash: identical texts get hamming 0; pairs are plausible") {
+    val rows = Dedup.dedupSimhash(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+  }
+
+  test("brute-force topk: k rows per query, descending cosine") {
+    val rows = Similarity.annBruteforceTopk(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == Similarity.NumQueryVecs)
+    byQ.values.foreach { rs =>
+      assert(rs.length == Similarity.TopK)
+      val cos = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("LSH ANN: results are a subset of each query's true ranking direction") {
+    val lsh = Similarity.annLshTopk(spark, sf).collect()
+    // Sanity: every (query, neighbor) cosine from LSH must not exceed the
+    // brute-force rank-1 cosine for that query.
+    val bfTop = Similarity.annBruteforceTopk(spark, sf).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    lsh.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Double]("cosine") <= bfTop(q) + 1e-9)
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Sinks, Tables}
+
+class SinksSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("out").toString
+
+  test("csv roundtrip preserves rows and header") {
+    val df = Tables.nation(spark, sf)
+    val path = tmp("csv")
+    Sinks.writeCsv(df, path)
+    val back = Sinks.readCsv(spark, path)
+    assert(back.count() == df.count())
+    assert(back.columns.toSeq == df.columns.toSeq)
+  }
+
+  test("tsv write sanitizes control characters in cells") {
+    import spark.implicits._
+    val dirty = Seq((1L, "a\tb\nc"), (2L, " x ")).toDF("id", "s")
+    val path = tmp("tsv")
+    Sinks.writeTsv(dirty, path, singleFile = true)
+    val back = Sinks.readTsv(spark, path)
+    val vals = back.orderBy("id").collect().map(_.getString(1))
+    assert(vals(0) == "a b c")
+    assert(vals(1) == "x")
+  }
+
+  test("jsonl roundtrip preserves typed values") {
+    val df = Tables.region(spark, sf)
+    val path = tmp("jsonl")
+    Sinks.writeJsonl(df, path)
+    val back = Sinks.readJsonl(spark, path)
+      .select("r_regionkey", "r_name").orderBy("r_regionkey")
+    assert(back.collect().map(_.toSeq).toSeq ==
+      df.select("r_regionkey", "r_name").orderBy("r_regionkey").collect().map(_.toSeq).toSeq)
+  }
+
+  test("qa extract written as TSV is valid (reference output format)") {
+    val qa = operators.Etl.etlQaExtract(spark, sf)
+    val path = tmp("qatsv")
+    Sinks.writeTsv(qa, path, singleFile = true)
+    val back = Sinks.readTsv(spark, path)
+    assert(back.count() == qa.count())
+  }
+}

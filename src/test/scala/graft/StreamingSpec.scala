@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("windowed agg over a real stream matches the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchEvents = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val rows = batchEvents.collect()
+
+    case class E(event_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    stream.addData(rows.map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3))))
+
+    val streamingDf = stream.toDF()
+      .toDF("event_id", "ts", "event_type", "value")
+    // Complete mode: every window is emitted, directly comparable with
+    // the batch result. (MemoryStream truncates committed batches, so
+    // one stream feeds exactly one query.)
+    val q2 = Streams.windowedAgg(streamingDf)
+      .writeStream.outputMode("complete").format("memory").queryName("agg_all").start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val fromStream = spark.table("agg_all")
+      .orderBy("window_start", "event_type").collect().map(_.toSeq)
+    val fromBatch = Streams.streamWindowedAgg(spark, sf).collect().map(_.toSeq)
+    assert(fromStream.toSeq == fromBatch.toSeq)
+  }
+
+  test("stateful sessionizer agrees with batch window-function sessionize") {
+    val stateful = Streams.sessionizeBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val declarative = SparkEntry.queries("q13_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stateful.toSeq == declarative.toSeq)
+  }
+
+  test("stateful sessionizer runs incrementally on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Streams.Ev]
+    val base = 1700000000000000L // micros
+    stream.addData(Streams.Ev(1L, 1L, base), Streams.Ev(1L, 2L, base + 60L * 1000000))
+    val q = Streams.sessionizeStateful(stream.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      // second batch: beyond the gap → new session
+      stream.addData(Streams.Ev(1L, 3L, base + 4000L * 1000000))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Trigger 1: 1 session / 2 events. Trigger 2: 2 sessions / 3 events.
+    assert(out.contains((1L, 1L, 2L)))
+    assert(out.contains((1L, 2L, 3L)))
+  }
+}
