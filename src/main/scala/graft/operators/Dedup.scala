@@ -23,12 +23,26 @@ object Dedup {
   val NumHashes = 128
   val NumBands = 32 // 4 rows per band ⇒ P(miss | j=0.77) < 1e-5
 
-  /** documents + `toks` + distinct 3-gram `sh` shingles. */
-  private[operators] def shingled(s: SparkSession, d: String): DataFrame =
+  /** documents + distinct 3-gram `sh` shingle arrays.
+    *
+    * The trailing `repartition(doc_id)` is load-bearing: the shingle
+    * pipeline is a higher-order lambda (interpreted, not codegen'd),
+    * and a Generate consuming it directly re-evaluates the lambda per
+    * EXPLODED row (~52x per doc here — measured 7.8s vs 0.1s at
+    * sf0.1). The exchange materializes the arrays once per doc, and
+    * ReuseExchange shares the result across all consumers of this
+    * subplan within a query.
+    */
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("sh", expr(TextAnalysis.shingleExpr))
       .select(col("doc_id"), col("sh"))
+      .repartition(col("doc_id"))
+
+  /** Exploded (doc_id, shingle) inverted-index form. */
+  private[graft] def shingledEx(s: SparkSession, d: String): DataFrame =
+    shingled(s, d).select(col("doc_id"), explode(col("sh")).as("s"))
 
   /** Exact dedup: group by the canonical token-bag md5; keep the
     * smallest doc_id of each group.
@@ -49,13 +63,16 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
     val sz = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    ex.as("a").join(ex.as("b"),
+    val ex = shingledEx(s, d)
+    // shuffle_hash (not broadcast) so both sides produce the identical
+    // Exchange(hashpartitioning(s)) and ReuseExchange evaluates the
+    // shingle pipeline once instead of once per side.
+    ex.hint("shuffle_hash").as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(sz.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sz.as("y"), col("doc_b") === col("y.doc_id"))
+      .join(broadcast(sz.as("x")), col("doc_a") === col("x.doc_id"))
+      .join(broadcast(sz.as("y")), col("doc_b") === col("y.doc_id"))
       .withColumn("jaccard",
         round(col("inter") / (col("x.n") + col("y.n") - col("inter")), 4))
       .filter(col("jaccard") >= JaccardThreshold)
@@ -71,20 +88,35 @@ object Dedup {
     */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val rows = NumHashes / NumBands
-    val sh = shingled(s, d).filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", expr(
-      s"transform(sequence(0, ${NumHashes - 1}), i -> aggregate(sh, 2147483647, (m, x) -> least(m, hash(x, i))))"))
-    val bands = sig.select(col("doc_id"), col("sh"),
+    val sh = shingled(s, d)
+    // Signatures as 128 codegen'd min(hash(id, seed)) aggregates over
+    // the exploded shingles — one shuffle with partial (map-side)
+    // aggregation. Shingles are pre-hashed to a single long so each of
+    // the 128 hash evals works on 8 bytes, not a ~17-char string.
+    // (The composable transform/aggregate lambda form is interpreted
+    // row-at-a-time and was ~20x slower.)
+    val ex = shingledEx(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val minCols = (0 until NumHashes).map(i => min(hash(col("s"), lit(i))).as(s"h$i"))
+    val sig = ex.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+    // 32 bands x 4 rows: band hash per doc (tiny per-doc HOF), bucket join.
+    val bands = sig.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, ${NumBands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
         .as(Seq("band", "bh")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // Exact-Jaccard verification only on the candidate pairs; shingle
+    // sets joined back (broadcast — candidates and docs are both small
+    // relative to the pair space).
     cand
+      .join(broadcast(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))), "doc_a")
+      .join(broadcast(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))), "doc_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         round(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")), 4))
@@ -100,17 +132,20 @@ object Dedup {
     * DedupSpec.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
-      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
-    val sig = toks
-      .select(col("doc_id"), col("t"), explode(expr("sequence(0, 63)")).as("b"))
-      .withColumn("v", when(expr("(xxhash64(t) >> b) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("v")).as("vote"))
-      .withColumn("bit", when(col("vote") >= 0, 1L).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(bit, cast(b AS int))")).as("sig"))
+    // Shingle-based (3-gram) fingerprints: with a 31-word vocabulary,
+    // token-level simhash collapses (every doc shares most tokens);
+    // shingles keep the fingerprint discriminative.
+    val toks = shingledEx(s, d).select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // 64 codegen'd bit-vote aggregates over one hash per shingle —
+    // no row blowup (the explode-by-bit form multiplied rows by 64).
+    val voteCols = (0 until 64).map { b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val sig = toks.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
     val blocks = sig.select(col("doc_id"), col("sig"),
       explode(expr(
         "transform(sequence(0, 3), i -> named_struct('blk', i, 'bv', (sig >> (i * 16)) & 65535))"))

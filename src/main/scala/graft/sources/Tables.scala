@@ -13,8 +13,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // InferFiltersFromGenerate turns explode(<interpreted lambda>) into
+    // a pushed-down scan filter with the lambda fully inlined — per-row
+    // interpreted evaluation re-computes every subexpression (measured
+    // ~7s instead of ~0.5s on the shingle pipeline at sf0.1). The
+    // arrays fed to explode here are never empty, so the inferred
+    // filter only costs.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects
     * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw int64 via the legacy
