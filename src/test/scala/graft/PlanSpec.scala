@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the scale properties claimed in SURVEY §5
+  * must be visible in the optimized physical plans, not just intended.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: filters are pushed to the parquet scan") {
+    // executedPlan.toString truncates the PushedFilters list, so assert
+    // on the untruncated formatted explain output.
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    val p = out.toString
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("GreaterThanOrEqual(l_discount"), p)
+  }
+
+  test("q6: scan reads only the five needed columns") {
+    val p = planOf("q6_forecast_revenue")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_orderkey"), s"over-read: $readSchema")
+    assert(!readSchema.contains("l_returnflag"), s"over-read: $readSchema")
+  }
+
+  test("q3/q5: dimension joins are broadcast") {
+    assert(planOf("q3_shipping_priority").contains("BroadcastHashJoin"))
+    val q5 = planOf("q5_local_supplier_volume")
+    assert(q5.contains("BroadcastHashJoin"))
+    // the fact-fact join (lineitem x orders) must NOT be a nested loop
+    assert(!q5.contains("CartesianProduct") && !q5.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q1: aggregation is partial (map-side combine before exchange)") {
+    val p = planOf("q1_pricing_summary")
+    // two HashAggregates around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("dedup jaccard: no cartesian product anywhere") {
+    val p = planOf("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text ops scan only text and doc_id") {
+    val p = planOf("text_fingerprint")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
+  test("similarity: custom DotProduct expression is in the plan (codegen path)") {
+    val p = planOf("ann_bruteforce_topk")
+    assert(p.contains("dotproduct") || p.contains("DotProduct"), p)
+  }
+}
