@@ -209,8 +209,57 @@ object Relational {
         round(covar_samp(col("value"), col("user_id").cast("double")), 2).as("covar_vu"))
       .orderBy(col("event_type"))
 
+  /** As-of join: each purchase event picks the most recent PRIOR click
+    * of the same user — expressed as an ignore-nulls carry-forward
+    * window (no join at all), the Spark-first shape for event-time
+    * as-of semantics: one shuffle by user, linear scan per partition.
+    */
+  def q16AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_value",
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("click_id"), round(col("click_value"), 2).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Skew-safe aggregation: two-stage salted combine over a 5-value
+    * (maximally skewed) key. Stage 1 spreads each hot key over 16
+    * salts; stage 2 merges the partials. Same result as a direct
+    * groupBy — the point is the plan shape under skew at scale.
+    */
+  def q17SaltedAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** Exact distinct-count aggregates (the expensive shuffle shape HLL
+    * sketches replace at scale; approx_count_distinct accuracy is
+    * asserted against this in RelationalSpec).
+    */
+  def q18DistinctCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("props")).as("n_props"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_asof_join" -> q16AsofJoin _,
+    "q17_salted_agg" -> q17SaltedAgg _,
+    "q18_distinct_counts" -> q18DistinctCounts _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_topk_orders" -> q2TopkOrders _,
     "q3_shipping_priority" -> q3ShippingPriority _,
@@ -229,6 +278,28 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q16_asof_join" ->
+      """SELECT event_id, user_id, click_id, round(click_value, 2) AS click_value
+        |FROM (
+        | SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_value
+        | FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q17_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q18_distinct_counts" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(count(DISTINCT props) AS BIGINT) AS n_props,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

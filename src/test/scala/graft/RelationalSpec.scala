@@ -56,6 +56,38 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q17 salted agg equals direct groupBy") {
+    import org.apache.spark.sql.functions._
+    val salted = SparkEntry.queries("q17_salted_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val direct = sources.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == direct)
+  }
+
+  test("approx_count_distinct within 5% of exact (HLL scale path)") {
+    import org.apache.spark.sql.functions._
+    val rows = sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .collect()
+    rows.foreach { r =>
+      val e = r.getAs[Long]("exact").toDouble
+      val a = r.getAs[Long]("approx").toDouble
+      assert(math.abs(a - e) / e < 0.05, s"${r.getString(0)}: $a vs $e")
+    }
+  }
+
+  test("q16 asof: every purchase row's click precedes it") {
+    val rows = SparkEntry.queries("q16_asof_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      assert(r.getAs[Long]("click_id") < r.getAs[Long]("event_id"))
+    }
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
