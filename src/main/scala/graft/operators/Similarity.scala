@@ -22,7 +22,8 @@ object Similarity {
   val CosineThreshold = 0.4
   val TopK = 5
   val NumQueryVecs = 10
-  val NumPlanes = 12
+  val NumTables = 4 // independent hash tables (union of candidates)
+  val NumPlanes = 6 // bits per table: 64 buckets => ~n/64 mates each
 
   import graft.functions.DotProduct.dot
 
@@ -40,14 +41,40 @@ object Similarity {
     */
   private def pairDot = dot(col("va"), col("vb"))
 
-  /** Embedding near-dup pairs: cosine ≥ τ on the rounded value. */
+  /** Embedding near-dup pairs: cosine ≥ τ on the rounded value.
+    *
+    * The pair scan is fused into `mapPartitions` over a broadcast of
+    * the (inherently O(n²)-sized) vector set: a BroadcastNestedLoopJoin
+    * materializes every candidate row (2M rows of 2×64 doubles at
+    * sf0.1) only to discard all but ~60, while the fused loop emits
+    * only near-threshold pairs. The raw dot/norm arithmetic is the
+    * same sequential order as the oracle; the exact round+filter stays
+    * declarative so results are bit-identical to the DuckDB SQL. The
+    * O(n²) scan is the correctness baseline — [[annLshTopk]] is the
+    * scale path.
+    */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(s, d)
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("nrma"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nrmb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
-      .filter(col("cosine") >= CosineThreshold)
+    import s.implicits._
+    val e = withNorm(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+    val bc = s.sparkContext.broadcast(e.collect().sortBy(_._1))
+    val threshold = CosineThreshold
+    val pairs = e.mapPartitions { it =>
+      val ref = bc.value
+      it.flatMap { case (ida, va, na) =>
+        ref.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
+          var acc = 0.0
+          var i = 0
+          while (i < va.length) { acc += va(i) * vb(i); i += 1 }
+          val cos = acc / na / nb
+          if (cos >= threshold - 1e-6) Iterator.single((ida, idb, cos))
+          else Iterator.empty
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cos_raw")
+    pairs
+      .withColumn("cosine", round(col("cos_raw"), 4))
+      .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -72,31 +99,43 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Random-hyperplane LSH ANN: 12 deterministic pseudo-random
-    * hyperplanes → 12-bit sign bucket per vector; candidates share a
-    * bucket; top-k within the candidate set. Approximate (probabilistic
-    * recall) ⇒ rows-only driver check; recall is asserted in
-    * SimilaritySpec against the brute-force baseline.
+  /** Random-hyperplane LSH ANN: 4 independent tables of 6
+    * deterministic pseudo-random hyperplanes each; a vector's bucket
+    * per table is the 6-bit sign pattern of its hyperplane dots.
+    * Candidates = pairs sharing a bucket in ANY table (bucket-equality
+    * join, union over tables), then exact cosine top-k within the
+    * candidate set. Approximate (probabilistic recall) ⇒ rows-only
+    * driver check; candidate quality asserted in the spec against the
+    * brute-force baseline.
     */
   def annLshTopk(s: SparkSession, d: String): DataFrame = {
     val rng = new scala.util.Random(42)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(NumPlanes)(Seq.fill(64)(rng.nextGaussian()))
+    val planes: Seq[Seq[Seq[Double]]] =
+      Seq.fill(NumTables, NumPlanes)(Seq.fill(64)(rng.nextGaussian()))
     val e = withNorm(s, d)
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      when(expr(s"aggregate(zip_with(v, array(${p.mkString(",")}), (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)") >= 0,
-        lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val eb = e.withColumn("bucket", bucket)
+    // (table, bucket) pairs per vector — explode over the tables.
+    val bucketStructs = planes.zipWithIndex.map { case (tablePlanes, t) =>
+      val bits = tablePlanes.zipWithIndex.map { case (p, i) =>
+        when(expr(s"aggregate(zip_with(v, array(${p.mkString(",")}), (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)") >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bits.as("bkt"))
+    }
+    val eb = e.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(bucketStructs: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
     val q = eb.filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("v").as("va"),
-        col("nrm").as("nrma"), col("bucket").as("qb"))
+        col("nrm").as("nrma"), col("tbl"), col("bkt"))
     val n = eb.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
-      col("nrm").as("nrmb"), col("bucket").as("nb"))
+      col("nrm").as("nrmb"), col("tbl"), col("bkt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(n, col("qb") === col("nb") && col("query_id") =!= col("neighbor_id"))
+    broadcast(q).join(n, Seq("tbl", "bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)

@@ -59,5 +59,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
       val q = r.getAs[Long]("query_id")
       assert(r.getAs[Double]("cosine") <= bfTop(q) + 1e-9)
     }
+    // With 4 tables x 64 buckets every query should find candidates.
+    val covered = lsh.map(_.getAs[Long]("query_id")).distinct.length
+    assert(covered >= 8, s"only $covered/10 queries found LSH candidates")
   }
 }
