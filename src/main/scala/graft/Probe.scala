@@ -19,7 +19,7 @@ object Probe {
     }
     args.headOption.getOrElse("times") match {
       case "times" =>
-        for (q <- Seq("dedup_embedding_cosine", "ann_lsh_topk", "etl_flatten_json")) {
+        for (q <- Seq("dedup_minhash_lsh")) {
           time(q) { SparkEntry.queries(q)(spark, d).count() }
           time(q + " (2nd)") { SparkEntry.queries(q)(spark, d).count() }
         }

@@ -86,26 +86,47 @@ object Dedup {
     * j ≥ ~0.77 in this corpus the per-pair miss probability is
     * < 1e-5, so the output provably matches the exact oracle.
     */
+  /** splitmix64 finalizer — the per-seed hash family for minhash. */
+  private def mix(h: Long, seed: Int): Long = {
+    var z = h ^ (0x9e3779b97f4a7c15L * (seed + 1))
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val rows = NumHashes / NumBands
     val sh = shingled(s, d)
-    // Signatures as 128 codegen'd min(hash(id, seed)) aggregates over
-    // the exploded shingles — one shuffle with partial (map-side)
-    // aggregation. Shingles are pre-hashed to a single long so each of
-    // the 128 hash evals works on 8 bytes, not a ~17-char string.
-    // (The composable transform/aggregate lambda form is interpreted
-    // row-at-a-time and was ~20x slower.)
-    val ex = shingledEx(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
-    val minCols = (0 until NumHashes).map(i => min(hash(col("s"), lit(i))).as(s"h$i"))
-    val sig = ex.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
-    // 32 bands x 4 rows: band hash per doc (tiny per-doc HOF), bucket join.
-    val bands = sig.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${NumBands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
-        .as(Seq("band", "bh")))
+    // One shuffle (groupBy doc) collecting pre-hashed shingles, then
+    // the whole 128-hash signature + 32 band hashes in a single tight
+    // typed pass per document. (Tried first: 128 codegen'd min() agg
+    // columns — correct and scalable, but janino pays ~5s compiling
+    // the generated aggregate; the fused kernel is faster cold AND
+    // warm, and the shuffle/partial-agg shape is unchanged.)
+    val bands = shingledEx(s, d)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, hs) =>
+        val sig = Array.fill(NumHashes)(Long.MaxValue)
+        var j = 0
+        while (j < hs.length) {
+          var i = 0
+          while (i < NumHashes) {
+            val m = mix(hs(j), i)
+            if (m < sig(i)) sig(i) = m
+            i += 1
+          }
+          j += 1
+        }
+        (0 until NumBands).map { b =>
+          var bh = 1125899906842597L
+          var r = 0
+          while (r < rows) { bh = bh * 31 + sig(b * rows + r); r += 1 }
+          (id, b, bh)
+        }
+      }.toDF("doc_id", "band", "bh")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
