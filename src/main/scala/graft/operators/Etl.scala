@@ -254,7 +254,57 @@ object Etl {
       .orderBy(col("o_orderkey"))
   }
 
+  // ------------------------------------------------------------------
+  // SSE stream-record parsing (test_chat_assistant.py:36-103).
+  // ------------------------------------------------------------------
+
+  /** Parse a server-sent-events transcript column: keep `data:` lines,
+    * drop sentinels ([DONE]/null/None), drop error records
+    * (code != 0) and non-object payloads, then last-wins extraction of
+    * answer / session_id / reference total — exactly the reference's
+    * streaming-chunk overwrite semantics, as array HOFs over one
+    * split. The transcript is synthesized per event (with and without
+    * a reference block, plus noise + sentinel lines) so every branch
+    * is exercised.
+    */
+  def etlSseParse(s: SparkSession, d: String): DataFrame = {
+    val line1 = concat(lit("""data: {"code": 0, "data": {"answer": "partial """),
+      col("event_id"), lit(""""}}"""))
+    val line2 = when(col("event_id") % 2 === 0,
+      concat(lit("""data: {"code": 0, "data": {"answer": "final """), col("event_id"),
+        lit("""", "session_id": "sess-"""), col("user_id"),
+        lit("""", "reference": {"total": """),
+        get_json_object(col("props"), "$.k"), lit("}}}")))
+      .otherwise(concat(lit("""data: {"code": 0, "data": {"answer": "final """),
+        col("event_id"), lit("""", "session_id": "sess-"""), col("user_id"), lit(""""}}""")))
+    val raw = concat_ws("\n",
+      lit("event: message"), line1,
+      lit("""data: {"code": 1, "message": "transient error"}"""),
+      line2, lit("data: [DONE]"))
+    Tables.events(s, d)
+      .select(col("event_id"), raw.as("raw"))
+      .withColumn("chunks", expr(
+        """filter(
+          |  transform(filter(split(raw, '\n'), l -> l LIKE 'data:%'),
+          |            l -> trim(substring(l, 6))),
+          |  c -> c NOT IN ('[DONE]', 'null', 'None') AND c <> ''
+          |       AND get_json_object(c, '$.code') = '0'
+          |       AND get_json_object(c, '$.data') IS NOT NULL)""".stripMargin))
+      .withColumn("answers", expr(
+        "filter(transform(chunks, c -> get_json_object(c, '$.data.answer')), x -> x IS NOT NULL)"))
+      .withColumn("sessions", expr(
+        "filter(transform(chunks, c -> get_json_object(c, '$.data.session_id')), x -> x IS NOT NULL)"))
+      .withColumn("totals", expr(
+        "filter(transform(chunks, c -> get_json_object(c, '$.data.reference.total')), x -> x IS NOT NULL)"))
+      .select(col("event_id"),
+        coalesce(expr("try_element_at(answers, -1)"), lit("")).as("answer"),
+        coalesce(expr("try_element_at(sessions, -1)"), lit("")).as("session_id"),
+        coalesce(expr("try_element_at(totals, -1)").cast("long"), lit(0L)).as("total_references"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_sse_parse" -> etlSseParse _,
     "etl_flatten_json" -> etlFlattenJson _,
     "etl_tristate_flags" -> etlTristateFlags _,
     "etl_other_text" -> etlOtherText _,
@@ -290,6 +340,39 @@ object Etl {
        |FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "etl_sse_parse" ->
+      """WITH r AS (
+        | SELECT event_id,
+        |  'event: message' || chr(10) ||
+        |  'data: {"code": 0, "data": {"answer": "partial ' || event_id || '"}}' || chr(10) ||
+        |  'data: {"code": 1, "message": "transient error"}' || chr(10) ||
+        |  CASE WHEN event_id % 2 = 0
+        |   THEN 'data: {"code": 0, "data": {"answer": "final ' || event_id || '", "session_id": "sess-' || user_id || '", "reference": {"total": ' || (props->>'k') || '}}}'
+        |   ELSE 'data: {"code": 0, "data": {"answer": "final ' || event_id || '", "session_id": "sess-' || user_id || '"}}'
+        |  END || chr(10) || 'data: [DONE]' AS raw
+        | FROM events),
+        |c AS (
+        | SELECT event_id,
+        |  list_filter(
+        |    list_filter(
+        |      list_transform(
+        |        list_filter(string_split(raw, chr(10)), l -> l LIKE 'data:%'),
+        |        l -> trim(substring(l, 6))),
+        |      c -> c NOT IN ('[DONE]', 'null', 'None') AND c <> '' AND json_valid(c)),
+        |    c -> json_extract_string(c, '$.code') = '0'
+        |         AND json_extract(c, '$.data') IS NOT NULL) AS chunks
+        | FROM r),
+        |x AS (
+        | SELECT event_id,
+        |  list_filter(list_transform(chunks, ch -> json_extract_string(ch, '$.data.answer')), a -> a IS NOT NULL) AS answers,
+        |  list_filter(list_transform(chunks, ch -> json_extract_string(ch, '$.data.session_id')), a -> a IS NOT NULL) AS sessions,
+        |  list_filter(list_transform(chunks, ch -> json_extract_string(ch, '$.data.reference.total')), a -> a IS NOT NULL) AS totals
+        | FROM c)
+        |SELECT event_id,
+        | coalesce(answers[-1], '') AS answer,
+        | coalesce(sessions[-1], '') AS session_id,
+        | coalesce(CAST(totals[-1] AS BIGINT), 0) AS total_references
+        |FROM x ORDER BY event_id""".stripMargin,
     "etl_flatten_json" ->
       """SELECT event_id,
         | user_id AS "payload.user.id",

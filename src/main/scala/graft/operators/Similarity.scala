@@ -143,10 +143,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  val NumCells = 8 // IVF coarse-quantizer cells
+  val NumProbe = 2 // cells probed per query
+
+  /** IVF-flavor ANN: a deterministic coarse quantizer (the first
+    * [[NumCells]] vectors stand in for k-means centroids — the
+    * container has no MLlib dependency surface in this build) assigns
+    * every vector to its nearest cell; queries probe their
+    * [[NumProbe]] nearest cells and rank candidates by exact cosine.
+    * Cell assignment is a broadcast join against 8 centroids + one
+    * window; candidate generation is a cell-equality join — the
+    * inverted-file shape that scales to billions of vectors.
+    * Approximate ⇒ rows-only driver check + spec assertions.
+    */
+  def annIvfTopk(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d)
+    val cent = e.filter(col("vec_id") < NumCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("vc"), col("nrm").as("nrmc"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val assign = e.join(broadcast(cent), lit(true))
+      .withColumn("sim", dot(col("v"), col("vc")) / col("nrm") / col("nrmc"))
+      .withColumn("rk", row_number().over(wAssign))
+    val cells = assign.filter(col("rk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("cell"),
+        col("v").as("vb"), col("nrm").as("nrmb"))
+    val probes = assign.filter(col("vec_id") < NumQueryVecs && col("rk") <= NumProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
+        col("v").as("va"), col("nrm").as("nrma"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "ann_bruteforce_topk" -> annBruteforceTopk _,
-    "ann_lsh_topk" -> annLshTopk _)
+    "ann_lsh_topk" -> annLshTopk _,
+    "ann_ivf_topk" -> annIvfTopk _)
 
   private val cosineCte =
     """WITH n AS (SELECT vec_id,

@@ -63,4 +63,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val covered = lsh.map(_.getAs[Long]("query_id")).distinct.length
     assert(covered >= 8, s"only $covered/10 queries found LSH candidates")
   }
+
+  test("IVF ANN: full top-k per query, cosine bounded by brute force") {
+    val ivf = Similarity.annIvfTopk(spark, sf).collect()
+    val byQ = ivf.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == Similarity.NumQueryVecs)
+    val bfTop = Similarity.annBruteforceTopk(spark, sf).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    ivf.foreach { r =>
+      assert(r.getAs[Double]("cosine") <= bfTop(r.getAs[Long]("query_id")) + 1e-9)
+    }
+  }
 }
