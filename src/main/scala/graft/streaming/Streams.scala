@@ -93,9 +93,38 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Streaming dedup (keep-first by content fingerprint).
+  // ------------------------------------------------------------------
+
+  /** Content fingerprint shared by the batch and streaming paths. */
+  private def fingerprinted(df: DataFrame): DataFrame =
+    df.withColumn("fingerprint",
+      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+
+  /** Streaming keep-first dedup: unbounded arrival stream → one row
+    * per distinct fingerprint (state bounded by the watermark on real
+    * event-time sources). The batch analog below pins "first" to
+    * doc_id order so it is oracle-checkable.
+    */
+  def dedupStreaming(docs: DataFrame): DataFrame =
+    fingerprinted(docs).dropDuplicates("fingerprint")
+
+  /** Batch analog for the correctness gate: first doc_id wins. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    fingerprinted(Tables.documents(s, d))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> streamWindowedAgg _,
-    "stream_session_state" -> sessionizeBatch _)
+    "stream_session_state" -> sessionizeBatch _,
+    "stream_dedup" -> streamDedup _)
 
   val oracleSql: Map[String, String] = Map(
     "stream_windowed_agg" ->
@@ -103,6 +132,15 @@ object Streams {
         | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+    "stream_dedup" ->
+      """SELECT doc_id, fingerprint FROM (
+        | SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+        |  row_number() OVER (
+        |    PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |    ORDER BY doc_id) AS rn
+        | FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // Same gap rule as q13 — the stateful path must agree with the
     // declarative window-function formulation.
     "stream_session_state" ->

@@ -43,6 +43,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful.toSeq == declarative.toSeq)
   }
 
+  test("streaming dedup keeps one row per fingerprint across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.dedupStreaming(
+      stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData((1L, "a b c"), (2L, "c b a"), (3L, "x y z"))
+      q.processAllAvailable()
+      // second batch: duplicate of an already-seen fingerprint + one new
+      stream.addData((4L, "b a c"), (5L, "fresh doc here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_out").collect()
+    // "a b c", "c b a", "b a c" share a bag fingerprint -> exactly one kept
+    assert(out.length == 3)
+    assert(out.map(_.getAs[String]("fingerprint")).distinct.length == 3)
+    val keptIds = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds.contains(3L) && keptIds.contains(5L))
+    assert((keptIds & Set(1L, 2L, 4L)).size == 1)
+  }
+
   test("stateful sessionizer runs incrementally on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
