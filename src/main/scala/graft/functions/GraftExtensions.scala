@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session wiring for graft's native expressions.
+  *
+  * Two registration paths:
+  *  - `withExtensions(new GraftExtensions)` at session build time
+  *    (also via `spark.sql.extensions=graft.functions.GraftExtensions`);
+  *  - [[GraftFunctions.register]] on an already-running session.
+  *
+  * Either way `dot_product(a, b)` becomes available to pure-SQL users,
+  * backed by the same codegen'd expression the Scala API uses.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftFunctions.dotProductDescriptor)
+  }
+}
+
+object GraftFunctions {
+  private[graft] val dotProductDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  /** Register graft functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+}

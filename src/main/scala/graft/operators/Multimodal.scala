@@ -83,11 +83,42 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  val FrameSize = 32
+  val MaxFrames = 4
+
+  /** Frame sampling: treat the blob as a sequence of fixed-size frames
+    * and keep every other frame (a video keyframe-sampling shape:
+    * chunk → sample → per-frame fingerprint). Pure column expressions
+    * over the opaque payload, so it is oracle-checkable end-to-end.
+    */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, least(cast(ceil(length(blob) / $FrameSize) AS INT), $MaxFrames) - 1), " +
+            s"i -> substring(blob, i * $FrameSize + 1, $FrameSize))"))
+          .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % 2 === 0) // sample every other frame
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> mmMetadata _,
-    "mm_feature_extract" -> mmFeatureExtract _)
+    "mm_feature_extract" -> mmFeatureExtract _,
+    "mm_frame_sample" -> mmFrameSample _)
 
   val oracleSql: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      s"""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         | CAST(strlen(substring(text, CAST(i AS INT) * $FrameSize + 1, $FrameSize)) AS BIGINT) AS frame_bytes,
+         | md5(substring(text, CAST(i AS INT) * $FrameSize + 1, $FrameSize)) AS frame_md5
+         |FROM documents, generate_series(0, ${MaxFrames - 1}) AS t(i)
+         |WHERE i < least(CAST(ceil(strlen(text) / $FrameSize) AS INT), $MaxFrames)
+         |  AND i % 2 = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,
