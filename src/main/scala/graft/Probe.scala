@@ -19,7 +19,7 @@ object Probe {
     }
     args.headOption.getOrElse("times") match {
       case "times" =>
-        for (q <- Seq("dedup_minhash_lsh")) {
+        for (q <- Seq("etl_sse_parse")) {
           time(q) { SparkEntry.queries(q)(spark, d).count() }
           time(q + " (2nd)") { SparkEntry.queries(q)(spark, d).count() }
         }

