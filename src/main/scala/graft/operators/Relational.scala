@@ -255,8 +255,42 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Full outer join with unmatched rows on both sides: high-balance
+    * customers vs per-customer large-order stats.
+    */
+  def q19OuterJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big_orders"), round(sum(col("o_totalprice")), 2).as("big_total"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_name"), lit("(no-dim)")).as("name"),
+        coalesce(col("acctbal"), lit(0.0)).as("acctbal"),
+        coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"),
+        coalesce(col("big_total"), lit(0.0)).as("big_total"))
+      .orderBy(col("custkey"))
+  }
+
+  /** CUBE: all grouping-set combinations over two dimensions. */
+  def q20Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("avg_total"))
+      .orderBy(col("status"), col("priority"))
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_outer_join" -> q19OuterJoin _,
+    "q20_cube" -> q20Cube _,
     "q16_asof_join" -> q16AsofJoin _,
     "q17_salted_agg" -> q17SaltedAgg _,
     "q18_distinct_counts" -> q18DistinctCounts _,
@@ -278,6 +312,25 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q19_outer_join" ->
+      """WITH c AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |           FROM customer WHERE c_acctbal > 9000),
+        |o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big_orders,
+        |       round(sum(o_totalprice), 2) AS big_total
+        |      FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        | coalesce(c_name, '(no-dim)') AS name,
+        | coalesce(acctbal, 0.0) AS acctbal,
+        | coalesce(n_big_orders, 0) AS n_big_orders,
+        | coalesce(big_total, 0.0) AS big_total
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q20_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | CAST(count(*) AS BIGINT) AS n, round(avg(o_totalprice), 2) AS avg_total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q16_asof_join" ->
       """SELECT event_id, user_id, click_id, round(click_value, 2) AS click_value
         |FROM (
