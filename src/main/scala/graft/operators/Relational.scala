@@ -287,8 +287,35 @@ object Relational {
         col("n"), col("avg_total"))
       .orderBy(col("status"), col("priority"))
 
+  /** Range join: pairs of same-user events within 5 minutes,
+    * implemented as a bucketed equi-join (each left row probes its
+    * 5-minute bucket and the next one) instead of a per-user cross
+    * join — the standard way to keep a range join shuffle-bound at
+    * scale. Exact range semantics are enforced by the residual filter.
+    */
+  def q21RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val WindowUs = 300L * 1000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("bucket", expr(s"us div $WindowUs"))
+    val probe = ev
+      .select(col("user_id").as("ua"), col("event_id").as("event_a"),
+        col("us").as("usa"), col("bucket"))
+      .withColumn("bkt", explode(array(col("bucket"), col("bucket") + 1)))
+    val build = ev.select(col("user_id").as("ub"), col("event_id").as("event_b"),
+      col("us").as("usb"), col("bucket").as("bktb"))
+    probe.join(build,
+        col("ua") === col("ub") && col("bkt") === col("bktb") &&
+          col("event_a") < col("event_b") &&
+          (col("usb") - col("usa")).between(0L, WindowUs))
+      .select(col("event_a"), col("event_b"), col("ua").as("user_id"),
+        (col("usb") - col("usa")).as("dt_us"))
+      .orderBy(col("event_a"), col("event_b"))
+  }
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_range_join" -> q21RangeJoin _,
     "q19_outer_join" -> q19OuterJoin _,
     "q20_cube" -> q20Cube _,
     "q16_asof_join" -> q16AsofJoin _,
@@ -312,6 +339,13 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q21_range_join" ->
+      """SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+        | (epoch_us(b.ts) - epoch_us(a.ts)) AS dt_us
+        |FROM events a JOIN events b
+        | ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 300000000
+        |ORDER BY event_a, event_b""".stripMargin,
     "q19_outer_join" ->
       """WITH c AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
         |           FROM customer WHERE c_acctbal > 9000),
