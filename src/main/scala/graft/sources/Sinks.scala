@@ -43,6 +43,13 @@ object Sinks {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Hive-style partitioned parquet: the default layout for large
+    * outputs — readers prune partitions on the partition column, and
+    * each partition writes in parallel.
+    */
+  def writePartitionedParquet(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 

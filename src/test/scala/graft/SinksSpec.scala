@@ -42,6 +42,19 @@ class SinksSpec extends AnyFunSuite {
       df.select("r_regionkey", "r_name").orderBy("r_regionkey").collect().map(_.toSeq).toSeq)
   }
 
+  test("partitioned parquet prunes partitions at read") {
+    val df = Tables.documents(spark, sf)
+    val path = tmp("part")
+    Sinks.writePartitionedParquet(df, path, "lang")
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("lang=")) >= 2, dirs.toSeq.toString)
+    val en = spark.read.parquet(path).filter(col("lang") === "en")
+    // partition filter must appear in the scan, not a post-filter
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(en.count() == df.filter(col("lang") === "en").count())
+  }
+
   test("qa extract written as TSV is valid (reference output format)") {
     val qa = operators.Etl.etlQaExtract(spark, sf)
     val path = tmp("qatsv")
