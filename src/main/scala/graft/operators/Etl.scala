@@ -118,6 +118,12 @@ object Etl {
     * Spark-first shape: one shuffle (groupBy user) into a sorted
     * array<struct>, then pure higher-order array functions — incl. a
     * take-while via `aggregate` with a (parts, stop) state struct.
+    *
+    * Scale note: collect_list is safe here because a chat session is
+    * inherently bounded (tens of messages); for unbounded-per-key
+    * payloads prefer the equivalent window-function formulation the
+    * DuckDB oracle uses (rn/min/first-break), which never materializes
+    * a per-key array.
     */
   def etlQaExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

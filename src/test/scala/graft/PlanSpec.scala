@@ -56,6 +56,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
   }
 
+  test("bucketed table: aggregation on the bucket key needs no exchange") {
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    sources.Tables.lineitem(spark, sf)
+      .write.format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite")
+      .saveAsTable("li_bucketed")
+    val t = spark.table("li_bucketed")
+    val agg = t.groupBy("l_orderkey").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    // bucketed layout satisfies the aggregation's distribution: the
+    // plan must contain no shuffle at all
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(agg.count() > 0)
+  }
+
   test("similarity: custom DotProduct expression is in the plan (codegen path)") {
     val p = planOf("ann_bruteforce_topk")
     assert(p.contains("dotproduct") || p.contains("DotProduct"), p)
