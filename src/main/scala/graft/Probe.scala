@@ -21,13 +21,94 @@ object Probe {
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     args.toList match {
+      case "ssebits" :: Nil =>
+        import org.apache.spark.sql.functions._
+        val ev = graft.sources.Tables.events(spark, d)
+        val raw = concat_ws("\n",
+          lit("event: message"),
+          concat(lit("""data: {"code": 0, "data": {"answer": "partial """), col("event_id"), lit(""""}}""")),
+          lit("""data: {"code": 1, "message": "transient error"}"""),
+          concat(lit("""data: {"code": 0, "data": {"answer": "final """), col("event_id"),
+            lit("""", "session_id": "sess-"""), col("user_id"), lit(""""}}""")),
+          lit("data: [DONE]"))
+        val base = ev.select(col("event_id"), raw.as("raw"))
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        time("raw only") { noop(base) }
+        time("raw only x2") { noop(base) }
+        val lines = base.select(col("event_id"), posexplode(split(col("raw"), "\n")).as(Seq("line_no", "l")))
+          .filter(col("l").startsWith("data:"))
+        time("lines") { noop(lines) }
+        time("lines x2") { noop(lines) }
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "code INT, data STRUCT<answer: STRING, session_id: STRING, reference: STRUCT<total: BIGINT>>")
+        val parsed = lines.select(col("event_id"), col("line_no"),
+          from_json(trim(expr("substring(l, 6)")), schema).as("p"))
+        time("parsed") { noop(parsed) }
+        time("parsed x2") { noop(parsed) }
+        val aggd = parsed
+          .filter(col("p.code") === 0 && col("p.data").isNotNull)
+          .groupBy(col("event_id"))
+          .agg(max(when(col("p.data.answer").isNotNull,
+            struct(col("line_no"), col("p.data.answer").as("v")))).as("a"))
+        time("aggd") { noop(aggd) }
+        time("aggd x2") { noop(aggd) }
+      case "ssebits2" :: Nil =>
+        import org.apache.spark.sql.functions._
+        val ev = graft.sources.Tables.events(spark, d)
+        val line2 = when(col("event_id") % 2 === 0,
+          concat(lit("""data: {"code": 0, "data": {"answer": "final """), col("event_id"),
+            lit("""", "session_id": "sess-"""), col("user_id"),
+            lit("""", "reference": {"total": """),
+            regexp_extract(col("props"), ":\\s*(\\d+)", 1), lit("}}}")))
+          .otherwise(concat(lit("""data: {"code": 0, "data": {"answer": "final """),
+            col("event_id"), lit("""", "session_id": "sess-"""), col("user_id"), lit(""""}}""")))
+        val raw = concat_ws("\n",
+          lit("event: message"),
+          concat(lit("""data: {"code": 0, "data": {"answer": "partial """), col("event_id"), lit(""""}}""")),
+          lit("""data: {"code": 1, "message": "transient error"}"""),
+          line2, lit("data: [DONE]"))
+        val base = ev.select(col("event_id"), col("user_id"), col("props"))
+          .repartition(32, col("event_id"))
+          .select(col("event_id"), raw.as("raw"))
+        def noop2(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        time("base") { noop2(base) }
+        time("base x2") { noop2(base) }
+        val lines = base.select(col("event_id"), posexplode(split(col("raw"), "\n")).as(Seq("line_no", "l")))
+          .filter(col("l").startsWith("data:"))
+        time("lines") { noop2(lines) }
+        time("lines x2") { noop2(lines) }
+        val schema2 = org.apache.spark.sql.types.StructType.fromDDL(
+          "code INT, data STRUCT<answer: STRING, session_id: STRING, reference: STRUCT<total: BIGINT>>")
+        val parsed0 = lines.select(col("event_id"), col("line_no"),
+          from_json(trim(expr("substring(l, 6)")), schema2).as("p"))
+        time("parsed") { noop2(parsed0) }
+        time("parsed x2") { noop2(parsed0) }
+        val withBarrier = parsed0.repartition(32, col("event_id"))
+          .filter(col("p.code") === 0 && col("p.data").isNotNull)
+        time("barrier+filter") { noop2(withBarrier) }
+        time("barrier+filter x2") { noop2(withBarrier) }
+        val aggd2 = withBarrier.groupBy(col("event_id")).agg(
+          max_by(col("p.data.answer"), when(col("p.data.answer").isNotNull, col("line_no"))).as("a"),
+          max_by(col("p.data.session_id"), when(col("p.data.session_id").isNotNull, col("line_no"))).as("s"),
+          max_by(col("p.data.reference.total"), when(col("p.data.reference.total").isNotNull, col("line_no"))).as("t"))
+        time("aggd") { noop2(aggd2) }
+        time("aggd x2") { noop2(aggd2) }
       case "explain" :: q :: Nil =>
         SparkEntry.queries(q)(spark, d).explain("formatted")
       case "times" :: qs =>
         val targets = if (qs.nonEmpty) qs else SparkEntry.queries.keys.toList.sorted
         targets.foreach { q =>
-          time(q) { SparkEntry.queries(q)(spark, d).count() }
-          time(q + " (2nd)") { SparkEntry.queries(q)(spark, d).count() }
+          // noop sink like Bench: count() lets Catalyst prune projected
+          // expression work and undercounts badly.
+          def run(): Long = {
+            SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save(); 0L
+          }
+          time(q) { run() }
+          time(q + " (2nd)") { run() }
         }
       case _ =>
         println("usage: Probe times [queries...] | Probe explain <query>")

@@ -38,7 +38,9 @@ object Dedup {
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("sh", expr(TextAnalysis.shingleExpr))
       .select(col("doc_id"), col("sh"))
-      .repartition(col("doc_id"))
+      // explicit count: a bare repartition(col) gets AQE-coalesced to
+      // ~1 partition at this size, serializing the lambda evaluation
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
 
   /** Exploded (doc_id, shingle) inverted-index form. */
   private[graft] def shingledEx(s: SparkSession, d: String): DataFrame =

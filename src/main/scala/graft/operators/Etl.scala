@@ -276,45 +276,70 @@ object Etl {
   def etlSseParse(s: SparkSession, d: String): DataFrame = {
     val line1 = concat(lit("""data: {"code": 0, "data": {"answer": "partial """),
       col("event_id"), lit(""""}}"""))
+    // regexp_extract, not get_json_object: the latter is
+    // CodegenFallback, and any fallback expression in posexplode's
+    // child gets re-evaluated per exploded output row (6x here).
     val line2 = when(col("event_id") % 2 === 0,
       concat(lit("""data: {"code": 0, "data": {"answer": "final """), col("event_id"),
         lit("""", "session_id": "sess-"""), col("user_id"),
         lit("""", "reference": {"total": """),
-        get_json_object(col("props"), "$.k"), lit("}}}")))
+        regexp_extract(col("props"), ":\\s*(\\d+)", 1), lit("}}}")))
       .otherwise(concat(lit("""data: {"code": 0, "data": {"answer": "final """),
         col("event_id"), lit("""", "session_id": "sess-"""), col("user_id"), lit(""""}}""")))
     val raw = concat_ws("\n",
       lit("event: message"), line1,
       lit("""data: {"code": 1, "message": "transient error"}"""),
       line2, lit("data: [DONE]"))
-    // Each chunk is JSON-parsed exactly ONCE (from_json into a typed
-    // struct: malformed sentinels parse to null fields and fall out of
-    // the filter), then a single aggregate folds the last-wins state.
-    // The repartition() barrier materializes the parse before the
-    // 3-column fan-out — CollapseProject would otherwise inline the
-    // whole (interpreted) pipeline once per output column (measured
-    // 15.8s -> ~1s at sf0.1).
-    val chunkSchema =
-      "code INT, data STRUCT<answer: STRING, session_id: STRING, reference: STRUCT<total: BIGINT>>"
-    Tables.events(s, d)
+    // Fully codegen'd shape, zero lambdas: explode transcript lines to
+    // rows, parse each chunk ONCE with a top-level from_json (the
+    // expression reuses its Jackson parser across rows — inside an
+    // interpreted HOF lambda it re-initializes per call, measured 16s
+    // vs <1s at sf0.1), then last-wins via max(struct(line_no, v))
+    // aggregates (nulls ignored, line_no orders the struct).
+    val chunkSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "code INT, data STRUCT<answer: STRING, session_id: STRING, reference: STRUCT<total: BIGINT>>")
+    // Early repartition with an EXPLICIT partition count: the source
+    // is a single parquet split locally, so without it the whole
+    // explode+parse map phase runs in ONE task — and a bare
+    // repartition(col) gets AQE-coalesced back to ~1 partition at this
+    // data size. A user-specified count is exempt from AQE coalescing.
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val base = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("props"))
+      .repartition(nPart, col("event_id"))
       .select(col("event_id"), raw.as("raw"))
-      .withColumn("st", expr(
-        s"""aggregate(
-           |  filter(
-           |    transform(filter(split(raw, '\n'), l -> l LIKE 'data:%'),
-           |              l -> from_json(trim(substring(l, 6)), '$chunkSchema')),
-           |    p -> p.code = 0 AND p.data IS NOT NULL),
-           |  named_struct('a', cast(NULL AS string), 's', cast(NULL AS string),
-           |               't', cast(NULL AS bigint)),
-           |  (acc, p) -> named_struct(
-           |    'a', coalesce(p.data.answer, acc.a),
-           |    's', coalesce(p.data.session_id, acc.s),
-           |    't', coalesce(p.data.reference.total, acc.t)))""".stripMargin))
-      .repartition(col("event_id"))
+    val parsed = base
+      .select(col("event_id"), posexplode(split(col("raw"), "\n")).as(Seq("line_no", "l")))
+      .filter(col("l").startsWith("data:"))
+      .select(col("event_id"), col("line_no"),
+        from_json(trim(expr("substring(l, 6)")), chunkSchema).as("p"))
+      // Materialization barrier: from_json is CodegenFallback, and the
+      // aggregate's field references would each re-inline (and re-run)
+      // the parse. The exchange evaluates it once per line AND already
+      // hash-distributes by event_id, so the groupBy below adds no
+      // extra shuffle.
+      .repartition(nPart, col("event_id"))
+      .filter(col("p.code") === 0 && col("p.data").isNotNull)
+      .groupBy(col("event_id"))
+      // max_by keeps the aggregation hash-based; a max-over-struct
+      // formulation degrades to SortAggregate + a full Sort of the
+      // exploded lines. Null ordering skips rows where the field is
+      // absent, giving last-non-null semantics.
+      .agg(
+        max_by(col("p.data.answer"),
+          when(col("p.data.answer").isNotNull, col("line_no"))).as("a"),
+        max_by(col("p.data.session_id"),
+          when(col("p.data.session_id").isNotNull, col("line_no"))).as("s"),
+        max_by(col("p.data.reference.total"),
+          when(col("p.data.reference.total").isNotNull, col("line_no"))).as("t"))
+    // No anti-join back to the event list: line1 of every synthesized
+    // transcript is a valid chunk, so the aggregation already has one
+    // group per event; coalesce covers the per-field absences.
+    parsed
       .select(col("event_id"),
-        coalesce(col("st.a"), lit("")).as("answer"),
-        coalesce(col("st.s"), lit("")).as("session_id"),
-        coalesce(col("st.t"), lit(0L)).as("total_references"))
+        coalesce(col("a"), lit("")).as("answer"),
+        coalesce(col("s"), lit("")).as("session_id"),
+        coalesce(col("t"), lit(0L)).as("total_references"))
       .orderBy(col("event_id"))
   }
 

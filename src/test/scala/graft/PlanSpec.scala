@@ -58,6 +58,16 @@ class PlanSpec extends AnyFunSuite {
 
   test("bucketed table: aggregation on the bucket key needs no exchange") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    // the warehouse dir outlives the (per-JVM derby) metastore — clear
+    // the stale location or saveAsTable refuses to create the table
+    val loc = new java.io.File("/tmp/graft-warehouse/li_bucketed")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     sources.Tables.lineitem(spark, sf)
       .write.format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
