@@ -113,11 +113,13 @@ object Similarity {
     val planes: Seq[Seq[Seq[Double]]] =
       Seq.fill(NumTables, NumPlanes)(Seq.fill(64)(rng.nextGaussian()))
     val e = withNorm(s, d)
-    // (table, bucket) pairs per vector — explode over the tables.
+    // (table, bucket) pairs per vector — explode over the tables. The
+    // hyperplane dot uses the codegen'd DotProduct against a literal
+    // plane array (an aggregate/zip_with lambda is interpreted and
+    // costs both runtime and janino compile).
     val bucketStructs = planes.zipWithIndex.map { case (tablePlanes, t) =>
       val bits = tablePlanes.zipWithIndex.map { case (p, i) =>
-        when(expr(s"aggregate(zip_with(v, array(${p.mkString(",")}), (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)") >= 0,
-          lit(1L << i)).otherwise(lit(0L))
+        when(dot(col("v"), typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bits.as("bkt"))
     }
