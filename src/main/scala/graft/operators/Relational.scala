@@ -313,8 +313,23 @@ object Relational {
       .orderBy(col("event_a"), col("event_b"))
   }
 
+  /** Top-k per group via the custom bounded-heap aggregate
+    * ([[graft.functions.TopKIds]], a TypedImperativeAggregate): O(k)
+    * state per group with map-side partial merge — no full per-group
+    * sort anywhere, unlike the window row_number formulation the
+    * DuckDB oracle uses.
+    */
+  def q22TopkPerGroup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKIds.topKIds(col("value"), col("event_id"), 5).as("ids"))
+      .select(col("event_type"), posexplode(col("ids")).as(Seq("pos", "event_id")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"), col("event_id"))
+      .orderBy(col("event_type"), col("rank"))
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_topk_per_group" -> q22TopkPerGroup _,
     "q21_range_join" -> q21RangeJoin _,
     "q19_outer_join" -> q19OuterJoin _,
     "q20_cube" -> q20Cube _,
@@ -339,6 +354,13 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q22_topk_per_group" ->
+      """SELECT event_type, rank, event_id FROM (
+        | SELECT event_type, event_id,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id) AS BIGINT) AS rank
+        | FROM events)
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     "q21_range_join" ->
       """SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
         | (epoch_us(b.ts) - epoch_us(a.ts)) AS dt_us
