@@ -96,7 +96,20 @@ object TextAnalysis {
         size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Corpus n-gram statistics: document frequency of every distinct
+    * 3-gram, top 50 (deterministic tie-break on the shingle text).
+    * One explode + one count aggregation — the frequency-dictionary
+    * shape used for stop-shingle detection at scale.
+    */
+  def textNgramFreq(s: SparkSession, d: String): DataFrame =
+    Dedup.shingledEx(s, d)
+      .groupBy(col("s").as("ngram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram").asc)
+      .limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_freq" -> textNgramFreq _,
     "text_token_count" -> textTokenCount _,
     "text_langid" -> textLangid _,
     "text_quality_score" -> textQualityScore _,
@@ -108,6 +121,14 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_ngram_freq" ->
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2]))) AS ngram FROM documents)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
+        |FROM t GROUP BY ngram
+        |ORDER BY doc_freq DESC, ngram LIMIT 50""".stripMargin,
     "text_token_count" ->
       raw"""SELECT doc_id,
            | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

@@ -66,6 +66,35 @@ class StreamingSpec extends AnyFunSuite {
     assert((keptIds & Set(1L, 2L, 4L)).size == 1)
   }
 
+  test("watermark drops data later than the 2-hour bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    def ts(h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    val q = graft.streaming.Streams.windowedAggStream(
+      stream.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.outputMode("append").format("memory").queryName("wm_out").start()
+    try {
+      stream.addData((1L, ts(1), "click", 1.0), (2L, ts(2), "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far ahead: watermark moves to ~10:30-2h
+      stream.addData((3L, ts(10), "click", 1.0))
+      q.processAllAvailable()
+      // this event is hours behind the watermark -> must be dropped
+      stream.addData((4L, ts(1), "click", 99.0))
+      q.processAllAvailable()
+      // push watermark further so earlier windows close and emit
+      stream.addData((5L, ts(23), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wm_out").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    val h1 = rows.filter(_._1 == "2024-01-01 01:00:00")
+    // the late event (value 99.0) must not have been merged into hour 1
+    assert(h1.nonEmpty && h1.head._2 == 1L && h1.head._3 == 1.0, rows.mkString(", "))
+  }
+
   test("stateful sessionizer runs incrementally on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
