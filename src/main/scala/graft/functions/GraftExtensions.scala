@@ -18,6 +18,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
+    e.injectFunction(GraftFunctions.topKIdsDescriptor)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
   }
 }
 
@@ -28,8 +30,19 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
+  private[graft] val topKIdsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k_ids"),
+    new ExpressionInfo(classOf[TopKIds].getName, "top_k_ids"),
+    (children: Seq[Expression]) => TopKIds(children(0), children(1),
+      children(2).eval().asInstanceOf[Int]).toAggregateExpression())
+
   /** Register graft functions on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_ids", exprs => TopKIds(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
+  }
 }

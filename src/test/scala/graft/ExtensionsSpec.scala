@@ -14,6 +14,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 32.0)
   }
 
+  test("top_k_ids is callable from SQL after register()") {
+    GraftFunctions.register(spark)
+    sources.Tables.events(spark, sf).createOrReplaceTempView("ev_sql")
+    val r = spark.sql(
+      """SELECT event_type, top_k_ids(value, event_id, 3) AS ids
+        |FROM ev_sql GROUP BY event_type ORDER BY event_type""".stripMargin).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getSeq[Long](1).length == 3))
+  }
+
   test("GraftExtensions descriptor builds the native expression") {
     // (A full withExtensions session can't be built here: getOrCreate
     // reuses the suite session. Exercise the descriptor injectFunction
