@@ -121,12 +121,52 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Stream-stream interval join.
+  // ------------------------------------------------------------------
+
+  /** Join a purchase stream to the click stream of the same user
+    * within the preceding hour — the stream-stream interval-join
+    * shape (both sides watermarked so join state is bounded; the
+    * event-time range condition lets Spark expire rows).
+    */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+  }
+
+  /** Batch analog of the interval join for the correctness gate. */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val out = clickToPurchaseJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+    out.select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> streamWindowedAgg _,
     "stream_session_state" -> sessionizeBatch _,
-    "stream_dedup" -> streamDedup _)
+    "stream_dedup" -> streamDedup _,
+    "stream_interval_join" -> streamIntervalJoin _)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM events p JOIN events c
+        | ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "stream_windowed_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value

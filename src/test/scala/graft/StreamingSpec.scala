@@ -95,6 +95,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(h1.nonEmpty && h1.head._2 == 1L && h1.head._3 == 1.0, rows.mkString(", "))
   }
 
+  test("stream-stream interval join matches the batch analog") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val clickStream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val purchaseStream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    clickStream.addData(ev.filter(_._4 == "click"))
+    purchaseStream.addData(ev.filter(_._4 == "purchase"))
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type")
+    val q = graft.streaming.Streams.clickToPurchaseJoin(
+      named(clickStream.toDF()), named(purchaseStream.toDF()))
+      .select(col("purchase_id"), col("click_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.streaming.Streams.streamIntervalJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful sessionizer runs incrementally on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
