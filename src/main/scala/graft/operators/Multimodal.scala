@@ -105,12 +105,41 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  val ResizeTo = 16
+
+  /** "Resize": deterministic stride-sampling of the opaque payload
+    * down to a fixed length (the reshape a real image resize performs,
+    * minus the codec — which the container lacks). Pure column
+    * expressions, oracle-checked end-to-end.
+    */
+  def mmResize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("resized", expr(
+        s"""concat_ws('', transform(sequence(1, $ResizeTo),
+           | i -> substring(text, cast(ceil(i * length(text) / $ResizeTo.0) AS INT), 1)))""".stripMargin))
+      .select(col("doc_id"),
+        col("resized"),
+        length(col("resized")).cast("long").as("resized_len"),
+        md5(col("resized")).as("resized_md5"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> mmMetadata _,
     "mm_feature_extract" -> mmFeatureExtract _,
-    "mm_frame_sample" -> mmFrameSample _)
+    "mm_frame_sample" -> mmFrameSample _,
+    "mm_resize" -> mmResize _)
 
   val oracleSql: Map[String, String] = Map(
+    "mm_resize" ->
+      s"""WITH r AS (SELECT doc_id,
+         |  list_aggregate(list_transform(generate_series(1, $ResizeTo),
+         |    i -> substring(text, CAST(ceil(i * strlen(text) / $ResizeTo.0) AS INT), 1)),
+         |    'string_agg', '') AS resized
+         | FROM documents)
+         |SELECT doc_id, resized,
+         | CAST(strlen(resized) AS BIGINT) AS resized_len,
+         | md5(resized) AS resized_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
          | CAST(strlen(substring(text, CAST(i AS INT) * $FrameSize + 1, $FrameSize)) AS BIGINT) AS frame_bytes,
