@@ -184,7 +184,47 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup clustering: connected components over the exact-Jaccard
+    * pair graph, keeping the smallest doc_id as each cluster's
+    * canonical representative. Iterative min-label propagation (the
+    * GraphX connected-components recurrence expressed on DataFrames):
+    * each round every node takes the min of its own and its
+    * neighbors' labels; converges in O(diameter) rounds — near-dup
+    * clusters are tiny, so 2-4 rounds in practice, and each round is
+    * one shuffle join. Docs in no pair are their own representative.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).cache()
+    // symmetric edge list
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    val all = Tables.documents(s, d).select(col("doc_id"))
+    val out = all.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+      .orderBy(col("doc_id"))
+    edges.unpersist(); pairs.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters _,
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
@@ -206,6 +246,29 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_clusters" ->
+      raw"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_transform(
+           |   generate_series(1, len(string_split(text, ' ')) - 2),
+           |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+           |        || ' ' || string_split(text, ' ')[i+2])) AS sh FROM documents),
+           |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+           |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+           |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |jp AS (SELECT doc_a, doc_b
+           |       FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           |       WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= 0.5),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+           |          UNION ALL SELECT doc_b, doc_a FROM jp),
+           |reach(src, dst) AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+           |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+           |        FROM reach GROUP BY src)
+           |SELECT d.doc_id, coalesce(rep.cluster_rep, d.doc_id) AS cluster_rep
+           |FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_key,
         | min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs

@@ -37,6 +37,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
   }
 
+  test("clusters: reps are minimal, closed under the pair graph") {
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    clusters.foreach { case (doc, rep) => assert(rep <= doc) }
+    // representative of a representative is itself
+    clusters.values.foreach(rep => assert(clusters(rep) == rep))
+    // both ends of every near-dup pair share a cluster
+    Dedup.dedupNgramJaccard(spark, sf).collect().foreach { r =>
+      val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("brute-force topk: k rows per query, descending cosine") {
     val rows = Similarity.annBruteforceTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
