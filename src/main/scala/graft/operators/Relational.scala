@@ -327,8 +327,23 @@ object Relational {
       .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"), col("event_id"))
       .orderBy(col("event_type"), col("rank"))
 
+  /** Distribution-aware window ranks: quartile (ntile) and
+    * percent_rank per segment.
+    */
+  def q23NtilePercentRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"), col("quartile"), col("pct_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_ntile_percent_rank" -> q23NtilePercentRank _,
     "q22_topk_per_group" -> q22TopkPerGroup _,
     "q21_range_join" -> q21RangeJoin _,
     "q19_outer_join" -> q19OuterJoin _,
@@ -354,6 +369,14 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q23_ntile_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment, quartile, pct_rank FROM (
+        | SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE c_custkey % 10 = 0 ORDER BY c_custkey""".stripMargin,
     "q22_topk_per_group" ->
       """SELECT event_type, rank, event_id FROM (
         | SELECT event_type, event_id,

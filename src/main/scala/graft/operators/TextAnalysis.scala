@@ -108,7 +108,19 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("ngram").asc)
       .limit(50)
 
+  /** Light suffix-stripping stemmer over every token (plural / -ing),
+    * rejoined in order — one regexp per token via a transform over the
+    * split, no UDF.
+    */
+  def textStem(s: SparkSession, d: String): DataFrame =
+    withToks(Tables.documents(s, d))
+      .select(col("doc_id"),
+        array_join(expr(
+          raw"transform(toks, t -> regexp_replace(t, '(ing|es|s)$$', ''))"), " ").as("stemmed"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stem" -> textStem _,
     "text_ngram_freq" -> textNgramFreq _,
     "text_token_count" -> textTokenCount _,
     "text_langid" -> textLangid _,
@@ -121,6 +133,11 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_stem" ->
+      raw"""SELECT doc_id,
+           | array_to_string(list_transform(string_split(text, ' '),
+           |   t -> regexp_replace(t, '(ing|es|s)$$', '')), ' ') AS stemmed
+           |FROM documents ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |   generate_series(1, len(string_split(text, ' ')) - 2),
