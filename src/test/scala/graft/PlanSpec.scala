@@ -82,6 +82,19 @@ class PlanSpec extends AnyFunSuite {
     assert(agg.count() > 0)
   }
 
+  test("no unintentional nested-loop joins anywhere in the inventory") {
+    // ann_bruteforce_topk intentionally nested-loops 10 broadcast query
+    // vectors against the table (its whole point is the exact scan);
+    // ann_ivf_topk crosses every vector with the 8 broadcast centroids
+    // for cell assignment (bounded by the constant centroid count).
+    val allowNestedLoop = Set("ann_bruteforce_topk", "ann_ivf_topk")
+    SparkEntry.queries.keys.filterNot(allowNestedLoop).foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
   test("similarity: custom DotProduct expression is in the plan (codegen path)") {
     val p = planOf("ann_bruteforce_topk")
     assert(p.contains("dotproduct") || p.contains("DotProduct"), p)
