@@ -341,8 +341,43 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Share-of-total per group: the scalar-subquery shape (global
+    * aggregate broadcast back against the grouped aggregate).
+    */
+  def q24RevenueShare(s: SparkSession, d: String): DataFrame = {
+    val perType = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value")).as("type_total"))
+    val total = perType.agg(sum(col("type_total")).as("grand_total"))
+    perType.join(broadcast(total), lit(true))
+      .select(col("event_type"),
+        round(col("type_total"), 2).as("type_total"),
+        round(col("type_total") / col("grand_total") * 100.0, 4).as("pct_share"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Winsorization: clamp outliers at the per-group p99 (exact
+    * percentile aggregate broadcast back onto the rows) — the standard
+    * robust-cleaning step before training-data statistics.
+    */
+  def q25Winsorize(s: SparkSession, d: String): DataFrame = {
+    val p99 = Tables.events(s, d)
+      .groupBy(col("event_type").as("t"))
+      .agg(percentile(col("value"), lit(0.99)).as("p99"))
+    Tables.events(s, d)
+      .join(broadcast(p99), col("event_type") === col("t"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(col("value")), 4).as("raw_mean"),
+        round(avg(least(col("value"), col("p99"))), 4).as("winsorized_mean"),
+        count(when(col("value") > col("p99"), 1)).as("n_clamped"))
+      .orderBy(col("event_type"))
+  }
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_revenue_share" -> q24RevenueShare _,
+    "q25_winsorize" -> q25Winsorize _,
     "q23_ntile_percent_rank" -> q23NtilePercentRank _,
     "q22_topk_per_group" -> q22TopkPerGroup _,
     "q21_range_join" -> q21RangeJoin _,
@@ -369,6 +404,21 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q24_revenue_share" ->
+      """WITH pt AS (SELECT event_type, sum(value) AS type_total
+        |            FROM events GROUP BY event_type)
+        |SELECT event_type, round(type_total, 2) AS type_total,
+        | round(type_total / (SELECT sum(type_total) FROM pt) * 100.0, 4) AS pct_share
+        |FROM pt ORDER BY event_type""".stripMargin,
+    "q25_winsorize" ->
+      """WITH p AS (SELECT event_type AS t, quantile_cont(value, 0.99) AS p99
+        |           FROM events GROUP BY event_type)
+        |SELECT event_type,
+        | round(avg(value), 4) AS raw_mean,
+        | round(avg(least(value, p99)), 4) AS winsorized_mean,
+        | CAST(count(CASE WHEN value > p99 THEN 1 END) AS BIGINT) AS n_clamped
+        |FROM events JOIN p ON event_type = t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q23_ntile_percent_rank" ->
       """SELECT c_custkey, c_mktsegment, quartile, pct_rank FROM (
         | SELECT c_custkey, c_mktsegment,
