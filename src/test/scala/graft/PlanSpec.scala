@@ -87,7 +87,8 @@ class PlanSpec extends AnyFunSuite {
     // vectors against the table (its whole point is the exact scan);
     // ann_ivf_topk crosses every vector with the 8 broadcast centroids
     // for cell assignment (bounded by the constant centroid count).
-    val allowNestedLoop = Set("ann_bruteforce_topk", "ann_ivf_topk")
+    // q24 crosses with a single-row global aggregate (scalar subquery).
+    val allowNestedLoop = Set("ann_bruteforce_topk", "ann_ivf_topk", "q24_revenue_share")
     SparkEntry.queries.keys.filterNot(allowNestedLoop).foreach { q =>
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
