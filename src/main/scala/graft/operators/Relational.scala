@@ -374,8 +374,24 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Column-level data profiling (the `describe` shape, made
+    * deterministic): per profiled column, row/null/distinct counts in
+    * one pass each, unioned into a tidy metric table.
+    */
+  def q26DataProfile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def profile(c: String) = ev.agg(
+      lit(c).as("column_name"),
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col(c))).as("n_nulls"),
+      countDistinct(col(c)).as("n_distinct"))
+    profile("user_id").union(profile("event_type")).union(profile("props"))
+      .orderBy(col("column_name"))
+  }
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_data_profile" -> q26DataProfile _,
     "q24_revenue_share" -> q24RevenueShare _,
     "q25_winsorize" -> q25Winsorize _,
     "q23_ntile_percent_rank" -> q23NtilePercentRank _,
@@ -404,6 +420,20 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q26_data_profile" ->
+      """SELECT column_name, n_rows, n_nulls, n_distinct FROM (
+        | SELECT 'user_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(user_id) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events
+        | UNION ALL
+        | SELECT 'event_type', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(event_type) AS BIGINT),
+        |  CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+        | UNION ALL
+        | SELECT 'props', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(props) AS BIGINT),
+        |  CAST(count(DISTINCT props) AS BIGINT) FROM events)
+        |ORDER BY column_name""".stripMargin,
     "q24_revenue_share" ->
       """WITH pt AS (SELECT event_type, sum(value) AS type_total
         |            FROM events GROUP BY event_type)

@@ -59,4 +59,18 @@ object Sinks {
 
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** Schema normalization: guarantee the presence and order of a
+    * required column set, adding missing ones as typed nulls — the
+    * reference's "ensure text columns exist" step
+    * (normalize_parks_json.py:164-166) generalized to any schema.
+    */
+  def ensureColumns(df: DataFrame, required: org.apache.spark.sql.types.StructType): DataFrame = {
+    val existing = df.schema.fieldNames.toSet
+    val cols = required.fields.map { f =>
+      if (existing.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
 }

@@ -55,6 +55,22 @@ class SinksSpec extends AnyFunSuite {
     assert(en.count() == df.filter(col("lang") === "en").count())
   }
 
+  test("ensureColumns adds missing required columns as typed nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, "x")).toDF("id", "facilities")
+    val required = StructType(Seq(
+      StructField("id", LongType),
+      StructField("facilities", StringType),
+      StructField("restrictions", StringType),
+      StructField("activities", StringType)))
+    val out = Sinks.ensureColumns(df, required)
+    assert(out.columns.toSeq == Seq("id", "facilities", "restrictions", "activities"))
+    val r = out.head
+    assert(r.getAs[String]("facilities") == "x")
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("qa extract written as TSV is valid (reference output format)") {
     val qa = operators.Etl.etlQaExtract(spark, sf)
     val path = tmp("qatsv")
