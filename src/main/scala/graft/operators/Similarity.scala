@@ -67,7 +67,11 @@ object Similarity {
           var i = 0
           while (i < va.length) { acc += va(i) * vb(i); i += 1 }
           val cos = acc / na / nb
-          if (cos >= threshold - 1e-6) Iterator.single((ida, idb, cos))
+          // Pre-filter epsilon must cover the full rounding band: the
+          // declarative filter keeps pairs whose ROUNDED cosine >= τ,
+          // i.e. raw >= τ - 5e-5, so the scan keeps a hair below that
+          // and the round+filter stays the sole decider.
+          if (cos >= threshold - 5e-5 - 1e-9) Iterator.single((ida, idb, cos))
           else Iterator.empty
         }
       }

@@ -53,7 +53,10 @@ object RangeJoinBucketing extends Rule[LogicalPlan] with PredicateHelper {
           }
       }.flatten
       range match {
-        case Some((a, b, w)) if !hasEqui =>
+        // Duplicating `left` into two probe branches is only sound when
+        // both subtrees are deterministic — a rand()/uuid() source would
+        // produce different rows per branch (missing/duplicate results).
+        case Some((a, b, w)) if !hasEqui && left.deterministic && right.deterministic =>
           val wLit = Literal(w, LongType)
           def mkSide(ts: Expression, shift: Long): NamedExpression = {
             val bucket = new IntegralDivide(ts, wLit)

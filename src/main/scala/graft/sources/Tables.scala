@@ -13,15 +13,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val InferFiltersRule =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // InferFiltersFromGenerate turns explode(<interpreted lambda>) into
     // a pushed-down scan filter with the lambda fully inlined — per-row
     // interpreted evaluation re-computes every subexpression (measured
     // ~7s instead of ~0.5s on the shingle pipeline at sf0.1). The
     // arrays fed to explode here are never empty, so the inferred
-    // filter only costs.
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // filter only costs. Appended (not assigned) so a caller's own
+    // excludedRules survive; no-op when already present.
+    val key = "spark.sql.optimizer.excludedRules"
+    val cur = spark.conf.getOption(key).filter(_.trim.nonEmpty)
+    if (!cur.exists(_.split(",").map(_.trim).contains(InferFiltersRule)))
+      spark.conf.set(key, cur.map(_ + "," + InferFiltersRule).getOrElse(InferFiltersRule))
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

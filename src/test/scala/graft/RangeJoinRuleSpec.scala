@@ -23,14 +23,16 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     val before = pairsDf.queryExecution.executedPlan.toString
     assert(before.contains("BroadcastNestedLoopJoin") || before.contains("CartesianProduct"),
       s"expected a nested loop without the rule:\n$before")
-    val baseline = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sorted multiset compare: a Set would hide duplicate-row
+    // regressions (e.g. a pair matching via both probe buckets)
+    val baseline = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
 
     spark.experimental.extraOptimizations = Seq(RangeJoinBucketing)
     try {
       val after = pairsDf.queryExecution.executedPlan.toString
       assert(!after.contains("BroadcastNestedLoopJoin") && !after.contains("CartesianProduct"),
         s"rule did not eliminate the nested loop:\n$after")
-      val rewritten = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rewritten = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(rewritten == baseline, "rewritten join changed the results")
       assert(rewritten.nonEmpty)
     } finally {
