@@ -29,13 +29,17 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     // failed queries report -1 and are excluded from the total, so a
-    // broken query can't silently skew the benchmark.
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
+    // broken query can't silently skew the benchmark. Timings are rounded
+    // to 3 decimals: the driver captures only an output tail, and full
+    // nano precision pushed the JSON line past its window (round 1's
+    // bench line was truncated mid-line and failed to parse).
+    def fmt(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
