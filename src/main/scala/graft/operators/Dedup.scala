@@ -155,20 +155,39 @@ object Dedup {
     * DedupSpec.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     // Shingle-based (3-gram) fingerprints: with a 31-word vocabulary,
     // token-level simhash collapses (every doc shares most tokens);
     // shingles keep the fingerprint discriminative.
-    val toks = shingledEx(s, d).select(col("doc_id"), xxhash64(col("s")).as("h"))
-    // 64 codegen'd bit-vote aggregates over one hash per shingle —
-    // no row blowup (the explode-by-bit form multiplied rows by 64).
-    val voteCols = (0 until 64).map { b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val sig = toks.groupBy(col("doc_id"))
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("sig"))
+    //
+    // Signature kernel mirrors dedupMinhashLsh: one shuffle collecting
+    // the pre-hashed shingles per doc, then the 64-bit vote loop in a
+    // single tight typed pass. (Previous form: 64 sum(when) aggregate
+    // columns — correct and identically distributed, but janino paid
+    // ~7s compiling the generated aggregate on first run.) Votes are
+    // order-independent integer sums, so the result is deterministic
+    // regardless of collect_list order.
+    val sig = shingledEx(s, d)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
+      .as[(Long, Array[Long])]
+      .map { case (id, hs) =>
+        val votes = new Array[Int](64)
+        var j = 0
+        while (j < hs.length) {
+          val h = hs(j)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+          j += 1
+        }
+        var sg = 0L
+        var b = 0
+        while (b < 64) { if (votes(b) >= 0) sg |= (1L << b); b += 1 }
+        (id, sg)
+      }.toDF("doc_id", "sig")
     val blocks = sig.select(col("doc_id"), col("sig"),
       explode(expr(
         "transform(sequence(0, 3), i -> named_struct('blk', i, 'bv', (sig >> (i * 16)) & 65535))"))
@@ -195,9 +214,11 @@ object Dedup {
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).cache()
-    // symmetric edge list
+    // symmetric edge list; localCheckpoint (executor-resident, no HDFS
+    // dir needed) so each propagation round plans against a flat scan
+    // instead of the whole jaccard pipeline.
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     var changed = 1L
@@ -206,13 +227,16 @@ object Dedup {
       val prop = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nlabel"))
+      // Carry the previous label through the projection so convergence
+      // is a filter over this frame — not a second join per round —
+      // and checkpoint to truncate the per-round lineage growth that
+      // otherwise makes analysis/optimization time itself O(rounds).
       val next = labels.join(prop, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
     val all = Tables.documents(s, d).select(col("doc_id"))
