@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Dedup, Etl, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Etl, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -13,12 +13,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Etl.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Streams.queries
+      Streams.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Etl.oracleSql ++ TextAnalysis.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql ++
-      Streams.oracleSql
+      Streams.oracleSql ++ Curation.oracleSql
 }

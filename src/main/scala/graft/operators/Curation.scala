@@ -1,0 +1,385 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** §2.9 — training-data curation operators over the documents table:
+  * the operations a large-scale LLM-pretraining pipeline runs between
+  * raw crawl and tokenized shards, beyond dedup/similarity (§2.3/§2.4).
+  *
+  * Same engine posture as the rest of the library: every operator is a
+  * declarative DataFrame pipeline (no UDFs), candidate generation is
+  * always a key-equality join or a window — never a cross product —
+  * and per-document work stays map-side. The only shuffles are the
+  * aggregations/windows that genuinely need co-location (term counts,
+  * per-language packing), all of which partition on high-cardinality
+  * or bounded-cardinality keys.
+  */
+object Curation {
+
+  /** numShufflePartitions-sized repartition: a materialization barrier
+    * before exploding lambda-produced arrays (higher-order functions
+    * are interpreted; a Generate consuming them directly re-evaluates
+    * the lambda per exploded row), and parallelism insurance for the
+    * single-split local parquet files.
+    */
+  private def barrier(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+
+  // ------------------------------------------------------------------
+  // PII redaction.
+  // ------------------------------------------------------------------
+
+  private val UrlRe = "https?://[^ ]+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val PhoneRe = "\\+1-555-\\d{4}"
+
+  /** Regex PII redaction (emails, SSNs, phone numbers, URLs → typed
+    * placeholder tokens) plus a per-document match count. The PII is
+    * synthesized deterministically onto the corpus so every pattern
+    * branch is exercised; patterns are applied URL-first so an email
+    * inside a URL can't be half-redacted. Pure regexp_replace chain —
+    * codegen'd, map-side only, no shuffle.
+    */
+  def curPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val id4 = lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
+    val raw = concat(
+      lit("contact user"), col("doc_id"), lit("@example.com"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" ssn 123-45-"), id4)).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit(" call +1-555-"), id4)).otherwise(lit("")),
+      lit(" via https://ex.com/d/"), col("doc_id"), lit(" :: "), col("text"))
+    def countRe(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    Tables.documents(s, d)
+      .withColumn("raw", raw)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), UrlRe, "[URL]"),
+              EmailRe, "[EMAIL]"),
+            SsnRe, "[SSN]"),
+          PhoneRe, "[PHONE]").as("redacted"),
+        (countRe(col("raw"), UrlRe) + countRe(col("raw"), EmailRe) +
+          countRe(col("raw"), SsnRe) + countRe(col("raw"), PhoneRe)).as("n_pii"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Test-set decontamination.
+  // ------------------------------------------------------------------
+
+  /** Distinct word 5-gram array of `toks` (decontamination shingles —
+    * longer than the dedup 3-grams so membership means a real phrase
+    * match, not vocabulary overlap).
+    */
+  private val FiveGramExpr =
+    """array_distinct(CASE WHEN size(toks) < 5 THEN cast(array() AS array<string>)
+      |ELSE transform(sequence(1, size(toks) - 4),
+      |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+      |       element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4)))
+      |END)""".stripMargin
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word 5-gram with the held-out set (docs with doc_id % 20 == 0
+    * stand in for the benchmark). Inverted-index shape: the eval
+    * n-gram set is distinct'd and broadcast (benchmarks are tiny
+    * relative to a training corpus), training shingles stream past it
+    * map-side — no shuffle of the corpus at all.
+    */
+  def curDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = barrier(s,
+      Tables.documents(s, d)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("g5", expr(FiveGramExpr))
+        .select(col("doc_id"), col("g5")))
+    val evalGrams = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(explode(col("g5")).as("g")).distinct()
+    grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .select(col("doc_id"), explode(col("g5")).as("g"))
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("hit")).as("n_overlap"))
+      .select(col("doc_id"), col("n_overlap"),
+        when(col("n_overlap") > 0, 1L).otherwise(0L).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Repetition / quality signals (Gopher-style).
+  // ------------------------------------------------------------------
+
+  /** Gopher-style repetition signals per document: most-frequent-token
+    * fraction, top-2-gram fraction, duplicate-3-gram fraction, and the
+    * keep/drop verdict at corpus-calibrated thresholds. One exploded
+    * pass: tokens, 2-grams and 3-grams share a single Generate (the
+    * gram kind is recovered from the space count), one count per
+    * (doc, gram), one per-doc conditional aggregate. All ratios are
+    * exact-integer divisions, so the doubles are reproducible across
+    * engines without rounding.
+    */
+  def curRepetition(s: SparkSession, d: String): DataFrame = {
+    val g2 =
+      """CASE WHEN size(toks) < 2 THEN cast(array() AS array<string>)
+        |ELSE transform(sequence(1, size(toks) - 1),
+        |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))) END""".stripMargin
+    val g3 =
+      """CASE WHEN size(toks) < 3 THEN cast(array() AS array<string>)
+        |ELSE transform(sequence(1, size(toks) - 2),
+        |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+        |       element_at(toks, i + 2))) END""".stripMargin
+    val counts = barrier(s,
+      Tables.documents(s, d)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("grams", expr(s"concat(toks, $g2, $g3)"))
+        .select(col("doc_id"), col("grams")))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .withColumn("k", size(split(col("g"), " ")))
+      .groupBy(col("doc_id"), col("g"), col("k"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("k") === 1, col("c"))).as("top1"),
+        sum(when(col("k") === 1, col("c"))).as("n1"),
+        max(when(col("k") === 2, col("c"))).as("top2"),
+        sum(when(col("k") === 2, col("c"))).as("n2"),
+        sum(when(col("k") === 3, col("c"))).as("n3"),
+        count(when(col("k") === 3, true)).as("d3"))
+      .select(col("doc_id"),
+        (col("top1") / col("n1")).as("max_tok_frac"),
+        (col("top2") / col("n2")).as("top_2gram_frac"),
+        ((col("n3") - col("d3")) / col("n3")).as("dup_3gram_frac"),
+        when(col("top1") / col("n1") <= 0.11 &&
+          col("top2") / col("n2") <= 0.05 &&
+          (col("n3") - col("d3")) / col("n3") <= 0.1, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Sliding-window chunking.
+  // ------------------------------------------------------------------
+
+  val ChunkSize = 32
+  val ChunkStride = 16
+
+  /** Context-window chunking: split each document into token windows
+    * of [[ChunkSize]] with [[ChunkStride]] overlap (the shape used to
+    * cut long documents into training sequences). The window starts
+    * come from a codegen'd `sequence` + `slice` — no interpreted
+    * lambda anywhere, so the Generate is safe without a barrier; the
+    * repartition is only split-parallelism for the local single-file
+    * scan.
+    */
+  def curChunk(s: SparkSession, d: String): DataFrame = {
+    val nt = size(col("toks"))
+    val nChunks = when(nt <= ChunkSize, lit(1L))
+      .otherwise(ceil((nt - ChunkSize).cast("double") / ChunkStride) + 1L)
+    barrier(s,
+      Tables.documents(s, d)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"), col("toks")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("toks"),
+          (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize)), " ").as("chunk_text"),
+        size(slice(col("toks"),
+          (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize))).cast("long")
+          .as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Stratified (language-balanced) sampling.
+  // ------------------------------------------------------------------
+
+  /** Deterministic language-balanced downsampling: the sample key is
+    * the first md5 byte of the doc id (uniform on [0, 256)), compared
+    * against a per-language keep threshold — 20% for the
+    * over-represented `en`, 50% for the rest. Hash-based Bernoulli
+    * sampling is reproducible across runs/engines and needs no state,
+    * which is what a 100 TB pipeline wants (no global shuffle, pure
+    * map-side filter).
+    */
+  def curSampleStratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("sample_key", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .filter(col("sample_key") <=
+        when(col("lang") === "en", lit("33")).otherwise(lit("7f")))
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_key"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
+  // TF-IDF top terms.
+  // ------------------------------------------------------------------
+
+  /** Per-document top-3 TF-IDF terms. tf and df come from one exploded
+    * term pass (two hash aggregations); the document count joins in as
+    * a single-row broadcast (same scalar-aggregate shape as
+    * q24_revenue_share); ranking is a per-doc window over ≤ |vocab|
+    * rows. Scores are rounded to 4 decimals and tie-broken on the term
+    * so the ordering is reproducible.
+    */
+  def curTfidfTopterms(s: SparkSession, d: String): DataFrame = {
+    val ex = barrier(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = ex.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // Sequence packing.
+  // ------------------------------------------------------------------
+
+  val PackWindow = 128
+
+  /** Greedy concat-and-split sequence packing: documents are laid out
+    * in doc_id order within each language shard and cut into
+    * [[PackWindow]]-token bins — each doc's bin and offset fall out of
+    * a running-sum window. Partitioning by language keeps the window
+    * distributed (a global pack order would serialize on one
+    * reducer); real pipelines pack per shard exactly this way.
+    */
+  def curPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before DIV $PackWindow").as("bin_id"),
+        pmod(col("cum_before"), lit(PackWindow.toLong)).as("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_pii_redact" -> curPiiRedact _,
+    "cur_decontaminate" -> curDecontaminate _,
+    "cur_repetition" -> curRepetition _,
+    "cur_chunk" -> curChunk _,
+    "cur_sample_stratified" -> curSampleStratified _,
+    "cur_tfidf_topterms" -> curTfidfTopterms _,
+    "cur_pack" -> curPack _)
+
+  val oracleSql: Map[String, String] = Map(
+    "cur_pii_redact" ->
+      raw"""WITH r AS (SELECT doc_id,
+           | 'contact user' || doc_id || '@example.com' ||
+           | CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+           | CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+           | ' via https://ex.com/d/' || doc_id || ' :: ' || text AS raw
+           |FROM documents)
+           |SELECT doc_id,
+           | regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+           |   'https?://[^ ]+', '[URL]', 'g'),
+           |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           |   '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+           |   '\+1-555-\d{4}', '[PHONE]', 'g') AS redacted,
+           | CAST(len(regexp_extract_all(raw, 'https?://[^ ]+'))
+           |  + len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           |  + len(regexp_extract_all(raw, '\b\d{3}-\d{2}-\d{4}\b'))
+           |  + len(regexp_extract_all(raw, '\+1-555-\d{4}')) AS BIGINT) AS n_pii
+           |FROM r ORDER BY doc_id""".stripMargin,
+    "cur_decontaminate" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 4),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+        |        string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+        |        string_split(text, ' ')[i+4])) AS g5 FROM documents),
+        |ev AS (SELECT DISTINCT unnest(g5) AS g FROM t WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, unnest(g5) AS g FROM t WHERE doc_id % 20 <> 0)
+        |SELECT tr.doc_id,
+        | CAST(count(ev.g) AS BIGINT) AS n_overlap,
+        | CAST(CASE WHEN count(ev.g) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM tr LEFT JOIN ev ON tr.g = ev.g
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "cur_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(toks) AS g, 1 AS k FROM t
+        | UNION ALL
+        | SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1])), 2 FROM t
+        | UNION ALL
+        | SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])), 3 FROM t),
+        |c AS (SELECT doc_id, g, k, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |m AS (SELECT doc_id,
+        |  max(CASE WHEN k = 1 THEN c END) AS top1,
+        |  sum(CASE WHEN k = 1 THEN c END) AS n1,
+        |  max(CASE WHEN k = 2 THEN c END) AS top2,
+        |  sum(CASE WHEN k = 2 THEN c END) AS n2,
+        |  sum(CASE WHEN k = 3 THEN c END) AS n3,
+        |  count(CASE WHEN k = 3 THEN 1 END) AS d3
+        | FROM c GROUP BY doc_id)
+        |SELECT doc_id,
+        | CAST(top1 AS DOUBLE) / n1 AS max_tok_frac,
+        | CAST(top2 AS DOUBLE) / n2 AS top_2gram_frac,
+        | CAST(n3 - d3 AS DOUBLE) / n3 AS dup_3gram_frac,
+        | CAST(CASE WHEN CAST(top1 AS DOUBLE) / n1 <= 0.11
+        |   AND CAST(top2 AS DOUBLE) / n2 <= 0.05
+        |   AND CAST(n3 - d3 AS DOUBLE) / n3 <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "cur_chunk" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |  CASE WHEN len(toks) <= $ChunkSize THEN 1
+         |       ELSE CAST(ceil((len(toks) - $ChunkSize) / $ChunkStride.0) AS BIGINT) + 1
+         |  END AS nc FROM t),
+         |c AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_id FROM n)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         | array_to_string(list_slice(toks, chunk_id * $ChunkStride + 1,
+         |   chunk_id * $ChunkStride + $ChunkSize), ' ') AS chunk_text,
+         | CAST(len(list_slice(toks, chunk_id * $ChunkStride + 1,
+         |   chunk_id * $ChunkStride + $ChunkSize)) AS BIGINT) AS n_chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "cur_sample_stratified" ->
+      """SELECT doc_id, lang, source,
+        | substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_key
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+        |  CASE WHEN lang = 'en' THEN '33' ELSE '7f' END
+        |ORDER BY doc_id""".stripMargin,
+    "cur_tfidf_topterms" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        | FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        | FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "cur_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         | FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         | CAST(cum_before // $PackWindow AS BIGINT) AS bin_id,
+         | CAST(cum_before % $PackWindow AS BIGINT) AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("pii redact: no raw PII survives, placeholders present, counts positive") {
+    val rows = Curation.curPiiRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(!red.contains("@example.com"), red)
+      assert(!red.contains("https://"), red)
+      assert(red.contains("[EMAIL]") && red.contains("[URL]"), red)
+      // every doc gets at least email + url; ssn/phone per the id mod
+      val id = r.getAs[Long]("doc_id")
+      val expected = 2L + (if (id % 3 == 0) 1 else 0) + (if (id % 2 == 0) 1 else 0)
+      assert(r.getAs[Long]("n_pii") == expected, s"doc $id")
+      if (id % 3 == 0) assert(red.contains("[SSN]"), red)
+      if (id % 2 == 0) assert(red.contains("[PHONE]"), red)
+    }
+  }
+
+  test("decontaminate: eval docs excluded; flag equals overlap > 0") {
+    val rows = Curation.curDecontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 20 != 0)
+      assert((r.getAs[Long]("contaminated") == 1L) == (r.getAs[Long]("n_overlap") > 0L))
+    }
+  }
+
+  test("repetition: fractions in [0,1], keep consistent with thresholds") {
+    val rows = Curation.curRepetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var kept = 0
+    rows.foreach { r =>
+      val mt = r.getAs[Double]("max_tok_frac")
+      val t2 = r.getAs[Double]("top_2gram_frac")
+      val d3 = r.getAs[Double]("dup_3gram_frac")
+      Seq(mt, t2, d3).foreach(v => assert(v >= 0.0 && v <= 1.0))
+      val keep = r.getAs[Long]("keep")
+      assert((keep == 1L) == (mt <= 0.11 && t2 <= 0.05 && d3 <= 0.1))
+      kept += keep.toInt
+    }
+    // thresholds were calibrated to actually split the corpus
+    assert(kept > 0 && kept < rows.length)
+  }
+
+  test("chunk: windows tile each document with the configured stride") {
+    val byDoc = Curation.curChunk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("nt")).toMap
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, chunks) =>
+      val nt = docs(id)
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      assert(sorted.head.getAs[Long]("chunk_id") == 0L)
+      // every chunk except possibly the last is full-size; the windows
+      // cover the document: last start + its size reaches nt
+      sorted.init.foreach(c => assert(c.getAs[Long]("n_chunk_tokens") == Curation.ChunkSize))
+      val last = sorted.last
+      val lastStart = last.getAs[Long]("chunk_id") * Curation.ChunkStride
+      assert(lastStart + last.getAs[Long]("n_chunk_tokens") == nt.toLong)
+      val expected = if (nt <= Curation.ChunkSize) 1L
+        else math.ceil((nt - Curation.ChunkSize).toDouble / Curation.ChunkStride).toLong + 1
+      assert(sorted.length.toLong == expected, s"doc $id nt=$nt")
+    }
+  }
+
+  test("stratified sample: keys below per-language threshold, en downsampled harder") {
+    val rows = Curation.curSampleStratified(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val thr = if (r.getAs[String]("lang") == "en") "33" else "7f"
+      assert(r.getAs[String]("sample_key") <= thr)
+    }
+    val total = sources.Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val keptEn = rows.count(_.getAs[String]("lang") == "en").toDouble / total("en")
+    // 20% nominal for en, 50% for the rest — loose bounds, small sample
+    assert(keptEn < 0.4, s"en keep rate $keptEn")
+  }
+
+  test("tfidf: ranks are 1..3 per doc with non-increasing scores") {
+    val byDoc = Curation.curTfidfTopterms(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("tfidf")).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $id scores not descending")
+    }
+  }
+
+  test("pack: offsets consistent with per-language running sum") {
+    val rows = Curation.curPack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("bin_id") == cum / Curation.PackWindow)
+        assert(r.getAs[Long]("bin_offset") == cum % Curation.PackWindow)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+}

@@ -87,8 +87,10 @@ class PlanSpec extends AnyFunSuite {
     // vectors against the table (its whole point is the exact scan);
     // ann_ivf_topk crosses every vector with the 8 broadcast centroids
     // for cell assignment (bounded by the constant centroid count).
-    // q24 crosses with a single-row global aggregate (scalar subquery).
-    val allowNestedLoop = Set("ann_bruteforce_topk", "ann_ivf_topk", "q24_revenue_share")
+    // q24 and cur_tfidf_topterms cross with a single-row global
+    // aggregate (scalar subquery).
+    val allowNestedLoop =
+      Set("ann_bruteforce_topk", "ann_ivf_topk", "q24_revenue_share", "cur_tfidf_topterms")
     SparkEntry.queries.keys.filterNot(allowNestedLoop).foreach { q =>
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
