@@ -148,11 +148,14 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash: 64-bit fingerprint from per-token xxhash64 bit votes;
+  /** SimHash: 64-bit fingerprint from per-shingle hash-bit votes;
     * near-dup pairs = hamming distance ≤ 3, found via 16-bit block
-    * join (pigeonhole), verified with bit_count(xor). Probabilistic
-    * fingerprint ⇒ rows-only driver check; semantics covered by
-    * DedupSpec.
+    * join (pigeonhole), verified with bit_count(xor).
+    *
+    * The per-shingle hash is md5-derived (two 32-bit hex halves
+    * recombined) rather than xxhash64 so the full fingerprint is
+    * reproducible in any engine with md5 — which upgrades this from a
+    * rows-only check to a DuckDB hash-match oracle.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -168,7 +171,9 @@ object Dedup {
     // order-independent integer sums, so the result is deterministic
     // regardless of collect_list order.
     val sig = shingledEx(s, d)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"),
+        (shiftleft(conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long"))).as("h"))
       .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
       .as[(Long, Array[Long])]
       .map { case (id, hs) =>
@@ -300,5 +305,37 @@ object Dedup {
     "dedup_ngram_jaccard" -> jaccardOracle,
     // LSH recall is effectively 1 at this threshold (see Scaladoc), so
     // the probabilistic path is held to the same exact oracle.
-    "dedup_minhash_lsh" -> jaccardOracle)
+    "dedup_minhash_lsh" -> jaccardOracle,
+    // Full simhash recomputation: same md5-derived 64-bit hash, bit
+    // votes via a 64-row series cross join, signature kept as two
+    // 32-bit halves (1 << 63 would overflow BIGINT), identical
+    // 16-bit-block pigeonhole pairing.
+    "dedup_simhash" ->
+      raw"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+           |   generate_series(1, len(string_split(text, ' ')) - 2),
+           |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+           |        || ' ' || string_split(text, ' ')[i+2])) AS sh FROM documents),
+           |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+           |h AS (SELECT doc_id,
+           |   CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS hh,
+           |   CAST('0x' || substring(md5(s), 9, 8) AS BIGINT) AS hl FROM e),
+           |v AS (SELECT doc_id, b,
+           |   sum(CASE WHEN (CASE WHEN b < 32 THEN hl >> b ELSE hh >> (b - 32) END) & 1 = 1
+           |       THEN 1 ELSE -1 END) AS v
+           | FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+           | GROUP BY 1, 2),
+           |sig AS (SELECT doc_id,
+           |   sum(CASE WHEN v >= 0 AND b < 32 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig_lo,
+           |   sum(CASE WHEN v >= 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS sig_hi
+           | FROM v GROUP BY doc_id),
+           |blk AS (SELECT doc_id, sig_hi, sig_lo,
+           |   unnest([sig_lo & 65535, (sig_lo >> 16) & 65535,
+           |           sig_hi & 65535, (sig_hi >> 16) & 65535]) AS bv,
+           |   unnest([0, 1, 2, 3]) AS blkid FROM sig),
+           |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |   bit_count(xor(a.sig_lo, b.sig_lo)) + bit_count(xor(a.sig_hi, b.sig_hi)) AS hamming
+           | FROM blk a JOIN blk b
+           |   ON a.blkid = b.blkid AND a.bv = b.bv AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+           |FROM p WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin)
 }
