@@ -99,6 +99,17 @@ object Probe {
         time("aggd x2") { noop2(aggd2) }
       case "explain" :: q :: Nil =>
         SparkEntry.queries(q)(spark, d).explain("formatted")
+      case "codegen" :: q :: Nil =>
+        import org.apache.spark.sql.execution.debug._
+        val code = SparkEntry.queries(q)(spark, d).queryExecution.debug.codegenToSeq()
+        code.zipWithIndex.foreach { case ((_, c, _), i) =>
+          println(s"[probe] subtree $i: ${c.length} chars")
+        }
+        println(s"[probe] total ${code.map(_._2.length).sum} chars in ${code.size} subtrees")
+      case "codegensrc" :: q :: i :: Nil =>
+        import org.apache.spark.sql.execution.debug._
+        val code = SparkEntry.queries(q)(spark, d).queryExecution.debug.codegenToSeq()
+        println(code(i.toInt)._2)
       case "times" :: qs =>
         val targets = if (qs.nonEmpty) qs else SparkEntry.queries.keys.toList.sorted
         targets.foreach { q =>
