@@ -110,6 +110,26 @@ object Probe {
         import org.apache.spark.sql.execution.debug._
         val code = SparkEntry.queries(q)(spark, d).queryExecution.debug.codegenToSeq()
         println(code(i.toInt)._2)
+      case "judgebits" :: Nil =>
+        import org.apache.spark.sql.functions._
+        val ev = graft.sources.Tables.events(spark, d)
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        val base = ev.select(col("event_id"),
+          concat(lit("judge says: "), col("props"), lit(" -- end")).as("raw"))
+        time("scan+concat") { noop(base) }
+        time("scan+concat x2") { noop(base) }
+        val re = base.select(col("event_id"),
+          regexp_extract(col("raw"), "\\{.*\\}", 0).as("judge_json"))
+        time("regexp") { noop(re) }
+        time("regexp x2") { noop(re) }
+        val gj = re.select(col("event_id"), col("judge_json"),
+          get_json_object(col("judge_json"), "$.k").cast("long").as("k"))
+        time("get_json") { noop(gj) }
+        time("get_json x2") { noop(gj) }
+        time("sorted") { noop(gj.orderBy(col("event_id"))) }
+        time("sorted x2") { noop(gj.orderBy(col("event_id"))) }
       case "times" :: qs =>
         val targets = if (qs.nonEmpty) qs else SparkEntry.queries.keys.toList.sorted
         targets.foreach { q =>

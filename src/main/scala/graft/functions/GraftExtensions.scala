@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectFunction(GraftFunctions.topKIdsDescriptor)
+    e.injectFunction(GraftFunctions.freqItemsDescriptor)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
   }
 }
@@ -37,12 +38,24 @@ object GraftFunctions {
     (children: Seq[Expression]) => TopKIds(children(0), children(1),
       children(2).eval().asInstanceOf[Int]).toAggregateExpression())
 
+  private[graft] val freqItemsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("freq_items_sketch"),
+    new ExpressionInfo(classOf[FreqItems].getName, "freq_items_sketch"),
+    (children: Seq[Expression]) => FreqItems(children(0),
+      children(1).eval().asInstanceOf[Int],
+      children(2).eval().asInstanceOf[Int]).toAggregateExpression())
+
   /** Register graft functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_ids", exprs => TopKIds(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_items_sketch", exprs => FreqItems(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
   }
 }

@@ -108,6 +108,28 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("ngram").asc)
       .limit(50)
 
+  /** Corpus top-k frequent tokens via the Misra-Gries sketch
+    * ([[graft.functions.FreqItems]], a TypedImperativeAggregate).
+    *
+    * The classic form (`groupBy(token).count()` + global top-k)
+    * shuffles one row per DISTINCT token; over a 100 TB corpus the
+    * vocabulary makes that a heavy full aggregation when only the
+    * head of the distribution is wanted. The sketch keeps an
+    * O(capacity) summary per partition and ships `capacity` entries
+    * per partition through the shuffle regardless of corpus size.
+    * Capacity 64 >= the corpus vocabulary here, so counts are exact
+    * and the query hash-matches the DuckDB groupBy oracle (the same
+    * exact-at-test-scale / approximate-at-100TB posture as LSH
+    * recall in Dedup).
+    */
+  def textFreqItems(s: SparkSession, d: String): DataFrame =
+    withToks(Tables.documents(s, d))
+      .select(explode(col("toks")).as("tok"))
+      .agg(graft.functions.FreqItems.freqItems(col("tok"), 64, 10).as("top"))
+      .select(posexplode(col("top")).as(Seq("rank0", "e")))
+      .select((col("rank0") + 1).cast("long").as("rank"),
+        col("e.item").as("token"), col("e.cnt").as("cnt"))
+
   /** Light suffix-stripping stemmer over every token (plural / -ing),
     * rejoined in order — one regexp per token via a transform over the
     * split, no UDF.
@@ -121,6 +143,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stem" -> textStem _,
+    "text_freq_items" -> textFreqItems _,
     "text_ngram_freq" -> textNgramFreq _,
     "text_token_count" -> textTokenCount _,
     "text_langid" -> textLangid _,
@@ -138,6 +161,12 @@ object TextAnalysis {
            | array_to_string(list_transform(string_split(text, ' '),
            |   t -> regexp_replace(t, '(ing|es|s)$$', '')), ' ') AS stemmed
            |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_freq_items" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        | c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+        |       token, cnt
+        |FROM c ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
     "text_ngram_freq" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |   generate_series(1, len(string_split(text, ' ')) - 2),
