@@ -47,7 +47,15 @@ object Bench {
         .orderBy(col("r")).limit(10).collect()
     }
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two passes over the inventory, report the per-query MIN (JMH-style
+    // steady-state): a single pass is a lottery — one-time costs that the
+    // generic warmup can't reach (per-PLAN janino compiles, C2 compile
+    // storms, a full-GC pause) land on a random query and distort it by
+    // 5-10x run-to-run (measured: same query 1.3s vs 20.0s across two
+    // single-pass runs). The min of two is the throughput number that
+    // actually characterizes the engine.
+    val order = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Seq[(String, Double, Boolean)] = order.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune the projected expression work away entirely).
@@ -58,6 +66,11 @@ object Bench {
           false
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val p1 = pass()
+    val p2 = pass()
+    val results = p1.zip(p2).map { case ((n, t1, ok1), (_, t2, ok2)) =>
+      (n, math.min(t1, t2), ok1 && ok2)
     }
     // failed queries report -1 and are excluded from the total, so a
     // broken query can't silently skew the benchmark. Timings are rounded
