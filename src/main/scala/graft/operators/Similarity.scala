@@ -41,45 +41,54 @@ object Similarity {
     */
   private def pairDot = dot(col("va"), col("vb"))
 
+  /** Block-pair decomposition factor for the exact all-pairs scan: 8
+    * blocks ⇒ 36 unordered block pairs, each an independent task. At
+    * cluster scale B is chosen so one block fits an executor's memory
+    * (B ≈ corpusBytes / blockBytes); shuffle volume is O(n·(B+1)/2)
+    * rows — each vector is replicated once per block it must meet.
+    */
+  val NumBlocks = 8
+
   /** Embedding near-dup pairs: cosine ≥ τ on the rounded value.
     *
-    * The pair scan is fused into `mapPartitions` over a broadcast of
-    * the (inherently O(n²)-sized) vector set: a BroadcastNestedLoopJoin
-    * materializes every candidate row (2M rows of 2×64 doubles at
-    * sf0.1) only to discard all but ~60, while the fused loop emits
-    * only near-threshold pairs. The raw dot/norm arithmetic is the
-    * same sequential order as the oracle; the exact round+filter stays
-    * declarative so results are bit-identical to the DuckDB SQL. The
-    * O(n²) scan is the correctness baseline — [[annLshTopk]] is the
-    * scale path.
+    * Exact all-pairs at τ = 0.4 is inherently O(n²) compute — measured
+    * on this corpus the qualifying pairs sit at cosine 0.40–0.60 (no
+    * high-cosine cluster), where random-hyperplane LSH recall per
+    * 6-plane table is (1 − acos(0.4)/π)⁶ ≈ 6%, i.e. ~200 tables for
+    * recall ≈ 1 — so an LSH candidate path cannot hold the exact
+    * oracle and the honest scale shape is a DISTRIBUTED block matrix
+    * product (A·Aᵀ thresholded): vectors are assigned to [[NumBlocks]]
+    * blocks and each unordered block pair (i ≤ j) is one shuffle
+    * bucket. No driver collect, no corpus broadcast, no nested-loop
+    * join — a shuffle-hash join on the block-pair key whose compute is
+    * the unavoidable n²/2 codegen'd dot products, evenly spread across
+    * B(B+1)/2 tasks. [[annLshTopk]] remains the approximate scale path
+    * for top-k search where recall < 1 is acceptable.
+    *
+    * Pair uniqueness: for i < j a pair (x∈i, y∈j) meets exactly once
+    * (x on the row side, y on the column side); for i = j both orders
+    * meet, so the id filter keeps one. Division order matches the
+    * oracle's `dot / nrm_a / nrm_b` with a = smaller id, so rounding
+    * at 4 decimals is bit-identical.
     */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = withNorm(s, d).select(col("vec_id"), col("v"), col("nrm"))
-      .as[(Long, Array[Double], Double)]
-    val bc = s.sparkContext.broadcast(e.collect().sortBy(_._1))
-    val threshold = CosineThreshold
-    val pairs = e.mapPartitions { it =>
-      val ref = bc.value
-      it.flatMap { case (ida, va, na) =>
-        ref.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
-          var acc = 0.0
-          var i = 0
-          while (i < va.length) { acc += va(i) * vb(i); i += 1 }
-          val cos = acc / na / nb
-          // Pre-filter epsilon must cover the full rounding band: the
-          // declarative filter keeps pairs whose ROUNDED cosine >= τ,
-          // i.e. raw >= τ - 5e-5, so the scan keeps a hair below that
-          // and the round+filter stays the sole decider.
-          if (cos >= threshold - 5e-5 - 1e-9) Iterator.single((ida, idb, cos))
-          else Iterator.empty
-        }
-      }
-    }.toDF("vec_a", "vec_b", "cos_raw")
-    pairs
-      .withColumn("cosine", round(col("cos_raw"), 4))
-      .filter(col("cosine") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
+    val b = NumBlocks
+    val e = withNorm(s, d).withColumn("blk", pmod(col("vec_id"), lit(b)).cast("int"))
+    val rows = e.select(col("blk").as("bi"),
+      explode(expr(s"sequence(blk, ${b - 1})")).as("bj"),
+      col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
+    val cols = e.select(explode(expr("sequence(0, blk)")).as("bi"),
+      col("blk").as("bj"),
+      col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
+    rows.hint("shuffle_hash").join(cols, Seq("bi", "bj"))
+      .filter(col("bi") < col("bj") || col("ida") < col("idb"))
+      .withColumn("cosine", round(
+        dot(col("va"), col("vb")) /
+          when(col("ida") < col("idb"), col("na")).otherwise(col("nb")) /
+          when(col("ida") < col("idb"), col("nb")).otherwise(col("na")), 4))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -98,6 +98,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup family: no corpus-sized broadcast, no nested loop (100 TB posture)") {
+    // The pair-generating and verify joins in every dedup path must be
+    // shuffle joins: every broadcastable side here (shingle arrays,
+    // band/block tables, the embedding corpus) grows with the corpus.
+    // dedup_exact has no join at all; the others must show zero
+    // BroadcastExchange nodes in the static plan.
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_cosine").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("BroadcastExchange"), s"$q broadcasts a corpus-sized side:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested-loop join")
+    }
+  }
+
+  test("dedup_embedding_cosine: distributed block-pair scan, no driver collect") {
+    // the block-pair rewrite must keep the whole scan declarative —
+    // codegen'd DotProduct inside a shuffle join, no RDD collect/scan
+    // nodes (the old shape was mapPartitions over a driver collect()).
+    val p = planOf("dedup_embedding_cosine")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.toLowerCase.contains("dotproduct"), p)
+    assert(!p.contains("Scan ExistingRDD"), s"driver-side materialization leaked into the plan:\n$p")
+  }
+
+  test("dedup_ngram_jaccard: posting lists are DF-capped before the self-join") {
+    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.toString
+    val capFilter = s"<= (cast\\()?${operators.Dedup.DfCap}".r
+    assert(capFilter.findFirstIn(analyzed).isDefined,
+      s"no df <= ${operators.Dedup.DfCap} filter in:\n$analyzed")
+  }
+
   test("similarity: custom DotProduct expression is in the plan (codegen path)") {
     val p = planOf("ann_bruteforce_topk")
     assert(p.contains("dotproduct") || p.contains("DotProduct"), p)
