@@ -83,7 +83,12 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // methodology disclosure: "value" is the per-query min of two
+    // passes (JMH-style steady state; see the pass() comment).
+    // "pass1_total" is the first full cold-ish pass so the two
+    // regimes stay separately comparable across rounds.
+    val p1total = p1.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"min-of-2-passes","pass1_total":${fmt(p1total)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,8 +2,10 @@ package graft.functions
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -37,9 +39,14 @@ case class FreqItems(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[FreqItems.Buf] {
+  extends TypedImperativeAggregate[FreqItems.Buf] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(itemExpr)
+  // analysis-time contract: the item is a string (castable inputs are
+  // coerced; anything else is an AnalysisException, not an executor
+  // ClassCastException).
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] =
+    Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -67,12 +74,20 @@ case class FreqItems(
     })
   }
 
+  // length-prefixed UTF-8, not writeUTF: modified-UTF-8 hard-fails at
+  // 65535 encoded bytes, so one pathological token would crash the
+  // aggregation at shuffle time.
   override def serialize(buf: FreqItems.Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     val entries = buf.entries
     out.writeInt(entries.length)
-    entries.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    entries.foreach { case (s, c) =>
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -82,7 +97,13 @@ case class FreqItems(
     val n = in.readInt()
     val buf = new FreqItems.Buf(capacity)
     var j = 0
-    while (j < n) { buf.add(in.readUTF(), in.readLong()); j += 1 }
+    while (j < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.add(new String(b, StandardCharsets.UTF_8), in.readLong())
+      j += 1
+    }
     buf
   }
 

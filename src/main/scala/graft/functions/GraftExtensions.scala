@@ -25,6 +25,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
+  /** Extract a constant positive-int argument (`k`, `capacity`) at
+    * plan-build time. Non-foldable expressions, nulls, non-integral
+    * types and BIGINT-out-of-range literals all get a clear
+    * AnalysisException naming the function and argument instead of a
+    * ClassCastException/NPE deep in plan construction.
+    */
+  private def constIntArg(fn: String, arg: String, e: Expression): Int = {
+    def fail(why: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"$fn(): argument '$arg' must be a constant positive INT literal, but $why"))
+    if (!e.foldable) fail(s"got the non-foldable expression ${e.sql}")
+    val v = e.eval() match {
+      case null => fail("got NULL")
+      case i: Int => i
+      case l: Long => if (l.isValidInt) l.toInt else fail(s"$l overflows INT")
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => fail(s"got ${other.getClass.getSimpleName} '$other'")
+    }
+    if (v <= 0) fail(s"got non-positive value $v")
+    v
+  }
+
+  private def topKIdsBuilder(children: Seq[Expression]): Expression =
+    TopKIds(children(0), children(1),
+      constIntArg("top_k_ids", "k", children(2))).toAggregateExpression()
+
+  private def freqItemsBuilder(children: Seq[Expression]): Expression =
+    FreqItems(children(0),
+      constIntArg("freq_items_sketch", "capacity", children(1)),
+      constIntArg("freq_items_sketch", "k", children(2))).toAggregateExpression()
+
   private[graft] val dotProductDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("dot_product"),
@@ -35,27 +69,21 @@ object GraftFunctions {
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("top_k_ids"),
     new ExpressionInfo(classOf[TopKIds].getName, "top_k_ids"),
-    (children: Seq[Expression]) => TopKIds(children(0), children(1),
-      children(2).eval().asInstanceOf[Int]).toAggregateExpression())
+    topKIdsBuilder _)
 
   private[graft] val freqItemsDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("freq_items_sketch"),
     new ExpressionInfo(classOf[FreqItems].getName, "freq_items_sketch"),
-    (children: Seq[Expression]) => FreqItems(children(0),
-      children(1).eval().asInstanceOf[Int],
-      children(2).eval().asInstanceOf[Int]).toAggregateExpression())
+    freqItemsBuilder _)
 
   /** Register graft functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_k_ids", exprs => TopKIds(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
+      "top_k_ids", topKIdsBuilder _, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "freq_items_sketch", exprs => FreqItems(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
+      "freq_items_sketch", freqItemsBuilder _, "scala_udf")
   }
 }

@@ -111,6 +111,35 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination with a SHUFFLED (not broadcast) eval set: the
+    * fallback for when the held-out corpus is itself too large to
+    * broadcast (e.g. decontaminating against another full training
+    * split, not a benchmark). Identical semantics and oracle to
+    * [[curDecontaminate]]; the membership probe becomes a bucketed
+    * left join on the gram key — both sides hash-partition on `g`, so
+    * the cost is one shuffle of each side and no executor ever holds
+    * the whole eval set. The broadcast variant stays the default: for
+    * real benchmark sets (MMLU-sized) shipping the inverted index to
+    * every executor beats reshuffling the training corpus.
+    */
+  def curDecontaminateShuffle(s: SparkSession, d: String): DataFrame = {
+    val grams = barrier(s,
+      Tables.documents(s, d)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("g5", expr(FiveGramExpr))
+        .select(col("doc_id"), col("g5")))
+    val evalGrams = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(explode(col("g5")).as("g")).distinct()
+    grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .select(col("doc_id"), explode(col("g5")).as("g"))
+      .join(evalGrams.hint("shuffle_hash").withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("hit")).as("n_overlap"))
+      .select(col("doc_id"), col("n_overlap"),
+        when(col("n_overlap") > 0, 1L).otherwise(0L).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
   // Repetition / quality signals (Gopher-style).
   // ------------------------------------------------------------------
@@ -265,21 +294,40 @@ object Curation {
 
   val PackWindow = 128
 
+  /** Pack shards per language: each (lang, shard) packs its own bins
+    * independently, so the running-sum window's partition count is
+    * languages × [[NumPackShards]] — cardinality the engine controls,
+    * not the data. Fixed (not ∝ cluster) so the DuckDB oracle can
+    * replicate the layout; at 100 TB this constant is sized to the
+    * cluster (shards ≈ executor slots) and nothing else changes. The
+    * shard key is the first md5 byte of the doc id — engine-portable
+    * (same trick as [[curSampleStratified]]'s sample key).
+    */
+  val NumPackShards = 16
+
   /** Greedy concat-and-split sequence packing: documents are laid out
-    * in doc_id order within each language shard and cut into
+    * in doc_id order within each (language, shard) and cut into
     * [[PackWindow]]-token bins — each doc's bin and offset fall out of
-    * a running-sum window. Partitioning by language keeps the window
-    * distributed (a global pack order would serialize on one
-    * reducer); real pipelines pack per shard exactly this way.
+    * a running-sum window. Two-level sharding keeps the window
+    * distributed: a per-language-only partition would sort each
+    * language's ENTIRE sub-corpus through one reducer (languages are
+    * few), while per-(lang, shard) packing bounds any partition at
+    * ~1/[[NumPackShards]] of a language and composes — a bin is
+    * globally identified by (lang, shard, bin_id), exactly how real
+    * pipelines pack per output shard.
     */
   def curPack(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val shard = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
+      lit(NumPackShards.toLong))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", shard)
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
         expr(s"cum_before DIV $PackWindow").as("bin_id"),
         pmod(col("cum_before"), lit(PackWindow.toLong)).as("bin_offset"))
       .orderBy(col("doc_id"))
@@ -288,11 +336,26 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_pii_redact" -> curPiiRedact _,
     "cur_decontaminate" -> curDecontaminate _,
+    "cur_decontaminate_shuffle" -> curDecontaminateShuffle _,
     "cur_repetition" -> curRepetition _,
     "cur_chunk" -> curChunk _,
     "cur_sample_stratified" -> curSampleStratified _,
     "cur_tfidf_topterms" -> curTfidfTopterms _,
     "cur_pack" -> curPack _)
+
+  private val decontaminateOracle =
+    """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+      |   generate_series(1, len(string_split(text, ' ')) - 4),
+      |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+      |        string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+      |        string_split(text, ' ')[i+4])) AS g5 FROM documents),
+      |ev AS (SELECT DISTINCT unnest(g5) AS g FROM t WHERE doc_id % 20 = 0),
+      |tr AS (SELECT doc_id, unnest(g5) AS g FROM t WHERE doc_id % 20 <> 0)
+      |SELECT tr.doc_id,
+      | CAST(count(ev.g) AS BIGINT) AS n_overlap,
+      | CAST(CASE WHEN count(ev.g) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM tr LEFT JOIN ev ON tr.g = ev.g
+      |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "cur_pii_redact" ->
@@ -313,19 +376,9 @@ object Curation {
            |  + len(regexp_extract_all(raw, '\b\d{3}-\d{2}-\d{4}\b'))
            |  + len(regexp_extract_all(raw, '\+1-555-\d{4}')) AS BIGINT) AS n_pii
            |FROM r ORDER BY doc_id""".stripMargin,
-    "cur_decontaminate" ->
-      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
-        |   generate_series(1, len(string_split(text, ' ')) - 4),
-        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
-        |        string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
-        |        string_split(text, ' ')[i+4])) AS g5 FROM documents),
-        |ev AS (SELECT DISTINCT unnest(g5) AS g FROM t WHERE doc_id % 20 = 0),
-        |tr AS (SELECT doc_id, unnest(g5) AS g FROM t WHERE doc_id % 20 <> 0)
-        |SELECT tr.doc_id,
-        | CAST(count(ev.g) AS BIGINT) AS n_overlap,
-        | CAST(CASE WHEN count(ev.g) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
-        |FROM tr LEFT JOIN ev ON tr.g = ev.g
-        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "cur_decontaminate" -> decontaminateOracle,
+    // identical semantics, different join strategy — same oracle
+    "cur_decontaminate_shuffle" -> decontaminateOracle,
     "cur_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (
@@ -388,12 +441,15 @@ object Curation {
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "cur_pack" ->
       s"""WITH t AS (SELECT doc_id, lang,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-         |c AS (SELECT doc_id, lang, n_tokens,
-         |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+         |    % $NumPackShards AS shard
+         | FROM documents),
+         |c AS (SELECT doc_id, lang, shard, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          | FROM t)
-         |SELECT doc_id, lang, n_tokens,
+         |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
          | CAST(cum_before // $PackWindow AS BIGINT) AS bin_id,
          | CAST(cum_before % $PackWindow AS BIGINT) AS bin_offset
          |FROM c ORDER BY doc_id""".stripMargin)

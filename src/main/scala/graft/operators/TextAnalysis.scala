@@ -14,6 +14,18 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
+  /** Misra-Gries summary capacity for [[textFreqItems]]. The sketch's
+    * counts (and therefore the DuckDB oracle hash-match) are EXACT
+    * only while the corpus vocabulary fits the summary — the driver
+    * corpus draws from a ~31-word vocabulary, and
+    * FreqItemsSpec asserts `distinct tokens <= FreqItemsCapacity` at
+    * the test SF so a data-generator change surfaces as a named spec
+    * failure, not a confusing oracle mismatch. Beyond the bound the
+    * sketch degrades gracefully to its ±N/(capacity+1) guarantee,
+    * which is the intended 100 TB behavior.
+    */
+  val FreqItemsCapacity = 64
+
   /** Whitespace tokens of `text` as an array column. */
   def tokens(c: Column): Column = split(c, " ")
 
@@ -117,15 +129,15 @@ object TextAnalysis {
     * head of the distribution is wanted. The sketch keeps an
     * O(capacity) summary per partition and ships `capacity` entries
     * per partition through the shuffle regardless of corpus size.
-    * Capacity 64 >= the corpus vocabulary here, so counts are exact
-    * and the query hash-matches the DuckDB groupBy oracle (the same
-    * exact-at-test-scale / approximate-at-100TB posture as LSH
-    * recall in Dedup).
+    * [[FreqItemsCapacity]] >= the corpus vocabulary here, so counts
+    * are exact and the query hash-matches the DuckDB groupBy oracle
+    * (the same exact-at-test-scale / approximate-at-100TB posture as
+    * LSH recall in Dedup).
     */
   def textFreqItems(s: SparkSession, d: String): DataFrame =
     withToks(Tables.documents(s, d))
       .select(explode(col("toks")).as("tok"))
-      .agg(graft.functions.FreqItems.freqItems(col("tok"), 64, 10).as("top"))
+      .agg(graft.functions.FreqItems.freqItems(col("tok"), FreqItemsCapacity, 10).as("top"))
       .select(posexplode(col("top")).as(Seq("rank0", "e")))
       .select((col("rank0") + 1).cast("long").as("rank"),
         col("e.item").as("token"), col("e.cnt").as("cnt"))

@@ -60,6 +60,24 @@ object Sinks {
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Whole-file nested JSON documents — the reference's ingestion shape
+    * (normalize_parks_json.py:40 and convert_json_to_text.py:97 each
+    * `json.load` ONE pretty-printed nested document per file, which
+    * JSON-lines readers cannot parse). `multiLine` mode makes Spark
+    * treat each file as a single JSON value: a top-level object becomes
+    * one row, a top-level array becomes one row per element; nested
+    * objects/arrays arrive as struct/array columns ready for
+    * [[graft.operators.JsonFlatten.flatten]]. Schema inference reads
+    * the files once; pass `schema` to skip that extra pass (the right
+    * call at scale — one inference pass over 100 TB of JSON is a full
+    * corpus read).
+    */
+  def readJsonDocs(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("multiLine", "true")
+    schema.fold(r)(r.schema).json(path)
+  }
+
   /** Schema normalization: guarantee the presence and order of a
     * required column set, adding missing ones as typed nulls — the
     * reference's "ensure text columns exist" step

@@ -12,4 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `types.AbstractDataType` is `private[sql]` in Spark 4; this alias
+    * lets graft expressions declare `inputTypes` (ExpectsInputTypes /
+    * ImplicitCastInputTypes) for analysis-time type checking.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -101,10 +101,15 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
-  test("pack: offsets consistent with per-language running sum") {
+  test("pack: offsets consistent with per-(lang, shard) running sum") {
     val rows = Curation.curPack(spark, sf).collect()
     assert(rows.nonEmpty)
-    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, docs) =>
+    // two-level packing: bins compose within each (lang, shard)
+    val groups = rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+    assert(groups.size > rows.map(_.getAs[String]("lang")).distinct.length,
+      "sharding should split languages into multiple pack partitions")
+    groups.foreach { case ((_, shard), docs) =>
+      assert(shard >= 0 && shard < Curation.NumPackShards)
       var cum = 0L
       docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
         assert(r.getAs[Long]("bin_id") == cum / Curation.PackWindow)

@@ -54,4 +54,42 @@ class FreqItemsSpec extends AnyFunSuite {
       .getSeq[org.apache.spark.sql.Row](0)
     assert(out.map(r => (r.getString(0), r.getLong(1))).toList == List(("x", 5L)))
   }
+
+  test("corpus vocabulary fits FreqItemsCapacity (text_freq_items exactness bound)") {
+    // guards the oracle: text_freq_items counts are exact (and
+    // hash-match DuckDB) only while |vocab| <= capacity. If the data
+    // generator ever widens the vocabulary, fail HERE with a clear
+    // message instead of as a driver hash mismatch.
+    import org.apache.spark.sql.functions._
+    val vocab = sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok"))).head.getLong(0)
+    assert(vocab <= operators.TextAnalysis.FreqItemsCapacity,
+      s"vocabulary $vocab exceeds FreqItemsCapacity " +
+        s"${operators.TextAnalysis.FreqItemsCapacity}: text_freq_items is no longer exact")
+  }
+
+  test("non-string input is rejected or coerced at analysis time") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(1L, 1L, 2L).toDF("n").createOrReplaceTempView("fi_long")
+    // LONG is implicit-castable to STRING: must work, counting "1" twice
+    val out = spark.sql("SELECT freq_items_sketch(n, 8, 1) AS t FROM fi_long").head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toList == List(("1", 2L)))
+  }
+
+  test("builder rejects bad capacity/k arguments with a clear error") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("x").toDF("item").createOrReplaceTempView("fi_bad")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT freq_items_sketch(item, item, 1) FROM fi_bad").collect()
+    }
+    assert(e1.getMessage.contains("capacity"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT freq_items_sketch(item, 8, -1) FROM fi_bad").collect()
+    }
+    assert(e2.getMessage.contains("non-positive"), e2.getMessage)
+  }
 }

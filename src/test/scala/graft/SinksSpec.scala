@@ -71,6 +71,53 @@ class SinksSpec extends AnyFunSuite {
     assert(r.isNullAt(2) && r.isNullAt(3))
   }
 
+  test("readJsonDocs parses one whole-file nested parks-style document per file") {
+    // the reference's ingestion shape: a pretty-printed nested JSON
+    // document per file (normalize_parks_json.py:40) — unreadable as
+    // JSON-lines, one row via multiLine whole-file parsing.
+    val dir = Files.createTempDirectory("jsondocs")
+    Files.writeString(dir.resolve("park1.json"),
+      """{
+        |  "name": "Riverside Park",
+        |  "location": { "city": "Springfield", "zip": "12345" },
+        |  "facilities": ["restrooms", "picnic tables"],
+        |  "details": { "hours": { "open": "06:00", "close": "22:00" } }
+        |}""".stripMargin)
+    Files.writeString(dir.resolve("park2.json"),
+      """{
+        |  "name": "Hilltop Park",
+        |  "location": { "city": "Shelbyville", "zip": "67890" },
+        |  "facilities": ["dog run"],
+        |  "details": { "hours": { "open": "08:00", "close": "20:00" } }
+        |}""".stripMargin)
+    val docs = Sinks.readJsonDocs(spark, dir.toString)
+    assert(docs.count() == 2)
+    // nested structs arrive typed, ready for the reference flatten
+    val flat = operators.JsonFlatten.flatten(docs).orderBy("name")
+    assert(flat.columns.contains("location.city"))
+    assert(flat.columns.contains("details.hours.open"))
+    val r = flat.collect()
+    assert(r(1).getAs[String]("name") == "Riverside Park")
+    assert(r(1).getAs[String]("location.city") == "Springfield")
+    assert(r(1).getAs[String]("facilities") == "restrooms, picnic tables")
+    assert(r(0).getAs[String]("details.hours.close") == "20:00")
+  }
+
+  test("readJsonDocs with explicit schema skips inference (top-level array form)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonarr")
+    Files.writeString(dir.resolve("parks.json"),
+      """[
+        |  { "name": "A", "rating": 4 },
+        |  { "name": "B", "rating": 5 }
+        |]""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("rating", LongType)))
+    val docs = Sinks.readJsonDocs(spark, dir.toString, Some(schema))
+    assert(docs.schema == schema)
+    assert(docs.orderBy("name").collect().map(_.getAs[Long]("rating")).toSeq == Seq(4L, 5L))
+  }
+
   test("qa extract written as TSV is valid (reference output format)") {
     val qa = operators.Etl.etlQaExtract(spark, sf)
     val path = tmp("qatsv")
