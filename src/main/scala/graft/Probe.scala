@@ -130,6 +130,36 @@ object Probe {
         time("get_json x2") { noop(gj) }
         time("sorted") { noop(gj.orderBy(col("event_id"))) }
         time("sorted x2") { noop(gj.orderBy(col("event_id"))) }
+      case "annstats" :: rest =>
+        import org.apache.spark.sql.functions._
+        val sfd = rest.headOption.getOrElse(d)
+        val bf = graft.operators.Similarity.annBruteforceTopk(spark, sfd)
+          .select(col("query_id"), col("neighbor_id"))
+        val nTotal = graft.sources.Tables.embeddings(spark, sfd).count()
+        Seq(
+          "lsh" -> graft.operators.Similarity.lshCandidates(spark, sfd),
+          "ivf" -> graft.operators.Similarity.ivfCandidates(spark, sfd)
+        ).foreach { case (name, cand) =>
+          val candC = cand.cache()
+          val top = candC.withColumn("rank",
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .partitionBy(col("query_id"))
+                .orderBy(col("cosine").desc, col("neighbor_id").asc)).cast("long"))
+            .filter(col("rank") <= graft.operators.Similarity.TopK)
+            .select(col("query_id"), col("neighbor_id"))
+          val hits = bf.join(top, Seq("query_id", "neighbor_id"), "left_semi")
+            .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+          val counts = candC.groupBy(col("query_id")).agg(count(lit(1)).as("n_cand"))
+          val rows = hits.join(counts, Seq("query_id"), "full")
+            .orderBy(col("query_id")).collect()
+          rows.foreach { r =>
+            val q = r.getLong(0)
+            val h = if (r.isNullAt(1)) 0L else r.getLong(1)
+            val c = if (r.isNullAt(2)) 0L else r.getLong(2)
+            println(f"[annstats] $name $sfd q=$q recall@5=${h / 5.0}%.2f candfrac=${c.toDouble / nTotal}%.3f")
+          }
+          candC.unpersist()
+        }
       case "times" :: qs =>
         val targets = if (qs.nonEmpty) qs else SparkEntry.queries.keys.toList.sorted
         targets.foreach { q =>

@@ -88,4 +88,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Double]("cosine") <= bfTop(r.getAs[Long]("query_id")) + 1e-9)
     }
   }
+
+  test("k-means quantizer: deterministic, k centroids, 64 dims each") {
+    val c1 = Similarity.kmeansCentroids(spark, sf)
+    val c2 = Similarity.kmeansCentroids(spark, sf)
+    assert(c1 == c2, "Lloyd's iterations must be deterministic")
+    assert(c1.length == Similarity.NumCells)
+    assert(c1.forall(_.length == 64))
+    // centroids must have moved off the seed vectors (mean of a cell
+    // with >1 member differs from any single member)
+    val seeds = sources.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < Similarity.NumCells)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    assert(c1 != seeds, "centroids did not update — Lloyd's step is a no-op")
+  }
+
+  test("ANN recall gates: both flags pass at the calibrated bars") {
+    Seq(Similarity.annLshRecall(spark, sf), Similarity.annIvfRecall(spark, sf))
+      .foreach { gate =>
+        val r = gate.collect()
+        assert(r.length == 1)
+        assert(r(0).getAs[Long]("n_queries") == Similarity.NumQueryVecs)
+        assert(r(0).getAs[Long]("recall_ok") == 1L, "macro-recall under bar")
+        assert(r(0).getAs[Long]("prune_ok") == 1L, "candidate volume over bar")
+      }
+  }
 }

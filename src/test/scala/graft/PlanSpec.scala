@@ -85,12 +85,13 @@ class PlanSpec extends AnyFunSuite {
   test("no unintentional nested-loop joins anywhere in the inventory") {
     // ann_bruteforce_topk intentionally nested-loops 10 broadcast query
     // vectors against the table (its whole point is the exact scan);
-    // ann_ivf_topk crosses every vector with the 8 broadcast centroids
-    // for cell assignment (bounded by the constant centroid count).
-    // q24 and cur_tfidf_topterms cross with a single-row global
-    // aggregate (scalar subquery).
+    // the ann recall gates cross single-row aggregates (scalar
+    // measurements), as do q24 and cur_tfidf_topterms (scalar
+    // subquery). IVF cell assignment itself is join-free now (literal
+    // centroids) but its recall row inherits the gate crosses.
     val allowNestedLoop =
-      Set("ann_bruteforce_topk", "ann_ivf_topk", "q24_revenue_share", "cur_tfidf_topterms")
+      Set("ann_bruteforce_topk", "ann_lsh_recall", "ann_ivf_recall",
+        "q24_revenue_share", "cur_tfidf_topterms")
     SparkEntry.queries.keys.filterNot(allowNestedLoop).foreach { q =>
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
