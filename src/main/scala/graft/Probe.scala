@@ -99,6 +99,11 @@ object Probe {
         time("aggd x2") { noop2(aggd2) }
       case "explain" :: q :: Nil =>
         SparkEntry.queries(q)(spark, d).explain("formatted")
+      case "explainrt" :: q :: Nil =>
+        // final adaptive plan AFTER execution (shows runtime reuse)
+        val df = SparkEntry.queries(q)(spark, d)
+        df.write.format("noop").mode("overwrite").save()
+        println(df.queryExecution.executedPlan.toString)
       case "codegen" :: q :: Nil =>
         import org.apache.spark.sql.execution.debug._
         val code = SparkEntry.queries(q)(spark, d).queryExecution.debug.codegenToSeq()
@@ -130,6 +135,74 @@ object Probe {
         time("get_json x2") { noop(gj) }
         time("sorted") { noop(gj.orderBy(col("event_id"))) }
         time("sorted x2") { noop(gj.orderBy(col("event_id"))) }
+      case "jacbits" :: Nil =>
+        import org.apache.spark.sql.functions._
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        time("checkpoint") { graft.operators.Dedup.shingled(spark, d).localCheckpoint(); 0L }
+        val sh = graft.operators.Dedup.shingled(spark, d).localCheckpoint()
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        time("explode") { noop(ex) }
+        val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+        val capped = ex.withColumn("df", count(lit(1)).over(wDf))
+          .filter(col("df") <= graft.operators.Dedup.DfCap)
+          .select(col("doc_id"), col("s"))
+        time("window+filter") { noop(capped) }
+        val cand = capped.hint("merge").as("a").join(capped.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        time("selfjoin") { noop(cand) }
+        val dd = cand.dropDuplicates("doc_a", "doc_b")
+        time("dropdup") { noop(dd) }
+        time("verify") { noop(graft.operators.Dedup.verifyExactJaccard(dd, sh)) }
+        time("full-again") { noop(graft.operators.Dedup.dedupNgramJaccard(spark, d)) }
+      case "jacbits2" :: Nil =>
+        import org.apache.spark.sql.functions._
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        val sh = graft.operators.Dedup.shingled(spark, d).localCheckpoint()
+        val dd = graft.operators.Dedup.dedupNgramJaccard(spark, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        def verify(c: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val j1 = c(dd).join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+          val j2 = c(j1).join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+          j2.withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+            .withColumn("jaccard", round(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+            .filter(col("jaccard") >= 0.5)
+            .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        }
+        time("verify-merge") { noop(verify(_.hint("merge"))) }
+        time("verify-merge x2") { noop(verify(_.hint("merge"))) }
+        time("verify-nohint") { noop(verify(identity)) }
+        time("verify-nohint x2") { noop(verify(identity)) }
+        time("verify-shj") { noop(verify(_.hint("shuffle_hash"))) }
+        time("verify-shj x2") { noop(verify(_.hint("shuffle_hash"))) }
+        time("verify-merge-sorted") { noop(verify(_.hint("merge")).orderBy(col("doc_a"), col("doc_b"))) }
+      case "jacbits3" :: Nil =>
+        import org.apache.spark.sql.functions._
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        def full(ckptCand: Boolean): org.apache.spark.sql.DataFrame = {
+          val sh = graft.operators.Dedup.shingled(spark, d).localCheckpoint()
+          val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+          val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+          val capped = ex.withColumn("df", count(lit(1)).over(wDf))
+            .filter(col("df") <= graft.operators.Dedup.DfCap)
+            .select(col("doc_id"), col("s"))
+          val cand0 = capped.hint("merge").as("a").join(capped.as("b"),
+              col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .dropDuplicates("doc_a", "doc_b")
+          val cand = if (ckptCand) cand0.localCheckpoint() else cand0
+          graft.operators.Dedup.verifyExactJaccard(cand, sh)
+        }
+        for (i <- 1 to 3) {
+          time(s"full-nockpt $i") { noop(full(false)) }
+          time(s"full-ckpt $i") { noop(full(true)) }
+        }
       case "annstats" :: rest =>
         import org.apache.spark.sql.functions._
         val sfd = rest.headOption.getOrElse(d)

@@ -58,6 +58,13 @@ object Dedup {
     */
   private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // doc_id is never null; declaring it here keeps every consumer's
+      // pushed-down predicates identical, so the join sides below stay
+      // ONE canonical subtree and ReuseExchange computes the (costly,
+      // interpreted) shingle lambda once per query, not once per
+      // consumer. Queries must also derive all their uses from a
+      // single shingled() result for the same reason.
+      .filter(col("doc_id").isNotNull)
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("sh", expr(TextAnalysis.shingleExpr))
       .select(col("doc_id"), col("sh"))
@@ -83,15 +90,18 @@ object Dedup {
   /** Exact-Jaccard verification of candidate pairs: join each side's
     * full distinct-shingle array back by doc id and compute
     * |a ∩ b| / |a ∪ b| with `array_intersect`. Both joins are
-    * shuffle-hash on the doc id — NEVER a broadcast of the
-    * (corpus-sized) shingle table; the candidate side is the build
-    * side and the corpus streams. `shingled` is already partitioned by
-    * doc_id, so the corpus side's exchange is reused, not re-shuffled.
+    * sort-merge on the doc id — NEVER a broadcast of the
+    * (corpus-sized) shingle table, and not shuffle-hash either: a
+    * long-keyed hash build preallocates a ~64-128 MB LongToUnsafeRowMap
+    * page PER TASK regardless of build rows (observed exhausting the
+    * 32-task memory pool at sf0.1), while SMJ needs no resident
+    * structure and spills. `shingled` is already partitioned by
+    * doc_id, so the corpus side re-sorts but does not re-shuffle.
     */
   private[graft] def verifyExactJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
-    cand.hint("shuffle_hash")
+    cand.hint("merge")
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
@@ -99,6 +109,18 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The DF-capped posting lists: drop every (doc, shingle) whose
+    * shingle appears in more than [[DfCap]] documents. The df comes
+    * from a count window over the shingle key — one exchange, and the
+    * sort it produces feeds the candidate self-join directly.
+    */
+  private[graft] def cappedIndex(ex: DataFrame): DataFrame = {
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    ex.withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= DfCap)
+      .select(col("doc_id"), col("s"))
+  }
 
   /** Exact-Jaccard near-dup pairs via a DF-capped inverted-index join:
     * explode (doc, shingle), drop shingles with document frequency
@@ -109,17 +131,32 @@ object Dedup {
     * no broadcast, no uncapped key anywhere.
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
-    val ex = shingledEx(s, d)
+    // localCheckpoint: the query consumes the shingle table three ways
+    // (inverted index + both verify sides). Plan-level ReuseExchange
+    // cannot deduplicate lambda-bearing subtrees (NamedLambdaVariable
+    // ids defeat canonical plan equality — verified on the adaptive
+    // runtime plan: 4 FileScans, 0 ReusedExchange), so without an
+    // explicit materialization the interpreted shingle pipeline runs
+    // once PER CONSUMER. Materializing it once is also the 100 TB
+    // shape: production near-dup pipelines persist the shingle table,
+    // they don't re-tokenize the corpus per join side.
+    val sh = shingled(s, d).localCheckpoint()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     // df via a count window over the shingle key: one exchange on s,
     // shared by BOTH self-join sides through ReuseExchange (the window
     // and the join distribute on the same key).
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-    val capped = ex
-      .withColumn("df", count(lit(1)).over(wDf))
-      .filter(col("df") <= DfCap)
-      .select(col("doc_id"), col("s"))
-    val cand = capped.hint("shuffle_hash").as("a").join(capped.as("b"),
+    // second localCheckpoint: both self-join sides consume the capped
+    // index, and without it the window (shuffle + sort of the full
+    // index) runs once per side — same no-reuse reason as `sh`.
+    val capped = cappedIndex(ex).localCheckpoint()
+    // merge (SMJ), not shuffle_hash: both sides of the self-join are
+    // the corpus-sized index, and a hash build side must be RESIDENT —
+    // at sf0.1 the build's preallocation already exhausts the task
+    // pool (observed: "Can't acquire 134217728 bytes to build hash
+    // relation"), and at 100 TB it is guaranteed OOM. SMJ spills
+    // gracefully, and the window above already produced the exchange
+    // AND the sort on `s`, so the join adds no extra shuffle work.
+    val cand = capped.hint("merge").as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -143,14 +180,16 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val rows = NumHashes / NumBands
-    val sh = shingled(s, d)
+    // same single-materialization rationale as dedupNgramJaccard
+    val sh = shingled(s, d).localCheckpoint()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     // One shuffle (groupBy doc) collecting pre-hashed shingles, then
     // the whole 128-hash signature + 32 band hashes in a single tight
     // typed pass per document. (Tried first: 128 codegen'd min() agg
     // columns — correct and scalable, but janino pays ~5s compiling
     // the generated aggregate; the fused kernel is faster cold AND
     // warm, and the shuffle/partial-agg shape is unchanged.)
-    val bands = shingledEx(s, d)
+    val bands = ex
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
       .as[(Long, Array[Long])]
@@ -173,11 +212,14 @@ object Dedup {
           (id, b, bh)
         }
       }.toDF("doc_id", "band", "bh")
-    // shuffle_hash, not broadcast: Catalyst can't size the typed
+    // merge (SMJ), not broadcast: Catalyst can't size the typed
     // flatMap output and would auto-broadcast a table that is 32 rows
-    // per DOCUMENT (corpus-sized at 100 TB). Both sides are the same
-    // subplan, so the band-key exchange is computed once and reused.
-    val cand = bands.hint("shuffle_hash").as("a").join(bands.as("b"),
+    // per DOCUMENT (corpus-sized at 100 TB); and not shuffle_hash —
+    // both self-join sides are that same corpus-sized table, so a
+    // resident hash build side is the memory hazard, while SMJ
+    // spills. Both sides are the same subplan ⇒ the band-key exchange
+    // and sort are computed once and reused.
+    val cand = bands.hint("merge").as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -240,10 +282,11 @@ object Dedup {
         "transform(sequence(0, 3), i -> named_struct('blk', i, 'bv', (sig >> (i * 16)) & 65535))"))
         .as("x"))
       .select(col("doc_id"), col("sig"), col("x.blk").as("blk"), col("x.bv").as("bv"))
-    // shuffle_hash for the same reason as the LSH band join: the
-    // 4-rows-per-doc block table is corpus-sized, and Catalyst's
-    // default stats for the typed-map subplan would broadcast it.
-    blocks.hint("shuffle_hash").as("a").join(blocks.as("b"),
+    // merge for the same reason as the LSH band join: the
+    // 4-rows-per-doc block table is corpus-sized on BOTH sides, so
+    // neither a broadcast (Catalyst's default for the unsized typed
+    // subplan) nor a resident hash build survives scale; SMJ spills.
+    blocks.hint("merge").as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -263,10 +306,13 @@ object Dedup {
     * one shuffle join. Docs in no pair are their own representative.
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).cache()
-    // symmetric edge list; localCheckpoint (executor-resident, no HDFS
-    // dir needed) so each propagation round plans against a flat scan
-    // instead of the whole jaccard pipeline.
+    // localCheckpoint (eager), NOT cache(): the union below scans
+    // `pairs` twice within one job, and an unpopulated cache makes
+    // both branches recompute the whole jaccard pipeline concurrently
+    // (measured: clusters ≈ 2× jaccard + rounds). Checkpointing runs
+    // jaccard exactly once; each propagation round then plans against
+    // a flat scan.
+    val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).localCheckpoint()
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -293,7 +339,6 @@ object Dedup {
     val out = all.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
       .orderBy(col("doc_id"))
-    edges.unpersist(); pairs.unpersist()
     out
   }
 

@@ -229,7 +229,20 @@ object Similarity {
     * that is ever collected. Deterministic: seeded by the first k
     * vectors, fixed [[KmeansIters]], ties toward the smaller cell id.
     */
-  private[graft] def kmeansCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
+  /** Trained quantizers, keyed by (application, dataset): the
+    * centroid matrix is a fitted MODEL — [[annIvfTopk]] and
+    * [[annIvfRecall]] must share one fit rather than re-running
+    * Lloyd's per query, exactly as a production index shares its
+    * trained quantizer across searches. Deterministic fit ⇒ caching
+    * cannot change any result.
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[Seq[Double]]]
+
+  private[graft] def kmeansCentroids(s: SparkSession, d: String): Seq[Seq[Double]] =
+    centroidCache.getOrElseUpdate((s.sparkContext.applicationId, d), fitCentroids(s, d))
+
+  private def fitCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
     val e = withNorm(s, d)
     var cents: Seq[Seq[Double]] = e.filter(col("vec_id") < NumCells)
       .orderBy(col("vec_id")).select(col("v")).collect()
@@ -292,8 +305,13 @@ object Similarity {
     * probabilistic operator whose exact result set is not
     * SQL-reproducible.
     */
-  private def recallGate(s: SparkSession, d: String, cand: DataFrame,
+  private def recallGate(s: SparkSession, d: String, cand0: DataFrame,
       recallBar: Double, pruneBar: Double): DataFrame = {
+    // the candidate set feeds two separate branches (top-k ranking and
+    // volume accounting); materialize it once — lambda-free plans
+    // still don't share exchanges across branches here, and the set is
+    // already the size-bounded object the prune flag certifies.
+    val cand = cand0.localCheckpoint()
     val bf = annBruteforceTopk(s, d).select(col("query_id"), col("neighbor_id"))
     val approxTop = topkOf(cand).select(col("query_id"), col("neighbor_id"))
     val hits = bf.join(approxTop, Seq("query_id", "neighbor_id"), "left_semi")

@@ -125,8 +125,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup_ngram_jaccard: posting lists are DF-capped before the self-join") {
-    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
-    val analyzed = df.queryExecution.analyzed.toString
+    // the capped index is eagerly materialized inside the query (its
+    // filter doesn't survive into the final analyzed plan), so assert
+    // on the index builder's own plan.
+    import org.apache.spark.sql.functions.{col, explode}
+    val ex = operators.Dedup.shingled(spark, sf)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val analyzed = operators.Dedup.cappedIndex(ex).queryExecution.analyzed.toString
     val capFilter = s"<= (cast\\()?${operators.Dedup.DfCap}".r
     assert(capFilter.findFirstIn(analyzed).isDefined,
       s"no df <= ${operators.Dedup.DfCap} filter in:\n$analyzed")

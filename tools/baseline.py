@@ -57,10 +57,20 @@ out = [
     "local[32]. Oracle-less queries (probabilistic ANN result sets, the",
     "codec-stubbed feature extractor) have no row.",
     "",
-    "Comparison caveat: these are steady-state single-query times in a",
-    "warm process; compare them against Bench's per-query min-of-2",
-    "numbers (`BENCH_r*.json`), which amortize Spark's per-plan codegen",
-    "the same way.",
+    "Comparison caveats:",
+    "- These are steady-state single-query times in a warm process;",
+    "  compare against Bench's per-query min-of-2 numbers",
+    "  (`BENCH_r*.json`), which amortize Spark's per-plan codegen the",
+    "  same way.",
+    "- Spark pays a fixed ~0.2-0.5s scheduling/dispatch floor per query",
+    "  (job + 32-task overhead + noop sink) that DuckDB does not; for",
+    "  the many sub-second queries the ratio measures that constant,",
+    "  not engine efficiency, and it amortizes away at scale. The",
+    "  meaningful within-2x comparisons are the queries above ~1s",
+    "  (dedup family, decontamination, tf-idf, flatten), where the",
+    "  engine sits at 0.3-1.6x of DuckDB at sf0.1.",
+    "- `ann_*_recall` oracles are constant-probe SELECTs (the gate's",
+    "  work happens Spark-side); their DuckDB times are not a baseline.",
     "",
     f"**Total (oracle-covered queries): {total:.2f}s**",
     "",
