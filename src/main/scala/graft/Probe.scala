@@ -135,6 +135,14 @@ object Probe {
         time("get_json x2") { noop(gj) }
         time("sorted") { noop(gj.orderBy(col("event_id"))) }
         time("sorted x2") { noop(gj.orderBy(col("event_id"))) }
+      case "shbits" :: Nil =>
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        for (i <- 1 to 3) {
+          time(s"shingled noop $i") { noop(graft.operators.Dedup.shingled(spark, d)) }
+          time(s"shingled ckpt $i") { graft.operators.Dedup.shingled(spark, d).localCheckpoint(); 0L }
+        }
       case "jacbits" :: Nil =>
         import org.apache.spark.sql.functions._
         def noop(df: org.apache.spark.sql.DataFrame): Long = {

@@ -137,6 +137,25 @@ class PlanSpec extends AnyFunSuite {
       s"no df <= ${operators.Dedup.DfCap} filter in:\n$analyzed")
   }
 
+  test("jaccard self-join: sort-merge + AQE skew handling (residual-skew posture)") {
+    // After the DF cap, residual skew on medium-frequency shingles is
+    // bounded (any key contributes <= DfCap rows per side), and the
+    // candidate join must be the shape AQE's skew-join optimization
+    // can act on at scale: a sort-merge join with adaptive execution
+    // and skew handling enabled.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    import org.apache.spark.sql.functions.{col, explode}
+    val ex = operators.Dedup.shingled(spark, sf)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val capped = operators.Dedup.cappedIndex(ex)
+    val selfJoin = capped.hint("merge").as("a").join(capped.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val p = selfJoin.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("similarity: custom DotProduct expression is in the plan (codegen path)") {
     val p = planOf("ann_bruteforce_topk")
     assert(p.contains("dotproduct") || p.contains("DotProduct"), p)
