@@ -78,6 +78,21 @@ object Sinks {
     schema.fold(r)(r.schema).json(path)
   }
 
+  /** Bucketed + sorted table: the co-located-join layout. Writing a
+    * fact table bucketed by its join/aggregation key lets every later
+    * `groupBy(key)` / equi-join on the key run WITHOUT an exchange
+    * (PlanSpec asserts the no-shuffle aggregation) — at 100 TB,
+    * pre-bucketing the big tables once replaces a full shuffle per
+    * downstream query. Bucketed output requires the table catalog
+    * (`saveAsTable`), not a bare path.
+    */
+  def writeBucketedTable(df: DataFrame, table: String,
+      bucketCol: String, numBuckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .mode("overwrite")
+      .saveAsTable(table)
+
   /** Schema normalization: guarantee the presence and order of a
     * required column set, adding missing ones as typed nulls — the
     * reference's "ensure text columns exist" step

@@ -68,11 +68,8 @@ class PlanSpec extends AnyFunSuite {
       }
       rm(loc)
     }
-    sources.Tables.lineitem(spark, sf)
-      .write.format("parquet")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite")
-      .saveAsTable("li_bucketed")
+    sources.Sinks.writeBucketedTable(
+      sources.Tables.lineitem(spark, sf), "li_bucketed", "l_orderkey", 8)
     val t = spark.table("li_bucketed")
     val agg = t.groupBy("l_orderkey").count()
     val plan = agg.queryExecution.executedPlan.toString
