@@ -153,10 +153,44 @@ object Streams {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Windowed top-k (custom bounded-heap aggregate in streaming).
+  // ------------------------------------------------------------------
+
+  val TopKPerWindow = 3
+
+  /** Per (1-hour window, event_type), the top-[[TopKPerWindow]] event
+    * ids by value — the [[graft.functions.TopKIds]] bounded-heap
+    * TypedImperativeAggregate running INSIDE a streaming aggregation:
+    * its partial buffers merge across triggers exactly like the
+    * built-in sketches, so per-window state is O(k), not O(events).
+    * Rank is deterministic (value desc, id asc — the aggregate's own
+    * tie rule, mirrored by the oracle).
+    */
+  def windowedTopK(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(graft.functions.TopKIds.topKIds(col("value"), col("event_id"), TopKPerWindow).as("ids"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), posexplode(col("ids")).as(Seq("pos", "event_id")))
+      .select(col("window_start"), col("event_type"),
+        (col("pos") + 1).cast("long").as("rank"), col("event_id"))
+
+  /** Streaming flavor: 2-hour watermark bounds window state. */
+  def windowedTopKStream(events: DataFrame): DataFrame =
+    windowedTopK(events.withWatermark("ts", "2 hours"))
+
+  /** Batch entry for the correctness gate. */
+  def streamTopK(s: SparkSession, d: String): DataFrame =
+    windowedTopK(Tables.events(s, d))
+      .orderBy(col("window_start"), col("event_type"), col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> streamWindowedAgg _,
     "stream_session_state" -> sessionizeBatch _,
     "stream_dedup" -> streamDedup _,
+    "stream_topk" -> streamTopK _,
     "stream_interval_join" -> streamIntervalJoin _)
 
   val oracleSql: Map[String, String] = Map(
@@ -181,6 +215,16 @@ object Streams {
         |    ORDER BY doc_id) AS rn
         | FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "stream_topk" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, CAST(rk AS BIGINT) AS rank, event_id
+        |FROM (SELECT ts, event_type, event_id,
+        |  row_number() OVER (
+        |    PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+        |    ORDER BY value DESC, event_id) AS rk
+        | FROM events)
+        |WHERE rk <= 3
+        |ORDER BY window_start, event_type, rank""".stripMargin,
     // Same gap rule as q13 — the stateful path must agree with the
     // declarative window-function formulation.
     "stream_session_state" ->

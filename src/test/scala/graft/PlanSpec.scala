@@ -153,6 +153,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
+  test("hot paths run inside WholeStageCodegen spans") {
+    // the scan→filter→project→partial-agg pipeline of the headline
+    // queries must be fused into codegen stages, not interpreted
+    // operators (the custom DotProduct participates via doGenCode).
+    // AQE wraps stages and only inserts codegen nodes at execution;
+    // disabling it for the assertion exposes the static codegen spans.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("q1_pricing_summary", "q6_forecast_revenue", "text_quality_score",
+          "dedup_embedding_cosine").foreach { q =>
+        // codegen spans render as "*(n) Operator" in plan toString
+        val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+        assert(p.contains("*("), s"$q has no WholeStageCodegen span:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("similarity: custom DotProduct expression is in the plan (codegen path)") {
     val p = planOf("ann_bruteforce_topk")
     assert(p.contains("dotproduct") || p.contains("DotProduct"), p)

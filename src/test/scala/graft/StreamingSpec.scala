@@ -35,6 +35,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromStream.toSeq == fromBatch.toSeq)
   }
 
+  test("windowed top-k (custom bounded-heap agg) over a real stream matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value")).collect()
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    // feed in two batches so partial TopKIds buffers must merge across
+    // triggers, not just within one
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val toT = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3))
+    val q = Streams.windowedTopK(
+        stream.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.outputMode("complete").format("memory").queryName("topk_all").start()
+    try {
+      stream.addData(half1.map(toT))
+      q.processAllAvailable()
+      stream.addData(half2.map(toT))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fromStream = spark.table("topk_all")
+      .orderBy("window_start", "event_type", "rank").collect().map(_.toSeq)
+    val fromBatch = Streams.streamTopK(spark, sf).collect().map(_.toSeq)
+    assert(fromStream.toSeq == fromBatch.toSeq)
+  }
+
   test("stateful sessionizer agrees with batch window-function sessionize") {
     val stateful = Streams.sessionizeBatch(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
