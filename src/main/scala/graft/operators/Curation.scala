@@ -333,7 +333,51 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // End-to-end keep-list.
+  // ------------------------------------------------------------------
+
+  /** The full curation pipeline as one query: every document gets a
+    * keep/drop verdict with the FIRST failing rule as its reason —
+    *  1. `eval_holdout`   — benchmark rows (doc_id % 20 = 0) never train;
+    *  2. `exact_dup`      — not the canonical (min doc_id) copy of its
+    *                        token-bag content key;
+    *  3. `contaminated`   — shares a word-5-gram with the held-out set;
+    *  4. `repetitive`     — fails the Gopher-style repetition bars;
+    *  5. `ok`             — keep = 1.
+    * This is the composition a user of the reference actually runs
+    * between crawl and tokenizer. All three signal joins are on the
+    * high-cardinality doc id and hinted sort-merge: the signal tables
+    * are corpus-sized (and two come from typed kernels whose stats
+    * Catalyst cannot estimate — left alone it would auto-broadcast
+    * them).
+    */
+  def curKeepList(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val wCanon = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
+    val canon = Tables.documents(s, d)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("content_key", md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
+      .withColumn("rn", row_number().over(wCanon))
+      .select(col("doc_id"), (col("rn") === 1).as("is_canonical"))
+    val rep = curRepetition(s, d).select(col("doc_id"), col("keep").as("rep_keep"))
+    val dec = curDecontaminate(s, d).select(col("doc_id"), col("contaminated"))
+    val reason = when(pmod(col("doc_id"), lit(20)) === 0, "eval_holdout")
+      .when(!col("is_canonical"), "exact_dup")
+      .when(col("contaminated") === 1, "contaminated")
+      .when(col("rep_keep") === 0, "repetitive")
+      .otherwise("ok")
+    docs
+      .hint("merge").join(canon, Seq("doc_id"))
+      .hint("merge").join(rep, Seq("doc_id"), "left")
+      .hint("merge").join(dec, Seq("doc_id"), "left")
+      .select(col("doc_id"), reason.as("reason"),
+        when(reason === "ok", 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_keep_list" -> curKeepList _,
     "cur_pii_redact" -> curPiiRedact _,
     "cur_decontaminate" -> curDecontaminate _,
     "cur_decontaminate_shuffle" -> curDecontaminateShuffle _,
@@ -358,6 +402,58 @@ object Curation {
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cur_keep_list" ->
+      """WITH ck AS (
+        | SELECT doc_id, row_number() OVER (
+        |   PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |   ORDER BY doc_id) AS rn
+        | FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(toks) AS g, 1 AS k FROM t
+        | UNION ALL
+        | SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |   i -> toks[i] || ' ' || toks[i+1])), 2 FROM t
+        | UNION ALL
+        | SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])), 3 FROM t),
+        |c AS (SELECT doc_id, g, k, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |m AS (SELECT doc_id,
+        |  max(CASE WHEN k = 1 THEN c END) AS top1,
+        |  sum(CASE WHEN k = 1 THEN c END) AS n1,
+        |  max(CASE WHEN k = 2 THEN c END) AS top2,
+        |  sum(CASE WHEN k = 2 THEN c END) AS n2,
+        |  sum(CASE WHEN k = 3 THEN c END) AS n3,
+        |  count(CASE WHEN k = 3 THEN 1 END) AS d3
+        | FROM c GROUP BY doc_id),
+        |rep AS (SELECT doc_id,
+        |  CASE WHEN CAST(top1 AS DOUBLE) / n1 <= 0.11
+        |    AND CAST(top2 AS DOUBLE) / n2 <= 0.05
+        |    AND CAST(n3 - d3 AS DOUBLE) / n3 <= 0.1 THEN 1 ELSE 0 END AS rep_keep
+        | FROM m),
+        |t5 AS (SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 4),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+        |        string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+        |        string_split(text, ' ')[i+4])) AS g5 FROM documents),
+        |ev AS (SELECT DISTINCT unnest(g5) AS g FROM t5 WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, unnest(g5) AS g FROM t5 WHERE doc_id % 20 <> 0),
+        |dec AS (SELECT tr.doc_id,
+        |  CASE WHEN count(ev.g) > 0 THEN 1 ELSE 0 END AS contaminated
+        | FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id),
+        |verdict AS (SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 20 = 0 THEN 'eval_holdout'
+        |       WHEN ck.rn <> 1 THEN 'exact_dup'
+        |       WHEN dec.contaminated = 1 THEN 'contaminated'
+        |       WHEN rep.rep_keep = 0 THEN 'repetitive'
+        |       ELSE 'ok' END AS reason
+        | FROM documents d
+        | JOIN ck USING (doc_id)
+        | LEFT JOIN rep USING (doc_id)
+        | LEFT JOIN dec USING (doc_id))
+        |SELECT doc_id, reason,
+        | CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM verdict ORDER BY doc_id""".stripMargin,
     "cur_pii_redact" ->
       raw"""WITH r AS (SELECT doc_id,
            | 'contact user' || doc_id || '@example.com' ||

@@ -101,6 +101,38 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("keep list: verdicts consistent with the individual signals") {
+    val keepList = Curation.curKeepList(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("reason"), r.getAs[Long]("keep"))).toMap
+    assert(keepList.nonEmpty)
+    // one verdict per document
+    assert(keepList.size == sources.Tables.documents(spark, sf).count())
+    // keep=1 iff reason is ok
+    keepList.values.foreach { case (reason, keep) =>
+      assert((keep == 1L) == (reason == "ok"), s"$reason/$keep")
+    }
+    // every eval row is excluded as holdout
+    keepList.foreach { case (id, (reason, _)) =>
+      if (id % 20 == 0) assert(reason == "eval_holdout", s"doc $id: $reason")
+    }
+    // kept docs really are canonical / clean / non-repetitive
+    val rep = Curation.curRepetition(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap
+    val dec = Curation.curDecontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("contaminated")).toMap
+    keepList.foreach { case (id, (reason, keep)) =>
+      if (keep == 1L) {
+        assert(rep.get(id).forall(_ == 1L), s"kept doc $id is repetitive")
+        assert(dec.get(id).forall(_ == 0L), s"kept doc $id is contaminated")
+      }
+      if (reason == "repetitive") assert(rep(id) == 0L)
+      if (reason == "contaminated") assert(dec(id) == 1L)
+    }
+    // the pipeline must actually drop something and keep something
+    val reasons = keepList.values.map(_._1).toSet
+    assert(reasons.contains("ok") && reasons.contains("eval_holdout"), reasons.toString)
+  }
+
   test("pack: offsets consistent with per-(lang, shard) running sum") {
     val rows = Curation.curPack(spark, sf).collect()
     assert(rows.nonEmpty)
