@@ -343,7 +343,26 @@ object Etl {
       .orderBy(col("event_id"))
   }
 
+  /** The reference's record-summarization model call
+    * (convert_json_to_text.py:120) routed through the explicit
+    * [[graft.functions.ModelHook]] seam: a batched `mapPartitions`
+    * model stage over per-document prompts. The deterministic
+    * StubClient (md5-tagged echo) stands in for the live LLM, which
+    * makes the WHOLE model stage oracle-checkable — DuckDB reproduces
+    * the stub byte-for-byte, so the driver's hash gate covers the
+    * batching kernel, not just a spec.
+    */
+  def etlModelSummarize(s: SparkSession, d: String): DataFrame = {
+    val prompts = Tables.documents(s, d)
+      .select(col("doc_id"), concat(lit("summarize: "), col("text")).as("prompt"))
+    graft.functions.ModelHook.completions(
+        s, prompts, "doc_id", "prompt",
+        new graft.functions.ModelHook.StubClient("summary"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_model_summarize" -> etlModelSummarize _,
     "etl_sse_parse" -> etlSseParse _,
     "etl_flatten_json" -> etlFlattenJson _,
     "etl_tristate_flags" -> etlTristateFlags _,
@@ -380,6 +399,12 @@ object Etl {
        |FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // byte-exact replica of ModelHook.StubClient over the same prompts
+    "etl_model_summarize" ->
+      """SELECT doc_id,
+        | '[summary ' || substring(md5('summarize: ' || text), 1, 8) || '] ' ||
+        |   substring('summarize: ' || text, 1, 64) AS completion
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "etl_sse_parse" ->
       """WITH r AS (
         | SELECT event_id,

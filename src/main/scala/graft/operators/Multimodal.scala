@@ -130,6 +130,27 @@ object Multimodal {
     "mm_resize" -> mmResize _)
 
   val oracleSql: Map[String, String] = Map(
+    // The stub decoder is a byte-histogram over the (pure-ASCII) blob,
+    // so DuckDB can replicate it exactly: per-char code point % 16,
+    // bin counts / n. f_sum is the full normalized histogram's sum —
+    // exactly 1 for non-empty blobs at 6-decimal rounding. This
+    // upgrades the feature extractor from rows-only to the hash gate
+    // (the mapPartitions batch kernel is what gets verified; a real
+    // codec drops into stubDecode without touching the plumbing).
+    "mm_feature_extract" ->
+      s"""WITH i AS (SELECT doc_id, strlen(text) AS n, text,
+         |  unnest(generate_series(1, strlen(text))) AS i FROM documents),
+         |c AS (SELECT doc_id, n,
+         |  (ord(substring(text, CAST(i AS INT), 1)) % $FeatureBins) AS bin FROM i),
+         |h AS (SELECT doc_id, max(n) AS n,
+         |  count(CASE WHEN bin = 0 THEN 1 END) AS b0,
+         |  count(CASE WHEN bin = 1 THEN 1 END) AS b1
+         | FROM c GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+         | round(CAST(b0 AS DOUBLE) / n, 6) AS f1,
+         | round(CAST(b1 AS DOUBLE) / n, 6) AS f2,
+         | CAST(1.0 AS DOUBLE) AS f_sum
+         |FROM h ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
       s"""WITH r AS (SELECT doc_id,
          |  list_aggregate(list_transform(generate_series(1, $ResizeTo),
