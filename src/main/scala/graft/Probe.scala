@@ -135,6 +135,30 @@ object Probe {
         time("get_json x2") { noop(gj) }
         time("sorted") { noop(gj.orderBy(col("event_id"))) }
         time("sorted x2") { noop(gj.orderBy(col("event_id"))) }
+      case "clbits" :: Nil =>
+        import org.apache.spark.sql.functions._
+        val pairs = graft.operators.Dedup.dedupNgramJaccard(spark, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        println(s"[clbits] pairs=${pairs.count()}")
+        val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .toDF("src", "dst").localCheckpoint()
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id"))
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 20) {
+          val t0 = System.nanoTime()
+          val prop = edges.join(labels, col("dst") === col("doc_id"))
+            .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+          val next = labels.join(prop, col("doc_id") === col("src"), "left")
+            .select(col("doc_id"), col("label").as("old"),
+              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+            .localCheckpoint()
+          changed = next.filter(col("label") =!= col("old")).count()
+          labels = next.select(col("doc_id"), col("label"))
+          rounds += 1
+          println(f"[clbits] round $rounds changed=$changed ${(System.nanoTime()-t0)/1e9}%.2f s")
+        }
       case "shbits" :: Nil =>
         def noop(df: org.apache.spark.sql.DataFrame): Long = {
           df.write.format("noop").mode("overwrite").save(); 0L

@@ -198,6 +198,30 @@ object Relational {
         round(max(col("value")), 2).as("vmax"))
       .orderBy(col("event_type"))
 
+  /** Sketch-based percentiles — the 100 TB companion to
+    * [[q14Percentiles]]'s exact sort-based `percentile`: Spark's
+    * `approx_percentile` (Greenwald-Khanna QuantileSummaries) keeps
+    * O(accuracy) state per group and merges map-side, so the shuffle
+    * carries a bounded sketch instead of every value. At accuracy
+    * 50000 >= any test-SF group (sf0.1's largest is ~20k rows) the
+    * result is EXACT (the summary never compresses — verified: 10000
+    * was approximate at sf0.1 and failed the hash), which holds the
+    * sketch path to a DuckDB oracle —
+    * the same exact-at-test-scale / approximate-at-100TB posture as
+    * [[graft.operators.TextAnalysis.textFreqItems]]. The oracle
+    * mirrors approx_percentile's definition (smallest value whose
+    * cumulative fraction ≥ p) via cume_dist, not quantile_disc's
+    * convention.
+    */
+  def q27ApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 50000)"), 4).as("ap50"),
+        round(expr("approx_percentile(value, 0.9, 50000)"), 4).as("ap90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** Statistical aggregates: corr / stddev / covar. */
   def q15Stats(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -416,6 +440,7 @@ object Relational {
     "q12_running_sum" -> q12RunningSum _,
     "q13_sessionize" -> q13Sessionize _,
     "q14_percentiles" -> q14Percentiles _,
+    "q27_approx_percentiles" -> q27ApproxPercentiles _,
     "q15_stats" -> q15Stats _)
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
@@ -617,6 +642,19 @@ object Relational {
         | round(quantile_cont(value, 0.9),4) AS p90,
         | round(min(value),2) AS vmin, round(max(value),2) AS vmax
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // approx_percentile's definition: the SMALLEST value whose
+    // cumulative fraction of rows is >= p (discrete, no interpolation)
+    // — expressed via cume_dist, not quantile_disc (whose convention
+    // differs at the boundary).
+    "q27_approx_percentiles" ->
+      """WITH cd AS (SELECT event_type, value,
+        |  cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS c
+        | FROM events)
+        |SELECT event_type,
+        | round(min(CASE WHEN c >= 0.5 THEN value END), 4) AS ap50,
+        | round(min(CASE WHEN c >= 0.9 THEN value END), 4) AS ap90,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM cd GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q15_stats" ->
       """SELECT event_type,
         | round(avg(value),4) AS avg_value,
