@@ -140,6 +140,54 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter capacity for [[curDecontaminateBloom]]: 1 MiB of
+    * bits against ~10⁴ distinct eval grams at test SFs ⇒ ~29 hash
+    * functions and a false-positive rate around 1e-40 — effectively
+    * zero over the ~10⁵ probes, so the deterministic result equals
+    * the exact variant's and shares its oracle. At a real 100 TB
+    * deployment numBits scales with the eval-set size (1.44·n·log2(1/p)
+    * bits for FP rate p) and stays megabytes where the exact gram set
+    * would be gigabytes.
+    */
+  val BloomEstItems = 200000L
+  val BloomNumBits: Long = 8L * 1024 * 1024
+
+  /** Decontamination via a broadcast BLOOM FILTER of the eval grams —
+    * the production shape when even the distinct eval-gram set is too
+    * big to ship: [[graft.functions.BloomSketch.bloomAgg]] compresses
+    * it to [[BloomNumBits]] bits (one binary cell), and membership
+    * becomes a codegen'd map-side probe on the training stream — no
+    * join at all, broadcast size independent of gram count. Same
+    * output and oracle as [[curDecontaminate]] (the FP rate is chosen
+    * so no probe can realistically flip).
+    */
+  def curDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BloomSketch
+    val grams = barrier(s,
+      Tables.documents(s, d)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("g5", expr(FiveGramExpr))
+        .select(col("doc_id"), col("g5")))
+    // The filter aggregates DISTRIBUTED; only the finished sketch — a
+    // constant numBits/8 bytes regardless of corpus size, i.e. bounded
+    // model state like the IVF centroid matrix — lands on the driver
+    // and is inlined as a binary literal. This mirrors how Spark's own
+    // injected runtime join filters materialize their bloom subquery
+    // (might_contain requires a constant/scalar-subquery filter side).
+    val bfBytes = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(explode(col("g5")).as("g")).distinct()
+      .agg(BloomSketch.bloomAgg(xxhash64(col("g")), BloomEstItems, BloomNumBits).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .select(col("doc_id"), explode(col("g5")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(BloomSketch.mightContain(lit(bfBytes), xxhash64(col("g"))), 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_overlap"),
+        when(col("n_overlap") > 0, 1L).otherwise(0L).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------------
   // Repetition / quality signals (Gopher-style).
   // ------------------------------------------------------------------
@@ -381,6 +429,7 @@ object Curation {
     "cur_pii_redact" -> curPiiRedact _,
     "cur_decontaminate" -> curDecontaminate _,
     "cur_decontaminate_shuffle" -> curDecontaminateShuffle _,
+    "cur_decontaminate_bloom" -> curDecontaminateBloom _,
     "cur_repetition" -> curRepetition _,
     "cur_chunk" -> curChunk _,
     "cur_sample_stratified" -> curSampleStratified _,
@@ -475,6 +524,8 @@ object Curation {
     "cur_decontaminate" -> decontaminateOracle,
     // identical semantics, different join strategy — same oracle
     "cur_decontaminate_shuffle" -> decontaminateOracle,
+    // FP-free at the configured bits/items ratio — same exact oracle
+    "cur_decontaminate_bloom" -> decontaminateOracle,
     "cur_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (

@@ -101,6 +101,12 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination agrees with the exact variant (no FP at this ratio)") {
+    val exact = Curation.curDecontaminate(spark, sf).collect().map(_.toSeq).toSeq
+    val bloom = Curation.curDecontaminateBloom(spark, sf).collect().map(_.toSeq).toSeq
+    assert(bloom == exact)
+  }
+
   test("keep list: verdicts consistent with the individual signals") {
     val keepList = Curation.curKeepList(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("reason"), r.getAs[Long]("keep"))).toMap
