@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectFunction(GraftFunctions.topKIdsDescriptor)
     e.injectFunction(GraftFunctions.freqItemsDescriptor)
+    e.injectFunction(GraftFunctions.bloomAggDescriptor)
+    e.injectFunction(GraftFunctions.mightContainDescriptor)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
   }
 }
@@ -77,6 +79,38 @@ object GraftFunctions {
     new ExpressionInfo(classOf[FreqItems].getName, "freq_items_sketch"),
     freqItemsBuilder _)
 
+  private def bloomAggBuilder(children: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      children(0),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        constLongArg("bloom_filter_sketch", "estimatedItems", children(1))),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        constLongArg("bloom_filter_sketch", "numBits", children(2))),
+      0, 0).toAggregateExpression()
+
+  private def mightContainBuilder(children: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      children(0), children(1))
+
+  private def constLongArg(fn: String, arg: String, e: Expression): Long =
+    constIntArg(fn, arg, e).toLong
+
+  private[graft] val bloomAggDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_filter_sketch"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_filter_sketch"),
+    bloomAggBuilder _)
+
+  private[graft] val mightContainDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "bloom_might_contain"),
+    mightContainBuilder _)
+
   /** Register graft functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -85,5 +119,9 @@ object GraftFunctions {
       "top_k_ids", topKIdsBuilder _, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_items_sketch", freqItemsBuilder _, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_sketch", bloomAggBuilder _, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", mightContainBuilder _, "scala_udf")
   }
 }

@@ -111,14 +111,17 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** The DF-capped posting lists: drop every (doc, shingle) whose
-    * shingle appears in more than [[DfCap]] documents. The df comes
-    * from a count window over the shingle key — one exchange, and the
-    * sort it produces feeds the candidate self-join directly.
+    * shingle appears in more than [[DfCap]] documents — or in exactly
+    * one (a df=1 posting can never produce a candidate pair, and on a
+    * web-scale corpus singleton shingles are the BULK of the index, so
+    * the lower bound prunes most of the self-join input for free).
+    * The df comes from a count window over the shingle key — one
+    * exchange, and the sort it produces feeds the self-join directly.
     */
   private[graft] def cappedIndex(ex: DataFrame): DataFrame = {
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
     ex.withColumn("df", count(lit(1)).over(wDf))
-      .filter(col("df") <= DfCap)
+      .filter(col("df") >= 2 && col("df") <= DfCap)
       .select(col("doc_id"), col("s"))
   }
 

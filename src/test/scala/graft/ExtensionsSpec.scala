@@ -24,6 +24,21 @@ class ExtensionsSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getSeq[Long](1).length == 3))
   }
 
+  test("bloom sketch + probe are callable from SQL after register()") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    (1L to 100L).toDF("k").createOrReplaceTempView("bloom_in")
+    // sketch aggregated in SQL; probe against the inlined result
+    val bf = spark.sql(
+      "SELECT bloom_filter_sketch(xxhash64(k), 1000, 65536) AS bf FROM bloom_in")
+      .head.getAs[Array[Byte]](0)
+    spark.sql("SELECT xxhash64(k) AS h FROM bloom_in").createOrReplaceTempView("bloom_probe")
+    val hits = spark.sql(
+      s"SELECT count(*) FROM bloom_probe WHERE bloom_might_contain(" +
+        s"X'${bf.map("%02X".format(_)).mkString}', h)").head.getLong(0)
+    assert(hits == 100L, "bloom filter must have no false negatives")
+  }
+
   test("GraftExtensions descriptor builds the native expression") {
     // (A full withExtensions session can't be built here: getOrCreate
     // reuses the suite session. Exercise the descriptor injectFunction
