@@ -110,48 +110,86 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** The DF-capped posting lists: drop every (doc, shingle) whose
-    * shingle appears in more than [[DfCap]] documents — or in exactly
-    * one (a df=1 posting can never produce a candidate pair, and on a
-    * web-scale corpus singleton shingles are the BULK of the index, so
-    * the lower bound prunes most of the self-join input for free).
-    * The df comes from a count window over the shingle key — one
+  /** (doc_id, s, df): the exploded index annotated with each shingle's
+    * document frequency. One count window over the shingle key — one
     * exchange, and the sort it produces feeds the self-join directly.
     */
-  private[graft] def cappedIndex(ex: DataFrame): DataFrame = {
+  private[graft] def withDocFreq(ex: DataFrame): DataFrame = {
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
     ex.withColumn("df", count(lit(1)).over(wDf))
-      .filter(col("df") >= 2 && col("df") <= DfCap)
-      .select(col("doc_id"), col("s"))
   }
+
+  /** The cap filter over a [[withDocFreq]] frame: drop every
+    * (doc, shingle) whose shingle appears in more than [[DfCap]]
+    * documents — or in exactly one (a df=1 posting can never produce a
+    * candidate pair, and on a web-scale corpus singleton shingles are
+    * the BULK of the index, so the lower bound prunes most of the
+    * self-join input for free).
+    */
+  private[graft] def cappedFrom(withDf: DataFrame): DataFrame =
+    withDf.filter(col("df") >= 2 && col("df") <= DfCap)
+      .select(col("doc_id"), col("s"))
+
+  /** The DF-capped posting lists (df window + cap filter composed). */
+  private[graft] def cappedIndex(ex: DataFrame): DataFrame =
+    cappedFrom(withDocFreq(ex))
 
   /** Exact-Jaccard near-dup pairs via a DF-capped inverted-index join:
     * explode (doc, shingle), drop shingles with document frequency
     * above [[DfCap]] (bounds any one key's join fan-out at DfCap² —
     * see the cap's Scaladoc), self-join the capped index on the
-    * shingle for candidate pairs, then verify each candidate with the
-    * exact Jaccard over the full shingle arrays. No cartesian product,
-    * no broadcast, no uncapped key anywhere.
+    * shingle, and compute the EXACT intersection by counting, not by
+    * re-joining arrays:
+    *
+    *   inter = |shared shingles with 2 ≤ df ≤ DfCap|   (the groupBy
+    *           count of the candidate join itself — free)
+    *         + |shared shingles with df > DfCap|        (intersect of
+    *           the per-doc HOT-shingle arrays, joined back per pair)
+    *
+    * A shingle shared by two docs has df ≥ 2 by definition, so the
+    * two buckets partition the true intersection exactly. This
+    * replaced a verify step that sort-merge-joined the FULL per-doc
+    * shingle arrays back onto every candidate pair: with c candidate
+    * pairs and k shingles/doc that shuffles O(c·k) strings (measured
+    * 12s of a 13.5s query at sf0.1 — 1.1M pairs × 2 × ~50-string
+    * arrays), where the count form shuffles O(c) longs plus per-doc
+    * hot arrays whose size is bounded by the corpus' boilerplate
+    * density, not by k. No cartesian product, no broadcast, no
+    * uncapped key anywhere.
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint: the query consumes the shingle table three ways
-    // (inverted index + both verify sides). Plan-level ReuseExchange
-    // cannot deduplicate lambda-bearing subtrees (NamedLambdaVariable
-    // ids defeat canonical plan equality — verified on the adaptive
-    // runtime plan: 4 FileScans, 0 ReusedExchange), so without an
-    // explicit materialization the interpreted shingle pipeline runs
-    // once PER CONSUMER. Materializing it once is also the 100 TB
-    // shape: production near-dup pipelines persist the shingle table,
-    // they don't re-tokenize the corpus per join side.
+    // localCheckpoint: the query consumes the shingle table multiple
+    // ways. Plan-level ReuseExchange cannot deduplicate lambda-bearing
+    // subtrees (NamedLambdaVariable ids defeat canonical plan equality
+    // — verified on the adaptive runtime plan: 4 FileScans,
+    // 0 ReusedExchange), so without an explicit materialization the
+    // interpreted shingle pipeline runs once PER CONSUMER.
+    // Materializing it once is also the 100 TB shape: production
+    // near-dup pipelines persist the shingle table, they don't
+    // re-tokenize the corpus per join side.
     val sh = shingled(s, d).localCheckpoint()
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    // df via a count window over the shingle key: one exchange on s,
-    // shared by BOTH self-join sides through ReuseExchange (the window
-    // and the join distribute on the same key).
-    // second localCheckpoint: both self-join sides consume the capped
-    // index, and without it the window (shuffle + sort of the full
-    // index) runs once per side — same no-reuse reason as `sh`.
-    val capped = cappedIndex(ex).localCheckpoint()
+    // df via a count window over the shingle key: one exchange on s.
+    // Checkpointed because three consumers read it (both self-join
+    // sides + the hot-shingle roll-up) and the window's shuffle+sort
+    // would otherwise run once per consumer — same no-reuse reason
+    // as `sh`.
+    val withDf = withDocFreq(ex).localCheckpoint()
+    // df=1 postings can never produce a pair and are the BULK of a
+    // web-scale index; df>DfCap postings are handled by the hot path.
+    val capped = cappedFrom(withDf)
+    // Per-doc hot-shingle sets: ONLY the boilerplate shingles each doc
+    // contains (df > DfCap). Small per doc — a 100 TB corpus has many
+    // shingles but few stop-shingle TYPES per document.
+    val hot = withDf.filter(col("df") > DfCap)
+      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("hot_sh"))
+    // Per-doc metadata the pair join needs: full distinct-shingle
+    // count (union sizing) + the hot set. One row per doc — which at
+    // 100 TB means corpus-sized, so merge-join it too (Spark would
+    // otherwise broadcast the hot roll-up it sizes at test scale).
+    val meta = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      .hint("merge")
+      .join(hot, Seq("doc_id"), "left")
     // merge (SMJ), not shuffle_hash: both sides of the self-join are
     // the corpus-sized index, and a hash build side must be RESIDENT —
     // at sf0.1 the build's preallocation already exhausts the task
@@ -159,11 +197,31 @@ object Dedup {
     // relation"), and at 100 TB it is guaranteed OOM. SMJ spills
     // gracefully, and the window above already produced the exchange
     // AND the sort on `s`, so the join adds no extra shuffle work.
+    // The groupBy count IS the sub-cap intersection.
     val cand = capped.hint("merge").as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    verifyExactJaccard(cand, sh)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_capped"))
+    // Join the per-doc metadata back by SHUFFLE on the doc id (merge,
+    // not broadcast — meta is one row per document, corpus-sized at
+    // 100 TB; not shuffle_hash — long-keyed builds preallocate per
+    // task, see above). Payload per row is (int, small array), never
+    // the full shingle arrays.
+    cand.hint("merge")
+      .join(meta.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("hot_sh").as("hot_a")), "doc_a")
+      .hint("merge")
+      .join(meta.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("hot_sh").as("hot_b")), "doc_b")
+      .withColumn("inter_hot",
+        when(col("hot_a").isNull || col("hot_b").isNull, lit(0L))
+          .otherwise(size(array_intersect(col("hot_a"), col("hot_b"))).cast("long")))
+      .withColumn("inter", col("inter_capped") + col("inter_hot"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** MinHash + banded LSH: 128 murmur3 min-hashes per shingle set
