@@ -265,6 +265,83 @@ object Probe {
           }
           candC.unpersist()
         }
+      case "tfidfstages" :: Nil =>
+        import org.apache.spark.sql.functions._
+        import graft.sources.Tables
+        import spark.implicits._
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+        val barriered = docs.repartition(32, col("doc_id"))
+        time("scan only") { noop(docs) }
+        time("barrier") { noop(barriered) }
+        val tf = barriered.as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val m = new java.util.HashMap[String, Long]()
+            text.split(" ", -1).foreach(t => m.merge(t, 1L, java.lang.Long.sum _))
+            import scala.jdk.CollectionConverters._
+            m.entrySet().iterator().asScala.map(e => (id, e.getKey, e.getValue))
+          }
+          .toDF("doc_id", "term", "tf")
+        time("tf kernel") { noop(tf) }
+        time("tf kernel 2nd") { noop(tf) }
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        time("dfreq") { noop(dfreq) }
+        val joined = tf.join(dfreq, "term")
+        time("tf+dfreq join") { noop(joined) }
+        time("tf+dfreq join 2nd") { noop(joined) }
+        val full = graft.operators.Curation.curTfidfTopterms(spark, d)
+        time("full") { noop(full) }
+        time("full 2nd") { noop(full) }
+
+      case "piistages" :: Nil =>
+        import org.apache.spark.sql.functions._
+        import graft.sources.Tables
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        val UrlRe = "https?://[^ ]+"
+        val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+        val PhoneRe = "\\+1-555-\\d{4}"
+        val id4 = lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
+        val raw = concat(
+          lit("contact user"), col("doc_id"), lit("@example.com"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" ssn 123-45-"), id4)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" call +1-555-"), id4)).otherwise(lit("")),
+          lit(" via https://ex.com/d/"), col("doc_id"), lit(" :: "), col("text"))
+        def countRe(c: org.apache.spark.sql.Column, re: String) =
+          size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+        val base = Tables.documents(spark, d).withColumn("raw", raw)
+        val redact = base.select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            col("raw"), UrlRe, "[URL]"), EmailRe, "[EMAIL]"), SsnRe, "[SSN]"),
+            PhoneRe, "[PHONE]").as("redacted"))
+        val counts = base.select(col("doc_id"),
+          (countRe(col("raw"), UrlRe) + countRe(col("raw"), EmailRe) +
+            countRe(col("raw"), SsnRe) + countRe(col("raw"), PhoneRe)).as("n_pii"))
+        val both = graft.operators.Curation.curPiiRedact(spark, d)
+        val postSort = base.select(col("doc_id"), col("raw"))
+          .orderBy(col("doc_id"))
+          .select(col("doc_id"),
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              col("raw"), UrlRe, "[URL]"), EmailRe, "[EMAIL]"), SsnRe, "[SSN]"),
+              PhoneRe, "[PHONE]").as("redacted"),
+            (countRe(col("raw"), UrlRe) + countRe(col("raw"), EmailRe) +
+              countRe(col("raw"), SsnRe) + countRe(col("raw"), PhoneRe)).as("n_pii"))
+        (1 to 2).foreach { _ =>
+          time("raw only") { noop(base.select(col("doc_id"), col("raw"))) }
+          time("redact only") { noop(redact) }
+          time("counts only") { noop(counts) }
+          time("full query") { noop(both) }
+          time("post-sort project") { noop(postSort) }
+        }
+        println(postSort.queryExecution.executedPlan.toString.linesIterator
+          .take(12).mkString("\n"))
+
       case "times" :: qs =>
         val targets = if (qs.nonEmpty) qs else SparkEntry.queries.keys.toList.sorted
         targets.foreach { q =>

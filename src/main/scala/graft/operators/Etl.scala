@@ -44,10 +44,15 @@ object Etl {
       acc.withColumn(name, tristate(col("text"), pats))
     }
 
+  // Flag regexes are projected ABOVE the final sort here and in
+  // etlActiveFeatures: a global sort's range exchange samples its
+  // child, so heavy projections below the sort run twice (see
+  // Curation.curPiiRedact's Scaladoc for the measured effect).
   def etlTristateFlags(s: SparkSession, d: String): DataFrame =
-    withFlags(Tables.documents(s, d))
+    withFlags(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")))
       .select(col("doc_id") +: flagMap.map(f => col(f._1)): _*)
-      .orderBy(col("doc_id"))
 
   /** `other_*` passthrough: keep the raw text only when no keyword of
     * any flag matched (substring semantics, not word-bounded — faithful
@@ -67,12 +72,13 @@ object Etl {
     * re-expresses the reference's list-comprehension filter.
     */
   def etlActiveFeatures(s: SparkSession, d: String): DataFrame =
-    withFlags(Tables.documents(s, d))
+    withFlags(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")))
       .select(col("doc_id"),
         concat_ws(", ", flagMap.map { case (name, _) =>
           when(col(name) === "Yes", name.replace('_', ' '))
         }: _*).as("features"))
-      .orderBy(col("doc_id"))
 
   /** Flag distribution summary (normalize_parks_json.py:219-222):
     * melt the flag columns via an exploded map, then count by value.
@@ -96,13 +102,19 @@ object Etl {
     * typed column.
     */
   def etlFlattenJson(s: SparkSession, d: String): DataFrame = {
-    val nested = Tables.events(s, d).select(
-      col("event_id"),
-      struct(
-        struct(col("user_id").as("id"), col("event_type").as("type")).as("user"),
-        array(col("event_id"), col("user_id")).as("ids"),
-        get_json_object(col("props"), "$.k").cast("long").as("k")).as("payload"))
-    JsonFlatten.flatten(nested).orderBy(col("event_id"))
+    // sort the raw columns first so the JSON parse + struct expansion
+    // evaluate once, above the range exchange (not also in its
+    // sampling pass — see curPiiRedact's Scaladoc).
+    val nested = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("props"))
+      .orderBy(col("event_id"))
+      .select(
+        col("event_id"),
+        struct(
+          struct(col("user_id").as("id"), col("event_type").as("type")).as("user"),
+          array(col("event_id"), col("user_id")).as("ids"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")).as("payload"))
+    JsonFlatten.flatten(nested)
   }
 
   // ------------------------------------------------------------------
@@ -161,8 +173,8 @@ object Etl {
     Tables.documents(s, d)
       .select(col("doc_id"),
         concat(lit("  "), col("text"), lit("\t"), col("source"), lit("\n")).as("raw"))
-      .select(col("doc_id"), trim(translate(col("raw"), "\t\r\n", "   ")).as("clean"))
       .orderBy(col("doc_id"))
+      .select(col("doc_id"), trim(translate(col("raw"), "\t\r\n", "   ")).as("clean"))
 
   // ------------------------------------------------------------------
   // Reference-chunk extraction (test_chat_assistant.py:159-196).
@@ -195,11 +207,11 @@ object Etl {
     Tables.events(s, d)
       .select(col("event_id"),
         concat(lit("judge says: "), col("props"), lit(" -- end")).as("raw"))
+      .orderBy(col("event_id"))
       .select(col("event_id"),
         regexp_extract(col("raw"), "\\{.*\\}", 0).as("judge_json"))
       .select(col("event_id"), col("judge_json"),
         get_json_object(col("judge_json"), "$.k").cast("long").as("k"))
-      .orderBy(col("event_id"))
 
   // ------------------------------------------------------------------
   // Quality-color cascade (test_chat_assistant_with_judge.py:380-422).
@@ -249,6 +261,11 @@ object Etl {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
     o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("c_name"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      // template rendering above the sort: evaluated once, not also by
+      // the range exchange's sampling pass (see curPiiRedact).
       .select(col("o_orderkey"),
         concat(
           lit("Order "), col("o_orderkey"),
@@ -257,7 +274,6 @@ object Etl {
           lit(" with priority "), col("o_orderpriority"),
           lit(" for a total of "), round(col("o_totalprice"), 2).cast("string"),
           lit(".")).as("summary"))
-      .orderBy(col("o_orderkey"))
   }
 
   // ------------------------------------------------------------------
@@ -358,6 +374,11 @@ object Etl {
     graft.functions.ModelHook.completions(
         s, prompts, "doc_id", "prompt",
         new graft.functions.ModelHook.StubClient("summary"))
+      // materialize before the sort: the range exchange's sampling
+      // pass would otherwise re-run the model stage — twice the model
+      // calls, which against a live endpoint is twice the cost/rate
+      // limit, not just twice the CPU.
+      .localCheckpoint()
       .orderBy(col("doc_id"))
   }
 

@@ -80,6 +80,10 @@ object Multimodal {
         round(element_at(col("features"), 1), 6).as("f1"),
         round(element_at(col("features"), 2), 6).as("f2"),
         round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x), 6).as("f_sum"))
+      // materialize before the sort: the range exchange's sampling
+      // pass would otherwise run the decode kernel a second time —
+      // with a real codec that is double the decode cost.
+      .localCheckpoint()
       .orderBy(col("doc_id"))
   }
 
@@ -114,6 +118,11 @@ object Multimodal {
     */
   def mmResize(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      // sort first: the stride-sampling transform runs once, above the
+      // range exchange, not also in its sampling pass (see
+      // Curation.curPiiRedact's Scaladoc).
+      .orderBy(col("doc_id"))
       .withColumn("resized", expr(
         s"""concat_ws('', transform(sequence(1, $ResizeTo),
            | i -> substring(text, cast(ceil(i * length(text) / $ResizeTo.0) AS INT), 1)))""".stripMargin))
@@ -121,7 +130,6 @@ object Multimodal {
         col("resized"),
         length(col("resized")).cast("long").as("resized_len"),
         md5(col("resized")).as("resized_md5"))
-      .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> mmMetadata _,

@@ -39,14 +39,24 @@ object TextAnalysis {
   private def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", tokens(col("text")))
 
+  /** (doc_id, text) globally sorted by doc_id. Every per-document map
+    * query in this module sorts FIRST and projects its heavy
+    * regex/HOF work above the range exchange: the exchange samples its
+    * child to pick partition bounds, so anything computed below the
+    * sort runs twice (see Curation.curPiiRedact's Scaladoc for the
+    * measured effect).
+    */
+  private def sortedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   /** Token counting: whitespace split + a BPE-ish word/punct regex. */
   def textTokenCount(s: SparkSession, d: String): DataFrame =
-    withToks(Tables.documents(s, d))
+    withToks(sortedDocs(s, d))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_ws_tokens"),
         size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)")).cast("long").as("n_re_tokens"),
         length(col("text")).cast("long").as("n_chars_measured"))
-      .orderBy(col("doc_id"))
 
   // Deterministic stopword groups for the heuristic language-ID.
   val stopEn: Seq[String] = Seq("the", "a")
@@ -64,7 +74,7 @@ object TextAnalysis {
     * deterministic classifier, not a model.)
     */
   def textLangid(s: SparkSession, d: String): DataFrame =
-    withToks(Tables.documents(s, d))
+    withToks(sortedDocs(s, d))
       .select(col("doc_id"),
         hitCount(stopEn).as("c_en"),
         hitCount(stopSql).as("c_sql"),
@@ -73,13 +83,14 @@ object TextAnalysis {
         when(col("c_en") >= col("c_sql") && col("c_en") >= col("c_data"), "en")
           .when(col("c_sql") >= col("c_data"), "sql")
           .otherwise("data"))
-      .orderBy(col("doc_id"))
 
   /** Quality scoring: length score, stopword ratio, distinct-token
     * ratio, and a weighted composite.
     */
   def textQualityScore(s: SparkSession, d: String): DataFrame =
-    withToks(Tables.documents(s, d))
+    withToks(
+      Tables.documents(s, d).select(col("doc_id"), col("text"), col("n_chars"))
+        .orderBy(col("doc_id")))
       .withColumn("nt", size(col("toks")).cast("double"))
       .withColumn("len_score", least(col("n_chars") / lit(500.0), lit(1.0)))
       .withColumn("stop_ratio", hitCount(stopEn) / col("nt"))
@@ -94,19 +105,17 @@ object TextAnalysis {
         col("uniq_ratio"),
         (lit(0.4) * col("len_score") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
           + lit(0.3) * col("uniq_ratio")).as("quality_score"))
-      .orderBy(col("doc_id"))
 
   /** Document fingerprinting: md5 over the sorted distinct token bag
     * (order-insensitive content identity), plus a 16-bit bucket prefix
     * usable as a shard key at scale.
     */
   def textFingerprint(s: SparkSession, d: String): DataFrame =
-    withToks(Tables.documents(s, d))
+    withToks(sortedDocs(s, d))
       .withColumn("fingerprint", md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
       .select(col("doc_id"), col("fingerprint"),
         substring(col("fingerprint"), 1, 4).as("bucket"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"))
-      .orderBy(col("doc_id"))
 
   /** Corpus n-gram statistics: document frequency of every distinct
     * 3-gram, top 50 (deterministic tie-break on the shingle text).
@@ -147,11 +156,10 @@ object TextAnalysis {
     * split, no UDF.
     */
   def textStem(s: SparkSession, d: String): DataFrame =
-    withToks(Tables.documents(s, d))
+    withToks(sortedDocs(s, d))
       .select(col("doc_id"),
         array_join(expr(
           raw"transform(toks, t -> regexp_replace(t, '(ing|es|s)$$', ''))"), " ").as("stemmed"))
-      .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stem" -> textStem _,
