@@ -342,6 +342,34 @@ object Probe {
         println(postSort.queryExecution.executedPlan.toString.linesIterator
           .take(12).mkString("\n"))
 
+      case "ssestages" :: Nil =>
+        import org.apache.spark.sql.functions._
+        import graft.sources.Tables
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        val chunkSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "code INT, data STRUCT<answer: STRING, session_id: STRING, reference: STRUCT<total: BIGINT>>")
+        val nPart = spark.sessionState.conf.numShufflePartitions
+        val line1 = concat(lit("""data: {"code": 0, "data": {"answer": "partial """),
+          col("event_id"), lit("""", "session_id": "sess-"""), col("user_id"), lit(""""}}"""))
+        val raw = concat_ws("\n", lit("event: message"), line1, lit("data: [DONE]"))
+        val base = Tables.events(spark, d)
+          .select(col("event_id"), col("user_id"), col("props"))
+          .repartition(nPart, col("event_id"))
+          .select(col("event_id"), raw.as("raw"))
+        val lines = base
+          .select(col("event_id"), posexplode(split(col("raw"), "\n")).as(Seq("line_no", "l")))
+          .filter(col("l").startsWith("data:"))
+        val parsedOnly = lines.select(col("event_id"), col("line_no"),
+          from_json(trim(expr("substring(l, 6)")), chunkSchema).as("p"))
+        (1 to 2).foreach { _ =>
+          time("base repart") { noop(base) }
+          time("explode+filter") { noop(lines) }
+          time("+from_json") { noop(parsedOnly) }
+          time("full query") { noop(graft.operators.Etl.etlSseParse(spark, d)) }
+        }
+
       case "times" :: qs =>
         val targets = if (qs.nonEmpty) qs else SparkEntry.queries.keys.toList.sorted
         targets.foreach { q =>

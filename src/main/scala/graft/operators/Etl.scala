@@ -331,10 +331,12 @@ object Etl {
         from_json(trim(expr("substring(l, 6)")), chunkSchema).as("p"))
       // Materialization barrier: from_json is CodegenFallback, and the
       // aggregate's field references would each re-inline (and re-run)
-      // the parse. The exchange evaluates it once per line AND already
-      // hash-distributes by event_id, so the groupBy below adds no
-      // extra shuffle.
-      .repartition(nPart, col("event_id"))
+      // the parse. localCheckpoint evaluates it once per line WITHOUT
+      // a shuffle (a repartition barrier ships every parsed line
+      // through an exchange; the checkpoint keeps them in place and
+      // lets the partial aggregation shrink line-rows to event-rows
+      // before anything moves).
+      .localCheckpoint()
       .filter(col("p.code") === 0 && col("p.data").isNotNull)
       .groupBy(col("event_id"))
       // max_by keeps the aggregation hash-based; a max-over-struct
