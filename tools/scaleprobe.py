@@ -13,6 +13,15 @@ linear or better (the DF cap prunes harder as document frequencies
 grow), except the intentionally-exact dedup_embedding_cosine whose
 O(n^2) block-pair scan showed its documented quadratic compute
 (1.2s -> 25s) while remaining memory-safe.
+
+Re-run after the late-round rewrites (count-based jaccard verify,
+post-sort projection, checkpoint barriers) — warm times at 10x data
+vs sf0.1: dedup_ngram_jaccard 3.3s->8.9s (2.7x), dedup_clusters
+4.3s->6.8s (1.6x), dedup_minhash_lsh 1.5s->7.0s, dedup_simhash
+1.7s->4.9s, cur_tfidf_topterms 1.1s->1.8s, cur_keep_list 1.6s->5.2s,
+cur_pii_redact 0.9s->1.9s, cur_pack 0.4s->0.7s; ANN family 1.5-3.1s.
+All sublinear-or-linear; the exact cosine baseline stays quadratic
+by design (24s).
 """
 import os
 
