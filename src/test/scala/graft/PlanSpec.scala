@@ -50,6 +50,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("map-heavy queries evaluate their projection above the final sort") {
+    // The range exchange of a global sort samples its child, so a
+    // projection below the sort runs twice. The map-heavy queries sort
+    // their raw inputs first; the heavy expression must appear ABOVE
+    // the rangepartitioning exchange in the plan (nothing in Catalyst
+    // pushes a Project below a Sort today — this pins that).
+    def heavyAboveSort(q: String, needle: String): Unit = {
+      val p = planOf(q)
+      val exchangeAt = p.indexOf("rangepartitioning")
+      val heavyAt = p.indexOf(needle)
+      assert(exchangeAt >= 0, s"$q: no range exchange in plan:\n$p")
+      assert(heavyAt >= 0, s"$q: expression '$needle' not in plan:\n$p")
+      // executedPlan prints top-down: above-the-sort operators appear
+      // BEFORE the exchange line.
+      assert(heavyAt < exchangeAt,
+        s"$q: '$needle' is evaluated below the sort (sampled twice):\n$p")
+    }
+    heavyAboveSort("cur_pii_redact", "regexp_replace")
+    heavyAboveSort("etl_flatten_json", "get_json_object")
+    heavyAboveSort("etl_judge_json_parse", "regexp_extract")
+    heavyAboveSort("text_stem", "transform")
+    heavyAboveSort("mm_resize", "concat_ws")
+  }
+
   test("text ops scan only text and doc_id") {
     val p = planOf("text_fingerprint")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
