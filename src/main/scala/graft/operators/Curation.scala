@@ -177,20 +177,22 @@ object Curation {
         .withColumn("toks", TextAnalysis.tokens(col("text")))
         .withColumn("g5", expr(FiveGramExpr))
         .select(col("doc_id"), col("g5")))
-    // The filter aggregates DISTRIBUTED; only the finished sketch — a
-    // constant numBits/8 bytes regardless of corpus size, i.e. bounded
-    // model state like the IVF centroid matrix — lands on the driver
-    // and is inlined as a binary literal. This mirrors how Spark's own
-    // injected runtime join filters materialize their bloom subquery
-    // (might_contain requires a constant/scalar-subquery filter side).
-    val bfBytes = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
+    // The filter aggregates DISTRIBUTED and feeds the probe as a
+    // SCALAR SUBQUERY — the exact construct Spark's own injected
+    // runtime join filters use (might_contain requires a constant or
+    // scalar-subquery filter side). The sketch — a constant numBits/8
+    // bytes regardless of corpus size, i.e. bounded model state like
+    // the IVF centroid matrix — is built as a subquery stage of the
+    // SAME query: no separate driver action, and no megabyte binary
+    // literal embedded in (and re-hashed with) every plan/task.
+    val bf = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
       .select(explode(col("g5")).as("g")).distinct()
       .agg(BloomSketch.bloomAgg(xxhash64(col("g")), BloomEstItems, BloomNumBits).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+    val bfRef = org.apache.spark.sql.GraftColumnBridge.scalarSubquery(bf)
     grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
       .select(col("doc_id"), explode(col("g5")).as("g"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(BloomSketch.mightContain(lit(bfBytes), xxhash64(col("g"))), 1L)
+      .agg(sum(when(BloomSketch.mightContain(bfRef, xxhash64(col("g"))), 1L)
         .otherwise(0L)).as("n_overlap"))
       .select(col("doc_id"), col("n_overlap"),
         when(col("n_overlap") > 0, 1L).otherwise(0L).as("contaminated"))

@@ -18,4 +18,14 @@ object GraftColumnBridge {
     * ImplicitCastInputTypes) for analysis-time type checking.
     */
   type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** A scalar subquery over `df`'s single-row/single-column result —
+    * the construct Spark's own injected runtime join filters use to
+    * feed a bloom sketch to `BloomFilterMightContain` (which requires
+    * a constant or scalar-subquery filter side). Executed once as a
+    * subquery stage of the SAME query, so the sketch build needs no
+    * separate driver-side action and no plan-embedded binary literal.
+    */
+  def scalarSubquery(df: Dataset[_]): Column =
+    toColumn(catalyst.expressions.ScalarSubquery(df.queryExecution.analyzed))
 }
