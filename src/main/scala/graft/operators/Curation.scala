@@ -299,13 +299,16 @@ object Curation {
         .select(col("doc_id"), col("toks")))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
+      // chunk_id is a sort key so the Generate stays below the sort,
+      // but the slice+join runs once, above the range exchange (not
+      // also in its sampling pass — see curPiiRedact's Scaladoc).
+      .orderBy(col("doc_id"), col("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
         array_join(slice(col("toks"),
           (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize)), " ").as("chunk_text"),
         size(slice(col("toks"),
           (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize))).cast("long")
           .as("n_chunk_tokens"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   // ------------------------------------------------------------------
