@@ -22,6 +22,19 @@ vs sf0.1: dedup_ngram_jaccard 3.3s->8.9s (2.7x), dedup_clusters
 cur_pii_redact 0.9s->1.9s, cur_pack 0.4s->0.7s; ANN family 1.5-3.1s.
 All sublinear-or-linear; the exact cosine baseline stays quadratic
 by design (24s).
+
+The probe also replicates the TPC-H-ish facts (lineitem 6M, orders
+1.5M, events 1M; keys shifted per replica, dims unreplicated — how a
+larger SF behaves). Relational/ETL/streaming 10x warm times:
+q1 0.4->1.0s, q3 0.7->1.5s, q5 1.0->1.8s, q9 0.3->0.7s,
+q13 0.5->1.1s, q16 asof 0.5->1.2s, q17 salted 0.3->0.4s,
+q22 topk 0.3->0.5s, etl_flatten_json 0.6->2.1s, etl_qa_extract
+0.7->2.0s, etl_sse_parse 1.0->6.6s (linear in exploded SSE lines),
+stream_windowed_agg 0.4->0.5s, stream_topk 0.5->1.1s. One caveat:
+q21_range_join reads 5.3s here, but that is probe-data geometry, not
+the plan — replicas stack identical (user, ts) values, so qualifying
+pairs explode 771 -> 4.5M (DuckDB-verified); 4.5M verified pairs in
+5.3s through the bucketed equi-join is healthy throughput.
 """
 import os
 
@@ -33,13 +46,35 @@ SRC = "/root/testdata/sf0.1"
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tmp", "sf1probe")
 os.makedirs(DST, exist_ok=True)
 
-for name, idcol in [("documents", "doc_id"), ("embeddings", "vec_id")]:
+SHIFT = 10_000_000
+
+# fact tables replicate 10x with every KEY column shifted per replica
+# (so joins still land and key cardinality scales with the data);
+# dimension tables copy through unchanged — exactly how a larger TPC-H
+# SF behaves (facts grow, region/nation stay fixed).
+FACTS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id"],  # user_id stays: more events per user
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],  # o_custkey stays: more orders per customer
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+for name, keycols in FACTS.items():
     t = pq.read_table(f"{SRC}/{name}.parquet")
     parts = []
     for i in range(10):
-        ids = pc.add(t[idcol], i * 10_000_000)
-        cols = {c: (ids if c == idcol else t[c]) for c in t.column_names}
+        cols = {
+            c: (pc.add(t[c], i * SHIFT) if c in keycols else t[c])
+            for c in t.column_names
+        }
         parts.append(pa.table(cols))
     big = pa.concat_tables(parts)
     pq.write_table(big, f"{DST}/{name}.parquet")
     print(name, len(big), "rows ->", DST)
+
+for name in DIMS:
+    t = pq.read_table(f"{SRC}/{name}.parquet")
+    pq.write_table(t, f"{DST}/{name}.parquet")
+    print(name, len(t), "rows (dim, unreplicated) ->", DST)
