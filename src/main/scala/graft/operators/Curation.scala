@@ -219,9 +219,11 @@ object Curation {
     */
   def curRepetition(s: SparkSession, d: String): DataFrame =
     repetitionKernel(s, d)
-      // materialize before the sort: the range exchange's sampling
-      // pass would otherwise re-run the whole gram-counting kernel.
-      .localCheckpoint()
+      // lazy checkpoint before the sort: the range exchange's sampling
+      // pass materializes it (instead of re-running the whole
+      // gram-counting kernel) and the exchange reuses; eager = false
+      // so constructing/explaining the query runs nothing.
+      .localCheckpoint(eager = false)
       .orderBy(col("doc_id"))
 
   /** The unsorted per-document repetition stats ([[curRepetition]]
@@ -299,16 +301,21 @@ object Curation {
         .select(col("doc_id"), col("toks")))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
-      // chunk_id is a sort key so the Generate stays below the sort,
-      // but the slice+join runs once, above the range exchange (not
-      // also in its sampling pass — see curPiiRedact's Scaladoc).
-      .orderBy(col("doc_id"), col("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
         array_join(slice(col("toks"),
           (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize)), " ").as("chunk_text"),
         size(slice(col("toks"),
           (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize))).cast("long")
           .as("n_chunk_tokens"))
+      // LAZY checkpoint before the sort, NOT a hoisted projection: the
+      // sampling pass then reads sliced chunk rows — O(ChunkSize) per
+      // chunk — whereas projecting the slice above the sort would ship
+      // the FULL toks array once per chunk row through the exchange,
+      // O(tokens²/stride) bytes for a long document. Lazy (eager =
+      // false) so constructing/explaining the query runs nothing; the
+      // sort's sampling pass materializes it and the exchange reuses.
+      .localCheckpoint(eager = false)
+      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   // ------------------------------------------------------------------

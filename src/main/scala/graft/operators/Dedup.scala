@@ -173,8 +173,11 @@ object Dedup {
     // Checkpointed because three consumers read it (both self-join
     // sides + the hot-shingle roll-up) and the window's shuffle+sort
     // would otherwise run once per consumer — same no-reuse reason
-    // as `sh`.
-    val withDf = withDocFreq(ex).localCheckpoint()
+    // as `sh`. Singleton postings (df=1) are dropped BEFORE the
+    // materialization: no consumer reads them (capped wants
+    // 2 ≤ df ≤ cap, hot wants df > cap) and on a web-scale corpus
+    // they are the bulk of the index — dead rows in executor storage.
+    val withDf = withDocFreq(ex).filter(col("df") >= 2).localCheckpoint()
     // df=1 postings can never produce a pair and are the BULK of a
     // web-scale index; df>DfCap postings are handled by the hot path.
     val capped = cappedFrom(withDf)

@@ -335,8 +335,9 @@ object Etl {
       // a shuffle (a repartition barrier ships every parsed line
       // through an exchange; the checkpoint keeps them in place and
       // lets the partial aggregation shrink line-rows to event-rows
-      // before anything moves).
-      .localCheckpoint()
+      // before anything moves). Lazy: the first consuming stage
+      // materializes it; construction/explain runs nothing.
+      .localCheckpoint(eager = false)
       .filter(col("p.code") === 0 && col("p.data").isNotNull)
       .groupBy(col("event_id"))
       // max_by keeps the aggregation hash-based; a max-over-struct
@@ -376,11 +377,12 @@ object Etl {
     graft.functions.ModelHook.completions(
         s, prompts, "doc_id", "prompt",
         new graft.functions.ModelHook.StubClient("summary"))
-      // materialize before the sort: the range exchange's sampling
+      // lazy checkpoint before the sort: the range exchange's sampling
       // pass would otherwise re-run the model stage — twice the model
       // calls, which against a live endpoint is twice the cost/rate
-      // limit, not just twice the CPU.
-      .localCheckpoint()
+      // limit, not just twice the CPU. Lazy (eager = false) so merely
+      // CONSTRUCTING or explaining the query fires zero model calls.
+      .localCheckpoint(eager = false)
       .orderBy(col("doc_id"))
   }
 

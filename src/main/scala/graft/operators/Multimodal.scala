@@ -80,10 +80,11 @@ object Multimodal {
         round(element_at(col("features"), 1), 6).as("f1"),
         round(element_at(col("features"), 2), 6).as("f2"),
         round(aggregate(col("features"), lit(0.0), (acc, x) => acc + x), 6).as("f_sum"))
-      // materialize before the sort: the range exchange's sampling
+      // lazy checkpoint before the sort: the range exchange's sampling
       // pass would otherwise run the decode kernel a second time —
-      // with a real codec that is double the decode cost.
-      .localCheckpoint()
+      // with a real codec that is double the decode cost. Lazy so
+      // constructing/explaining the query decodes nothing.
+      .localCheckpoint(eager = false)
       .orderBy(col("doc_id"))
   }
 

@@ -59,11 +59,13 @@ class PlanSpec extends AnyFunSuite {
     def heavyAboveSort(q: String, needle: String): Unit = {
       val p = planOf(q)
       val exchangeAt = p.indexOf("rangepartitioning")
-      val heavyAt = p.indexOf(needle)
+      // LAST occurrence: the plan prints top-down, so the assertion
+      // must also fail when the heavy expression appears BOTH above
+      // and below the exchange (a duplicated projection is exactly the
+      // double-evaluation this test pins against).
+      val heavyAt = p.lastIndexOf(needle)
       assert(exchangeAt >= 0, s"$q: no range exchange in plan:\n$p")
       assert(heavyAt >= 0, s"$q: expression '$needle' not in plan:\n$p")
-      // executedPlan prints top-down: above-the-sort operators appear
-      // BEFORE the exchange line.
       assert(heavyAt < exchangeAt,
         s"$q: '$needle' is evaluated below the sort (sampled twice):\n$p")
     }

@@ -63,6 +63,11 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 for name, keycols in FACTS.items():
     t = pq.read_table(f"{SRC}/{name}.parquet")
+    for k in keycols:
+        mx = pc.max(t[k]).as_py()
+        assert mx < SHIFT, (
+            f"{name}.{k} max {mx} >= SHIFT {SHIFT}: shifted replicas would "
+            f"collide — raise SHIFT before probing this SF")
     parts = []
     for i in range(10):
         cols = {
