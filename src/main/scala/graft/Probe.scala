@@ -265,6 +265,24 @@ object Probe {
           }
           candC.unpersist()
         }
+      case "semstats" :: rest =>
+        import org.apache.spark.sql.functions._
+        val sfd = rest.headOption.getOrElse(d)
+        val cells = graft.operators.Similarity.cellAssigned(spark, sfd)
+          .select(col("vec_id"), col("cell")).localCheckpoint()
+        val exact = graft.operators.Similarity.dedupEmbeddingCosine(spark, sfd)
+          .select(col("vec_a"), col("vec_b"))
+        val r = exact
+          .join(cells.select(col("vec_id").as("vec_a"), col("cell").as("ca")), "vec_a")
+          .join(cells.select(col("vec_id").as("vec_b"), col("cell").as("cb")), "vec_b")
+          .agg(count(lit(1)), sum((col("ca") === col("cb")).cast("long"))).collect()(0)
+        val w = cells.groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+          .agg(sum(col("nc") * (col("nc") - 1) / 2), (sum(col("nc")) * (sum(col("nc")) - 1) / 2))
+          .collect()(0)
+        println(s"[semstats] $sfd n_exact=${r.get(0)} n_within=${r.get(1)} " +
+          s"recall=${r.getLong(1).toDouble / r.getLong(0)} " +
+          s"scan_pairs=${w.get(0)} all_pairs=${w.get(1)} " +
+          s"workfrac=${w.getDouble(0) / w.getDouble(1)}")
       case "tfidfstages" :: Nil =>
         import org.apache.spark.sql.functions._
         import graft.sources.Tables

@@ -339,6 +339,86 @@ object Curation {
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------------------------
+  // Source mixing (data-mixture rebalancing).
+  // ------------------------------------------------------------------
+
+  /** Source-mixture rebalancing: downsample every source to the TOKEN
+    * budget of the smallest source, so the retained corpus is
+    * source-balanced by volume (the knob a pretraining data mix
+    * actually turns — token share, not document share). The keep rate
+    * is computed FROM the data: per-source token totals are one
+    * bounded aggregation (map-side partial over at most |sources|
+    * keys), the global minimum is a scalar, and the per-source keep
+    * bar is the integer `min_tokens * 256 DIV src_tokens` compared
+    * against the first md5 byte of the doc id — the same
+    * engine-portable hash-Bernoulli trick as [[curSampleStratified]],
+    * so the sample is deterministic, reproducible across engines, and
+    * applied as a pure map-side filter. The rate table is a genuine
+    * dimension (|sources| rows), so broadcasting it is the correct
+    * 100 TB shape — the corpus itself never shuffles.
+    */
+  def curMixSources(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val per = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    // the global min over the |sources|-row aggregate comes from an
+    // empty-partition window (the frame is dimension-sized, so the
+    // single-reducer window is bounded) — not a scalar cross join,
+    // which plans as a nested-loop and trips the inventory sweep.
+    val rates = per
+      .withColumn("min_tokens",
+        min(col("src_tokens")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .select(col("source"), expr("min_tokens * 256 DIV src_tokens").as("keep_bar"))
+    docs.join(broadcast(rates), "source")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") < col("keep_bar"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Cross-document duplicated-n-gram fraction.
+  // ------------------------------------------------------------------
+
+  /** Cross-document duplication signal (the RefinedWeb/Gopher
+    * "duplicated n-gram fraction" family, measured ACROSS documents
+    * rather than within one): for every document, the fraction of its
+    * distinct 3-gram shingles that also appear in at least one other
+    * document. Complements [[curRepetition]] (within-doc) and the
+    * §2.3 pair-level dedup: a high `dup_frac` with no qualifying
+    * near-dup pair is exactly the boilerplate-heavy document a
+    * curation pass wants to score.
+    *
+    * Reuses the dedup inverted index: one exchange on the shingle key
+    * (the same count window [[Dedup.withDocFreq]] uses), one
+    * aggregation back on the doc id — no self-join, no corpus
+    * broadcast; cost is strictly below the jaccard pipeline that
+    * already runs on this corpus.
+    */
+  def curDupNgramFrac(s: SparkSession, d: String): DataFrame = {
+    // two consumers of the lambda-built shingle table (sizes + the
+    // exploded index) — materialize once, same reasoning as
+    // dedupNgramJaccard.
+    val sh = Dedup.shingled(s, d).localCheckpoint()
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dup = Dedup.withDocFreq(ex).filter(col("df") >= 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      // merge, not broadcast/shuffle_hash: both sides are per-document
+      // tables (corpus-sized at 100 TB) and Catalyst cannot size the
+      // checkpointed side.
+      .hint("merge")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_shingles") > 0,
+          round(coalesce(col("n_dup"), lit(0L)) / col("n_shingles"), 4)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
   // TF-IDF top terms.
   // ------------------------------------------------------------------
 
@@ -483,6 +563,8 @@ object Curation {
     "cur_repetition" -> curRepetition _,
     "cur_chunk" -> curChunk _,
     "cur_sample_stratified" -> curSampleStratified _,
+    "cur_mix_sources" -> curMixSources _,
+    "cur_dup_ngram_frac" -> curDupNgramFrac _,
     "cur_tfidf_topterms" -> curTfidfTopterms _,
     "cur_pack" -> curPack _)
 
@@ -623,6 +705,33 @@ object Curation {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
         |  CASE WHEN lang = 'en' THEN '33' ELSE '7f' END
         |ORDER BY doc_id""".stripMargin,
+    "cur_mix_sources" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |p AS (SELECT source, sum(n_tokens) AS src_tokens FROM d GROUP BY 1),
+        |m AS (SELECT min(src_tokens) AS min_tokens FROM p),
+        |r AS (SELECT source, min_tokens * 256 // src_tokens AS keep_bar
+        |      FROM p CROSS JOIN m)
+        |SELECT doc_id, source, n_tokens
+        |FROM d JOIN r USING (source)
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+        |  < keep_bar
+        |ORDER BY doc_id""".stripMargin,
+    "cur_dup_ngram_frac" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 2),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS sh FROM documents),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |f AS (SELECT s, count(*) AS df FROM e GROUP BY 1),
+        |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        |        FROM e JOIN f USING (s) WHERE df >= 2 GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+        | CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup,
+        | CASE WHEN len(sh) > 0
+        |   THEN round(CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / len(sh), 4) END AS dup_frac
+        |FROM t LEFT JOIN dup USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "cur_tfidf_topterms" ->
       """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),

@@ -293,6 +293,97 @@ object Similarity {
   def annIvfTopk(s: SparkSession, d: String): DataFrame =
     topkOf(ivfCandidates(s, d))
 
+  /** Every vector with its nearest-centroid cell (map-side argmax over
+    * the [[kmeansCentroids]] quantizer — no join, no shuffle).
+    */
+  private[graft] def cellAssigned(s: SparkSession, d: String): DataFrame = {
+    val cents = kmeansCentroids(s, d)
+    withNorm(s, d)
+      .withColumn("cell",
+        (-array_max(centroidSims(cents)).getField("negcell")).cast("int"))
+  }
+
+  /** SemDedup-style semantic dedup: cluster the embedding space with
+    * the spherical-k-means quantizer, then compare ONLY within-cell
+    * pairs and drop every vector that has a smaller-id within-cell
+    * neighbor at cosine ≥ [[CosineThreshold]] (`rep_id` = the smallest
+    * such neighbor; greedy keep-first, exactly SemDedup's
+    * drop-all-but-one-per-cluster-pair rule, made deterministic by the
+    * id order). The cell-equality self-join bounds the compute at
+    * Σ n_c² instead of n² — the entire point of SemDedup — and at a
+    * real deployment k scales with the corpus (k ≈ √n keeps cells
+    * bounded), so the join key cardinality grows with the data; the
+    * fixed k here mirrors the fixed IVF geometry and is gated by
+    * [[dedupSemanticGate]]. Sort-merge join: both sides are the
+    * corpus, a hash build is resident and a broadcast is corpus-sized.
+    * Quantizer cells are a fitted model, not SQL — so the result set
+    * is rows-only checked and the GATE row is the oracle-gated
+    * quality contract, same split as the ANN top-k/recall pairs.
+    */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val e = cellAssigned(s, d).localCheckpoint()
+    val a = e.select(col("cell"), col("vec_id").as("ida"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("cell"), col("vec_id").as("idb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    // division order matches dedupEmbeddingCosine (smaller id's norm
+    // first — the a side is the smaller id by the filter), so the
+    // rounded threshold agrees bit-exactly with the exact path.
+    val drops = a.hint("merge").join(b, Seq("cell"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("cosine", round(pairDot / col("na") / col("nb"), 4))
+      .filter(col("cosine") >= CosineThreshold)
+      .groupBy(col("idb")).agg(min(col("ida")).as("rep_id"))
+      .select(col("idb").as("vec_id"), col("rep_id"))
+    e.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .hint("merge")
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("rep_id").isNull, 1L).otherwise(0L).as("keep"), col("rep_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** CORRECTNESS bars for [[dedupSemanticGate]], calibrated from the
+    * measured within-cell containment of the exact cosine-pair set
+    * (deterministic quantizer + fixed data ⇒ constants the driver
+    * re-verifies; measured recall 0.30 / 0.49 / 0.35 at
+    * sf0.001/0.01/0.1 with scan fraction ≈ 0.124 at all three). On
+    * this ANN-hostile corpus (qualifying pairs at cosine 0.40–0.60, no
+    * tight clusters) a random 8-way partition would contain ≈ 0.125 of
+    * the pairs at the same scan cost — the gate certifies the
+    * quantizer beats that by ≥ 2× (recall ≥ 0.25 at ≤ 0.2 scan): the
+    * compression/recall trade SemDedup actually offers here. On a
+    * clustered corpus (real near-dups at cosine ≥ 0.9) containment
+    * approaches 1 and the same bars hold with huge margin.
+    */
+  val SemRecallBar = 0.25 // min fraction of exact pairs that are within-cell
+  val SemWorkBar = 0.2 // max Σ n_c·(n_c−1)/2 as a fraction of n·(n−1)/2
+
+  /** Oracle-gated quality row for [[dedupSemantic]]: `n_exact_pairs`
+    * (DuckDB-recomputable — a REAL oracle quantity, unlike the ANN
+    * gates' query count), `recall_ok` = the within-cell scan would
+    * see at least [[SemRecallBar]] of the exact cosine pairs, and
+    * `work_ok` = the within-cell pair space is at most [[SemWorkBar]]
+    * of all-pairs. A quantizer regression (lost recall or collapsed
+    * cells blowing up the scan) flips a flag and fails the hash.
+    */
+  def dedupSemanticGate(s: SparkSession, d: String): DataFrame = {
+    val cells = cellAssigned(s, d).select(col("vec_id"), col("cell")).localCheckpoint()
+    val exact = dedupEmbeddingCosine(s, d).select(col("vec_a"), col("vec_b"))
+    val sameCell = exact
+      .hint("merge").join(cells.select(col("vec_id").as("vec_a"), col("cell").as("ca")), "vec_a")
+      .hint("merge").join(cells.select(col("vec_id").as("vec_b"), col("cell").as("cb")), "vec_b")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum((col("ca") === col("cb")).cast("long")).as("n_within"))
+    val work = cells.groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+      .agg(sum(col("nc") * (col("nc") - 1) / 2).as("scan_pairs"),
+        (sum(col("nc")) * (sum(col("nc")) - 1) / 2).as("all_pairs"))
+    sameCell.crossJoin(broadcast(work))
+      .select(col("n_exact_pairs"),
+        (col("n_within") >= col("n_exact_pairs") * SemRecallBar).cast("long").as("recall_ok"),
+        (col("scan_pairs") <= col("all_pairs") * SemWorkBar).cast("long").as("work_ok"))
+  }
+
   /** Oracle-gated recall/prune row for an ANN path: did the
     * approximate top-k recover at least `recallBar` of all exact
     * query×top-k pairs (macro-recall), while no query generated more
@@ -338,6 +429,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
+    "dedup_semantic" -> dedupSemantic _,
+    "dedup_semantic_gate" -> dedupSemanticGate _,
     "ann_bruteforce_topk" -> annBruteforceTopk _,
     "ann_lsh_topk" -> annLshTopk _,
     "ann_lsh_recall" -> annLshRecall _,
@@ -368,6 +461,14 @@ object Similarity {
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // n_exact_pairs is recomputed for real by DuckDB; the two flags
+    // assert the deterministic Spark-side measurement clears the bars.
+    "dedup_semantic_gate" ->
+      s"""$cosineCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+         | CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS work_ok
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) >= 0.4""".stripMargin,
     "ann_lsh_recall" -> recallOracle,
     "ann_ivf_recall" -> recallOracle,
     "dedup_embedding_cosine" ->

@@ -139,6 +139,67 @@ class CurationSpec extends AnyFunSuite {
     assert(reasons.contains("ok") && reasons.contains("eval_holdout"), reasons.toString)
   }
 
+  test("mix sources: keep bars equalize token budgets; sample is the hash filter") {
+    val rows = Curation.curMixSources(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the per-source bars independently
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("nt")))
+    val perSrc = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val minT = perSrc.values.min
+    val bars = perSrc.view.mapValues(t => minT * 256 / t).toMap
+    def keyByte(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 2), 16)
+    }
+    val expected = docs.filter { case (id, src, _) => keyByte(id) < bars(src) }
+      .map(_._1).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == expected)
+    // the smallest source keeps everything (bar = 256 > any hash byte)
+    val minSrc = perSrc.minBy(_._2)._1
+    val keptBySrc = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(keptBySrc(minSrc) == docs.count(_._2 == minSrc))
+    // and at least one over-budget source was actually downsampled
+    assert(docs.groupBy(_._2).exists { case (s2, ds) =>
+      keptBySrc.getOrElse(s2, 0) < ds.length })
+  }
+
+  test("dup ngram frac: counts match an independent df recomputation") {
+    val rows = Curation.curDupNgramFrac(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent recomputation of shingle document frequencies
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val df2 = byDoc.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val sh = byDoc(id)
+      val nDup = sh.count(s2 => df2(s2) >= 2).toLong
+      assert(r.getAs[Long]("n_shingles") == sh.size.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_dup") == nDup, s"doc $id")
+      if (sh.nonEmpty) {
+        // Spark round() is HALF_UP on the decimal value, not rint
+        val exp = BigDecimal(nDup.toDouble / sh.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("dup_frac") == exp, s"doc $id")
+      }
+    }
+    // the signal must separate documents on this corpus
+    val fracs = rows.filter(!_.isNullAt(3)).map(_.getAs[Double]("dup_frac")).distinct
+    assert(fracs.length > 1)
+  }
+
   test("pack: offsets consistent with per-(lang, shard) running sum") {
     val rows = Curation.curPack(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -114,4 +114,67 @@ class DedupSimilaritySpec extends AnyFunSuite {
         assert(r(0).getAs[Long]("prune_ok") == 1L, "candidate volume over bar")
       }
   }
+
+  test("incremental dedup: batch verdicts agree with a full recomputation") {
+    val rows = Dedup.dedupIncremental(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keyed = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+          .as("k"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("k"))
+    val corpusMin = keyed.filter(_._1 % 10 != 0)
+      .groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val batch = keyed.filter(_._1 % 10 == 0).toMap
+    assert(rows.length == batch.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 10 == 0)
+      assert(r.getAs[String]("content_key") == batch(id))
+      corpusMin.get(batch(id)) match {
+        case Some(minId) =>
+          assert(r.getAs[Long]("is_new") == 0L && r.getAs[Long]("dup_of") == minId, s"doc $id")
+        case None =>
+          assert(r.getAs[Long]("is_new") == 1L && r.isNullAt(3), s"doc $id")
+      }
+    }
+    // the synthetic corpus has exact dups, so both verdicts must occur
+    assert(rows.exists(_.getAs[Long]("is_new") == 0L), "no duplicate found in batch")
+    assert(rows.exists(_.getAs[Long]("is_new") == 1L), "no new doc found in batch")
+  }
+
+  test("semantic dedup: drops exactly the vectors with a smaller within-cell neighbor") {
+    val rows = Similarity.dedupSemantic(spark, sf).collect()
+    val n = sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length == n.toInt)
+    // recompute within-cell qualifying neighbors from the exact pair
+    // set restricted to same-cell (the exact path shares the rounding)
+    val cells = Similarity.cellAssigned(spark, sf)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val sameCellPairs = Similarity.dedupEmbeddingCosine(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+      .filter { case (a, b) => cells(a) == cells(b) }
+    val expectedRep = sameCellPairs.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("cell") == cells(id).toLong)
+      expectedRep.get(id) match {
+        case Some(rep) =>
+          assert(r.getAs[Long]("keep") == 0L && r.getAs[Long]("rep_id") == rep, s"vec $id")
+        case None =>
+          assert(r.getAs[Long]("keep") == 1L && r.isNullAt(3), s"vec $id")
+      }
+    }
+    assert(rows.exists(_.getAs[Long]("keep") == 0L), "no semantic dup dropped")
+  }
+
+  test("semantic dedup gate: flags pass; exact pair count matches the exact path") {
+    val r = Similarity.dedupSemanticGate(spark, sf).collect()
+    assert(r.length == 1)
+    val nExact = Similarity.dedupEmbeddingCosine(spark, sf).count()
+    assert(r(0).getAs[Long]("n_exact_pairs") == nExact)
+    assert(r(0).getAs[Long]("recall_ok") == 1L, "within-cell recall under bar")
+    assert(r(0).getAs[Long]("work_ok") == 1L, "cell scan cost over bar")
+  }
 }

@@ -114,7 +114,7 @@ class PlanSpec extends AnyFunSuite {
     // centroids) but its recall row inherits the gate crosses.
     val allowNestedLoop =
       Set("ann_bruteforce_topk", "ann_lsh_recall", "ann_ivf_recall",
-        "q24_revenue_share", "cur_tfidf_topterms")
+        "dedup_semantic_gate", "q24_revenue_share", "cur_tfidf_topterms")
     SparkEntry.queries.keys.filterNot(allowNestedLoop).foreach { q =>
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
@@ -129,7 +129,7 @@ class PlanSpec extends AnyFunSuite {
     // dedup_exact has no join at all; the others must show zero
     // BroadcastExchange nodes in the static plan.
     Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_embedding_cosine").foreach { q =>
+        "dedup_embedding_cosine", "dedup_semantic", "dedup_incremental").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("BroadcastExchange"), s"$q broadcasts a corpus-sized side:\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
