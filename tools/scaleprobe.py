@@ -23,6 +23,16 @@ cur_pii_redact 0.9s->1.9s, cur_pack 0.4s->0.7s; ANN family 1.5-3.1s.
 All sublinear-or-linear; the exact cosine baseline stays quadratic
 by design (24s).
 
+Round-3 late additions at 10x (warm, vs sf0.1 warm):
+cur_mix_sources 0.4->1.3s, cur_dup_ngram_frac 1.2->4.7s,
+dedup_incremental 0.4->1.1s — all sublinear in the 10x.
+dedup_semantic 0.8->5.0s: within-cell pair count is quadratic at the
+FIXED test k=8 (sum n_c^2 with n_c = n/8); a deployment scales k with
+the corpus (k ~ sqrt(n)) which bounds cells — same fixed-geometry
+caveat as the IVF constants. dedup_semantic_gate 1.1->12.9s: the gate
+recomputes the intentionally-O(n^2) exact cosine pair set to measure
+containment — validation cost, not pipeline cost. All memory-safe.
+
 The probe also replicates the TPC-H-ish facts (lineitem 6M, orders
 1.5M, events 1M; keys shifted per replica, dims unreplicated — how a
 larger SF behaves). Relational/ETL/streaming 10x warm times:
