@@ -104,8 +104,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(c1 != seeds, "centroids did not update — Lloyd's step is a no-op")
   }
 
+  test("PQ codebooks: deterministic, full M x K tensor, centroids moved") {
+    val b1 = Similarity.pqCodebooks(spark, sf)
+    val b2 = Similarity.pqCodebooks(spark, sf)
+    assert(b1 == b2, "codebook fit must be deterministic")
+    assert(b1.size == Similarity.PqSubspaces * Similarity.PqCodes)
+    assert(b1.values.forall(_.length == Similarity.PqSubDim))
+    // the Lloyd's update must have moved the seeds
+    val seeds = sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < Similarity.PqCodes)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+    val seeded = seeds.zipWithIndex.exists { case (v, k) =>
+      (0 until Similarity.PqSubspaces).forall { m =>
+        b1((m, k)) == v.slice(m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim)
+      }
+    }
+    assert(!seeded, "codebooks did not update — Lloyd's step is a no-op")
+  }
+
+  test("PQ ANN: full top-k per query, exact re-rank bounds cosine by brute force") {
+    val pq = Similarity.annPqTopk(spark, sf).collect()
+    val byQ = pq.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == Similarity.NumQueryVecs)
+    byQ.values.foreach(rs => assert(rs.length == Similarity.TopK))
+    val bf = Similarity.annBruteforceTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    val bfTop = bf.groupBy(_._1._1).view.mapValues(_.values.max).toMap
+    pq.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(r.getAs[Double]("cosine") <= bfTop(q) + 1e-9)
+      assert(n != q, "query returned as its own neighbor")
+      // the refine step computes EXACT cosines: any (q, n) also in the
+      // brute-force top-k must carry the identical rounded value
+      bf.get((q, n)).foreach(exact => assert(r.getAs[Double]("cosine") == exact))
+    }
+  }
+
+  test("int8 quantization: values bounded, reconstruction faithful") {
+    val rows = Similarity.embQuantizeInt8(spark, sf).collect()
+    assert(rows.length == sources.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("scale") > 0)
+      // |q_i| <= 127 for 64 components
+      assert(r.getAs[Long]("q_l1") <= 127L * 64)
+      assert(math.abs(r.getAs[Long]("q_sum")) <= r.getAs[Long]("q_l1"))
+      // max-abs int8 keeps the direction: cosine(v, q) stays near 1
+      assert(r.getAs[Double]("recon_cosine") >= 0.999,
+        s"vec ${r.getAs[Long]("vec_id")} recon ${r.getAs[Double]("recon_cosine")}")
+    }
+  }
+
   test("ANN recall gates: both flags pass at the calibrated bars") {
-    Seq(Similarity.annLshRecall(spark, sf), Similarity.annIvfRecall(spark, sf))
+    Seq(Similarity.annLshRecall(spark, sf), Similarity.annIvfRecall(spark, sf),
+      Similarity.annPqRecall(spark, sf))
       .foreach { gate =>
         val r = gate.collect()
         assert(r.length == 1)

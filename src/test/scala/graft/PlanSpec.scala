@@ -114,7 +114,8 @@ class PlanSpec extends AnyFunSuite {
     // centroids) but its recall row inherits the gate crosses.
     val allowNestedLoop =
       Set("ann_bruteforce_topk", "ann_lsh_recall", "ann_ivf_recall",
-        "dedup_semantic_gate", "q24_revenue_share", "cur_tfidf_topterms")
+        "ann_pq_recall", "dedup_semantic_gate", "q24_revenue_share",
+        "cur_tfidf_topterms")
     SparkEntry.queries.keys.filterNot(allowNestedLoop).foreach { q =>
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
