@@ -327,6 +327,13 @@ object Etl {
     val parsed = base
       .select(col("event_id"), posexplode(split(col("raw"), "\n")).as(Seq("line_no", "l")))
       .filter(col("l").startsWith("data:"))
+      // Sentinel pushdown: the reference json.loads-es every data:
+      // line and skips the ones that fail to parse ([DONE]) or carry
+      // no object payload (null/None) — dropping those exact literals
+      // BEFORE from_json is semantics-preserving and saves the
+      // Jackson parse on the fixed per-transcript sentinel line
+      // (~1 in 4 data: lines here).
+      .filter(!trim(expr("substring(l, 6)")).isin("[DONE]", "null", "None"))
       .select(col("event_id"), col("line_no"),
         from_json(trim(expr("substring(l, 6)")), chunkSchema).as("p"))
       // Materialization barrier: from_json is CodegenFallback, and the

@@ -26,6 +26,13 @@ by design (24s).
 Round-3 late additions at 10x (warm, vs sf0.1 warm):
 cur_mix_sources 0.4->1.3s, cur_dup_ngram_frac 1.2->4.7s,
 dedup_incremental 0.4->1.1s — all sublinear in the 10x.
+
+PQ family at 10x (20k vectors, warm vs sf0.1 warm): ann_pq_topk
+2.7->6.1s (codebook fit over 10x vectors + the ADC scan; sublinear),
+ann_pq_recall 3.8->7.8s (inherits the brute-force gate),
+emb_quantize_int8 0.4->1.7s (pure map + output sort, linear).
+etl_sse_parse after the sentinel pushdown: 4.5s at 10x (was 6.6s).
+All memory-safe.
 dedup_semantic 0.8->5.0s: within-cell pair count is quadratic at the
 FIXED test k=8 (sum n_c^2 with n_c = n/8); a deployment scales k with
 the corpus (k ~ sqrt(n)) which bounds cells — same fixed-geometry
