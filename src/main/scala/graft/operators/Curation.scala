@@ -88,7 +88,7 @@ object Curation {
     * longer than the dedup 3-grams so membership means a real phrase
     * match, not vocabulary overlap).
     */
-  private val FiveGramExpr =
+  private[graft] val FiveGramExpr =
     """array_distinct(CASE WHEN size(toks) < 5 THEN cast(array() AS array<string>)
       |ELSE transform(sequence(1, size(toks) - 4),
       |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),

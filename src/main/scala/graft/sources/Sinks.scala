@@ -93,6 +93,20 @@ object Sinks {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** ORC read/write: the other columnar format large warehouses hand
+    * an engine (Hive-era lakes are ORC; Spark's reader is vectorized
+    * and supports the same predicate pushdown / column pruning as
+    * parquet). Same writer conventions as the parquet path, including
+    * Hive-style partitioning.
+    */
+  def writeOrc(df: DataFrame, path: String, partitionCols: String*): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Schema normalization: guarantee the presence and order of a
     * required column set, adding missing ones as typed nulls — the
     * reference's "ensure text columns exist" step

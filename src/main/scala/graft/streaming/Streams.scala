@@ -122,6 +122,45 @@ object Streams {
   }
 
   // ------------------------------------------------------------------
+  // Stream-static decontamination join.
+  // ------------------------------------------------------------------
+
+  /** Stream-static decontamination: documents arrive as an unbounded
+    * stream; the held-out benchmark's distinct 5-gram index is STATIC
+    * — resolved once and broadcast into every micro-batch's join (the
+    * stream-static join mechanism: only the stream side pays per
+    * trigger). A document is flagged the moment any of its 5-grams
+    * hits the index: explode → stream-static left-semi join →
+    * keep-first dropDuplicates (same watermarkable-state bound as
+    * [[dedupStreaming]]). The streaming analog of
+    * [[graft.operators.Curation.curDecontaminate]]'s broadcast shape;
+    * at 100 TB the benchmark index stays MMLU-sized while the corpus
+    * streams past it map-side.
+    */
+  def decontaminateStream(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", graft.operators.TextAnalysis.tokens(col("text")))
+      .withColumn("g5", expr(graft.operators.Curation.FiveGramExpr))
+      .select(col("doc_id"), explode(col("g5")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .dropDuplicates("doc_id")
+      .select(col("doc_id"))
+
+  /** Batch analog for the correctness gate: contaminated doc ids
+    * (eval split = doc_id % 20 == 0, as in the curation family).
+    */
+  def streamDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val evalGrams = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .withColumn("toks", graft.operators.TextAnalysis.tokens(col("text")))
+      .withColumn("g5", expr(graft.operators.Curation.FiveGramExpr))
+      .select(explode(col("g5")).as("g")).distinct()
+    decontaminateStream(docs.filter(pmod(col("doc_id"), lit(20)) =!= 0), evalGrams)
+      .withColumn("contaminated", lit(1L))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
   // Stream-stream interval join.
   // ------------------------------------------------------------------
 
@@ -191,9 +230,21 @@ object Streams {
     "stream_session_state" -> sessionizeBatch _,
     "stream_dedup" -> streamDedup _,
     "stream_topk" -> streamTopK _,
-    "stream_interval_join" -> streamIntervalJoin _)
+    "stream_interval_join" -> streamIntervalJoin _,
+    "stream_decontaminate" -> streamDecontaminate _)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_decontaminate" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 4),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+        |        string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+        |        string_split(text, ' ')[i+4])) AS g5 FROM documents),
+        |ev AS (SELECT DISTINCT unnest(g5) AS g FROM t WHERE doc_id % 20 = 0)
+        |SELECT DISTINCT doc_id, CAST(1 AS BIGINT) AS contaminated
+        |FROM (SELECT doc_id, unnest(g5) AS g FROM t WHERE doc_id % 20 <> 0) tr
+        |JOIN ev ON tr.g = ev.g
+        |ORDER BY doc_id""".stripMargin,
     "stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
         |FROM events p JOIN events c

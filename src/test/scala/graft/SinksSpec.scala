@@ -55,6 +55,29 @@ class SinksSpec extends AnyFunSuite {
     assert(en.count() == df.filter(col("lang") === "en").count())
   }
 
+  test("orc roundtrip preserves values; partition + predicate pushdown reach the scan") {
+    val df = Tables.documents(spark, sf)
+    val path = tmp("orcpart")
+    Sinks.writeOrc(df, path, "lang")
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("lang=")) >= 2, dirs.toSeq.toString)
+    val back = Sinks.readOrc(spark, path)
+    assert(back.count() == df.count())
+    // same rows (lang moved to partition column, values preserved)
+    val a = back.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val b = df.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // partition pruning + predicate pushdown must reach the ORC scan
+    val en = back.filter(col("lang") === "en" && col("doc_id") < 100)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { en.explain("formatted") }
+    val plan = out.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"), plan)
+  }
+
   test("ensureColumns adds missing required columns as typed nulls") {
     import spark.implicits._
     import org.apache.spark.sql.types._

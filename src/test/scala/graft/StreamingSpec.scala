@@ -92,6 +92,38 @@ class StreamingSpec extends AnyFunSuite {
     assert((keptIds & Set(1L, 2L, 4L)).size == 1)
   }
 
+  test("stream-static decontamination matches the batch analog across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the STATIC side: eval split's distinct 5-grams from the batch table
+    val evalGrams = sources.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(20)) === 0)
+      .withColumn("toks", graft.operators.TextAnalysis.tokens(col("text")))
+      .withColumn("g5", expr(graft.operators.Curation.FiveGramExpr))
+      .select(explode(col("g5")).as("g")).distinct()
+    val stream = MemoryStream[(Long, String)]
+    val training = docs.filter(_._1 % 20 != 0)
+    val (half1, half2) = training.splitAt(training.length / 2)
+    val q = Streams.decontaminateStream(
+        stream.toDF().toDF("doc_id", "text"), evalGrams)
+      .writeStream.outputMode("append").format("memory").queryName("decon_out").start()
+    try {
+      stream.addData(half1)
+      q.processAllAvailable()
+      stream.addData(half2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fromStream = spark.table("decon_out").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val fromBatch = Streams.streamDecontaminate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(fromStream == fromBatch)
+    assert(fromBatch.nonEmpty, "corpus should contain contaminated docs")
+  }
+
   test("watermark drops data later than the 2-hour bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
