@@ -78,6 +78,42 @@ class SinksSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"), plan)
   }
 
+  test("z-ordered write clusters BOTH dimensions (bounded per-file extents)") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val zPath = tmp("zorder")
+    val sPath = tmp("singlesort")
+    Sinks.writeZOrdered(li, zPath, "l_orderkey", "l_partkey", numFiles = 8)
+    // control: plain sort on the leading column only
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(sPath)
+
+    // average normalized per-file extent of a column = the fraction of
+    // the global range a file's min/max box covers (1.0 = no clustering)
+    def extents(path: String, c: String): Double = {
+      val global = spark.read.parquet(path)
+        .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head
+      val span = global.getDouble(1) - global.getDouble(0)
+      val perFile = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy("f").agg(((max(col(c)) - min(col(c))) / span).as("e"))
+        .agg(avg(col("e"))).head.getDouble(0)
+      perFile
+    }
+    // rows preserved
+    assert(spark.read.parquet(zPath).count() == li.count())
+    val zA = extents(zPath, "l_orderkey"); val zB = extents(zPath, "l_partkey")
+    val sA = extents(sPath, "l_orderkey"); val sB = extents(sPath, "l_partkey")
+    // single-column sort: leading column tightly clustered, second ~full range
+    assert(sA < 0.3, s"control leading-col extent $sA")
+    assert(sB > 0.8, s"control second-col extent $sB should be unclustered")
+    // z-order: BOTH columns' boxes must be materially below full range
+    assert(zA < 0.7, s"z-order extent on ${"l_orderkey"} = $zA")
+    assert(zB < 0.7, s"z-order extent on ${"l_partkey"} = $zB")
+    assert(zB < sB / 2, s"z-order must beat single-sort on the second dim: $zB vs $sB")
+  }
+
   test("ensureColumns adds missing required columns as typed nulls") {
     import spark.implicits._
     import org.apache.spark.sql.types._
