@@ -39,6 +39,10 @@ the corpus (k ~ sqrt(n)) which bounds cells — same fixed-geometry
 caveat as the IVF constants. dedup_semantic_gate 1.1->12.9s: the gate
 recomputes the intentionally-O(n^2) exact cosine pair set to measure
 containment — validation cost, not pipeline cost. All memory-safe.
+stream_decontaminate 1.4->3.7s warm (2.6x at 10x docs): the
+stream-static n-gram join scales sublinearly — the static eval-side
+index is built once per microbatch and the stream side is a map +
+hash join. Memory-safe.
 
 The probe also replicates the TPC-H-ish facts (lineitem 6M, orders
 1.5M, events 1M; keys shifted per replica, dims unreplicated — how a
