@@ -105,6 +105,44 @@ class PlanSpec extends AnyFunSuite {
     assert(agg.count() > 0)
   }
 
+  test("bucketed tables: co-located fact-fact join runs with zero exchange") {
+    // The 100 TB payoff of bucketing: two fact tables pre-bucketed on
+    // the join key with the SAME bucket count join with no shuffle on
+    // either side. Broadcast is disabled for the assertion — at real
+    // scale neither side fits, and the point is the exchange-free
+    // sort-merge join over co-located buckets.
+    Seq("li_bucketed2", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    sources.Sinks.writeBucketedTable(
+      sources.Tables.lineitem(spark, sf), "li_bucketed2", "l_orderkey", 8)
+    sources.Sinks.writeBucketedTable(
+      sources.Tables.orders(spark, sf)
+        .withColumnRenamed("o_orderkey", "l_orderkey"), "ord_bucketed", "l_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bucketed2")
+        .join(spark.table("ord_bucketed"), "l_orderkey")
+        .groupBy("o_orderstatus").count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // join + partial agg consume the bucket distribution directly;
+      // the only exchange allowed is the final tiny status roll-up
+      val joinSide = plan.split("SortMergeJoin")(1)
+      assert(!joinSide.contains("Exchange hashpartitioning"), plan)
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("no unintentional nested-loop joins anywhere in the inventory") {
     // ann_bruteforce_topk intentionally nested-loops 10 broadcast query
     // vectors against the table (its whole point is the exact scan);
