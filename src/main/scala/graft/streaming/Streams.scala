@@ -225,6 +225,32 @@ object Streams {
     windowedTopK(Tables.events(s, d))
       .orderBy(col("window_start"), col("event_type"), col("rank"))
 
+  // ------------------------------------------------------------------
+  // Exactly-once checkpointed file sink.
+  // ------------------------------------------------------------------
+
+  /** Checkpointed parquet sink: the production landing path for a
+    * streaming pipeline. Spark's file sink commits each epoch to the
+    * output's `_spark_metadata` log and the source offsets to the
+    * checkpoint, so a crashed/restarted query resumes where it
+    * stopped and readers see each input row's output EXACTLY once —
+    * files from a replayed epoch are re-written under the same epoch
+    * id and the metadata log keeps one committed manifest per epoch.
+    * `Trigger.AvailableNow` drains the available backlog and stops,
+    * the restartable-batch posture a recurring-crawl curation
+    * pipeline runs on (StreamingSpec proves no-duplication across a
+    * stop + restart + replayed-source cycle).
+    */
+  def sinkToParquet(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> streamWindowedAgg _,
     "stream_session_state" -> sessionizeBatch _,

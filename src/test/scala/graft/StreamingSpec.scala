@@ -198,4 +198,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains((1L, 1L, 2L)))
     assert(out.contains((1L, 2L, 3L)))
   }
+
+  test("checkpointed parquet sink: no duplicates across stop + restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-eo-sink").toString
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    val stream = MemoryStream[(Long, String)]
+    val transformed = Streams.dedupStreaming(stream.toDF().toDF("doc_id", "text"))
+
+    // epoch 1: drain the first batch, then STOP the query entirely
+    stream.addData((1L, "a b c"), (2L, "x y z"))
+    Streams.sinkToParquet(transformed, out, ckpt).awaitTermination()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst == 2, s"expected 2 rows after epoch 1, got $afterFirst")
+
+    // restart from the same checkpoint with new data queued: only the
+    // uncommitted offsets are processed ("b c a" dups doc 1's bag
+    // fingerprint within this run's state and is dropped by dedup)
+    stream.addData((3L, "fresh words here"), (4L, "b c a"))
+    Streams.sinkToParquet(transformed, out, ckpt).awaitTermination()
+
+    // restart again with NOTHING new: a replayed/no-op run must not
+    // re-emit committed epochs
+    Streams.sinkToParquet(transformed, out, ckpt).awaitTermination()
+
+    val rows = spark.read.parquet(out).collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).sorted
+    assert(ids.length == ids.distinct.length, s"duplicated output: ${ids.toSeq}")
+    assert(ids.toSet == Set(1L, 2L, 3L),
+      s"expected exactly docs 1,2,3 once each, got ${ids.toSeq}")
+  }
 }
