@@ -281,19 +281,21 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, band, bh) LSH band table over a [[shingled]] frame —
+    * 32 rows per document; the structure a production pipeline
+    * PERSISTS between crawls so recurring runs probe it instead of
+    * re-shingling the corpus. One shuffle (groupBy doc) collecting
+    * pre-hashed shingles, then the whole 128-hash signature + 32 band
+    * hashes in a single tight typed pass per document. (Tried first:
+    * 128 codegen'd min() agg columns — correct and scalable, but
+    * janino pays ~5s compiling the generated aggregate; the fused
+    * kernel is faster cold AND warm, and the shuffle/partial-agg
+    * shape is unchanged.)
+    */
+  private[graft] def bandTable(s: SparkSession, sh: DataFrame): DataFrame = {
     import s.implicits._
     val rows = NumHashes / NumBands
-    // same single-materialization rationale as dedupNgramJaccard
-    val sh = shingled(s, d).localCheckpoint()
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    // One shuffle (groupBy doc) collecting pre-hashed shingles, then
-    // the whole 128-hash signature + 32 band hashes in a single tight
-    // typed pass per document. (Tried first: 128 codegen'd min() agg
-    // columns — correct and scalable, but janino pays ~5s compiling
-    // the generated aggregate; the fused kernel is faster cold AND
-    // warm, and the shuffle/partial-agg shape is unchanged.)
-    val bands = ex
+    sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
       .as[(Long, Array[Long])]
@@ -316,6 +318,12 @@ object Dedup {
           (id, b, bh)
         }
       }.toDF("doc_id", "band", "bh")
+  }
+
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // same single-materialization rationale as dedupNgramJaccard
+    val sh = shingled(s, d).localCheckpoint()
+    val bands = bandTable(s, sh)
     // merge (SMJ), not broadcast: Catalyst can't size the typed
     // flatMap output and would auto-broadcast a table that is 32 rows
     // per DOCUMENT (corpus-sized at 100 TB); and not shuffle_hash —
@@ -333,6 +341,35 @@ object Dedup {
     // are the tiny build side; the corpus streams) — a broadcast here
     // would ship the full per-doc shingle arrays to every executor,
     // which is corpus-sized and OOMs at 100 TB.
+    verifyExactJaccard(cand, sh)
+  }
+
+  /** Incremental NEAR-dup: probe a NEW shard's LSH bands against the
+    * band index of the existing corpus — the recurring-crawl analog
+    * of [[dedupIncremental]] for near-duplicates, and the query shape
+    * that makes minhash dedup AFFORDABLE on a recurring 100 TB
+    * pipeline: the corpus [[bandTable]] (32 small rows per document)
+    * is what production runs persist between crawls, so each new
+    * shard costs bands(shard) + one bucket join against the stored
+    * index + exact verify on the candidates — the historical corpus
+    * is never re-shingled. Batch = doc_id % 10 == 0 stands in for
+    * the new shard (as in dedupIncremental). Both join sides are
+    * corpus-scale at the limit → sort-merge on the band key,
+    * broadcast nothing; the verify joins candidates back to shingle
+    * arrays by doc id, same shape as [[dedupMinhashLsh]]'s verify.
+    * LSH recall at this corpus' similarity levels is effectively
+    * exact (see dedupMinhashLsh), so the row is held to the exact
+    * batch×corpus jaccard oracle.
+    */
+  def dedupIncrementalMinhash(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d).localCheckpoint()
+    val bands = bandTable(s, sh)
+    val shard = bands.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corpusIdx = bands.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val cand = shard.hint("merge").as("a").join(corpusIdx.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
     verifyExactJaccard(cand, sh)
   }
 
@@ -452,6 +489,7 @@ object Dedup {
     "dedup_incremental" -> dedupIncremental _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_incremental_minhash" -> dedupIncrementalMinhash _,
     "dedup_simhash" -> dedupSimhash _)
 
   private val jaccardOracle =
@@ -513,6 +551,24 @@ object Dedup {
     // LSH recall is effectively 1 at this threshold (see Scaladoc), so
     // the probabilistic path is held to the same exact oracle.
     "dedup_minhash_lsh" -> jaccardOracle,
+    // Exact batch×corpus jaccard: doc_a is always the new-shard doc
+    // (doc_id % 10 = 0), doc_b the existing-corpus doc — no a<b
+    // canonicalization across the split.
+    "dedup_incremental_minhash" ->
+      raw"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+           |   generate_series(1, len(string_split(text, ' ')) - 2),
+           |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+           |        || ' ' || string_split(text, ' ')[i+2])) AS sh FROM documents),
+           |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+           |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+           |      FROM e a JOIN e b ON a.s = b.s
+           |       AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           | round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) AS jaccard
+           |FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin,
     // Full simhash recomputation: same md5-derived 64-bit hash, bit
     // votes via a 64-row series cross join, signature kept as two
     // 32-bit halves (1 << 63 would overflow BIGINT), identical

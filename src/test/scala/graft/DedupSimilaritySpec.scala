@@ -17,6 +17,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty, "corpus should contain near-dup pairs")
   }
 
+  test("incremental minhash: exactly the full pair set restricted across the shard split") {
+    // canonicalize (a,b) -> (min,max) so the cross-split orientation
+    // (doc_a = new-shard doc) compares against the a<b full pair set
+    val full = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }.toSet
+    val inc = Dedup.dedupIncrementalMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(inc.forall { case (a, b) => a % 10 == 0 && b % 10 != 0 })
+    val canon = inc.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(canon == full)
+  }
+
   test("jaccard values are in (0,1] and symmetric by construction (a<b)") {
     val rows = Dedup.dedupNgramJaccard(spark, sf).collect()
     rows.foreach { r =>

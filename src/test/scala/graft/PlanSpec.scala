@@ -168,7 +168,8 @@ class PlanSpec extends AnyFunSuite {
     // dedup_exact has no join at all; the others must show zero
     // BroadcastExchange nodes in the static plan.
     Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_embedding_cosine", "dedup_semantic", "dedup_incremental").foreach { q =>
+        "dedup_embedding_cosine", "dedup_semantic", "dedup_incremental",
+        "dedup_incremental_minhash").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("BroadcastExchange"), s"$q broadcasts a corpus-sized side:\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
