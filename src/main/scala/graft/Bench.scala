@@ -88,7 +88,15 @@ object Bench {
     // "pass1_total" is the first full cold-ish pass so the two
     // regimes stay separately comparable across rounds.
     val p1total = p1.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"min-of-2-passes","pass1_total":${fmt(p1total)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"min-of-2-passes","pass1_total":${fmt(p1total)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to disk: the driver captures only a bounded output tail,
+    // which destroyed 9 query rows of the round-3 artifact. The on-disk copy
+    // is the authoritative record.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

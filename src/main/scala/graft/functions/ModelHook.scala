@@ -39,6 +39,23 @@ object ModelHook {
     def complete(prompts: Seq[String]): Seq[String]
   }
 
+  /** Failure a [[ModelClient]] can throw to surface a transport-level
+    * status code (an HTTP status, a gRPC code) with the error; the
+    * per-row failure capture in [[completions]] records it in the
+    * `status` output column, mirroring the reference's
+    * `judge-http-<status>` error rows. Failures without a code (parse
+    * errors, timeouts surfaced as plain exceptions) record status
+    * [[StatusErr]].
+    */
+  final case class ModelCallException(status: Int, msg: String)
+    extends RuntimeException(msg)
+
+  /** `status` value for a successful completion (HTTP OK). */
+  val StatusOk = 200
+
+  /** `status` value for a failure that carried no transport code. */
+  val StatusErr = 0
+
   /** Deterministic stand-in for the external model: echoes a bounded
     * prefix of the prompt tagged with its md5, so outputs are stable
     * across runs/engines and visibly fake. Mirrors the reference's
@@ -57,9 +74,32 @@ object ModelHook {
 
   /** Run `client` over the `(keyCol, promptCol)` pairs of `df`,
     * batching [[DefaultBatchSize]] prompts per call inside a typed
-    * `mapPartitions` kernel. Returns `(key, completion)` for the
-    * caller to join back — the expensive stage stays an independent,
-    * retryable unit.
+    * `mapPartitions` kernel. Returns `(key, completion, status, err)`
+    * for the caller to join back — the expensive stage stays an
+    * independent, retryable unit.
+    *
+    * Failure contract (the reference's continue-on-error semantics —
+    * its judge loop records an HTTP status and a parse error PER ROW
+    * and keeps going, `test_chat_assistant_with_judge.py:361-377`
+    * emits `judge-http-<status>` rows rather than aborting, and
+    * `test_chat_assistant.py:180` writes error rows per question):
+    *
+    *  - every batch call is retried up to `maxRetries` times (so
+    *    transient transport failures never surface);
+    *  - a batch whose retries are exhausted DEGRADES TO PER-ROW calls
+    *    (each with its own retry budget), so one poison prompt costs
+    *    one error row, not the batch — and never the task;
+    *  - a row that still fails is emitted as
+    *    `(key, completion = null, status, err = message)` with
+    *    `status` from [[ModelCallException]] (else [[StatusErr]]);
+    *    successful rows carry ([[StatusOk]], err = null).
+    *
+    * At 100 TB this is the difference between a pipeline that
+    * finishes with an auditable error column and one that dies on the
+    * first malformed response: a task failure would retry the WHOLE
+    * partition's model calls (4 attempts of every row's cost, then
+    * kill the job), while the error row costs exactly the failed
+    * row's attempts and keeps the stage's output joinable.
     */
   def completions(
       s: SparkSession,
@@ -67,19 +107,53 @@ object ModelHook {
       keyCol: String,
       promptCol: String,
       client: ModelClient,
-      batchSize: Int = DefaultBatchSize): DataFrame = {
+      batchSize: Int = DefaultBatchSize,
+      maxRetries: Int = 1): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(maxRetries >= 0, s"maxRetries must be non-negative, got $maxRetries")
     import s.implicits._
     val in: Dataset[(Long, String)] =
       df.select(col(keyCol).cast("long"), col(promptCol).cast("string"))
         .as[(Long, String)]
     in.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        val out = client.complete(batch.map(_._2))
-        require(out.length == batch.length,
-          s"model client returned ${out.length} completions for ${batch.length} prompts")
-        batch.map(_._1).zip(out)
+      def attempt(prompts: Seq[String]): Either[Throwable, Seq[String]] = {
+        var last: Either[Throwable, Seq[String]] = null
+        var tries = 0
+        while (tries <= maxRetries && (last == null || last.isLeft)) {
+          last =
+            try {
+              val out = client.complete(prompts)
+              require(out.length == prompts.length,
+                s"model client returned ${out.length} completions for ${prompts.length} prompts")
+              Right(out)
+            } catch { case scala.util.control.NonFatal(e) => Left(e) }
+          tries += 1
+        }
+        last
       }
-    }.toDF(keyCol, "completion")
+      it.grouped(batchSize).flatMap { batch =>
+        attempt(batch.map(_._2)) match {
+          case Right(out) =>
+            batch.map(_._1).zip(out).map { case (k, c) =>
+              (k, Option(c), StatusOk, Option.empty[String])
+            }
+          case Left(_) =>
+            // batch-level failure: adjudicate per row so only the
+            // genuinely failing prompts turn into error rows
+            batch.map { case (k, p) =>
+              attempt(Seq(p)) match {
+                case Right(out) => (k, Option(out.head), StatusOk, Option.empty[String])
+                case Left(e) =>
+                  val status = e match {
+                    case ModelCallException(st, _) => st
+                    case _ => StatusErr
+                  }
+                  (k, Option.empty[String], status,
+                    Option(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+              }
+            }
+        }
+      }
+    }.toDF(keyCol, "completion", "status", "err")
   }
 }

@@ -124,14 +124,26 @@ object Curation {
     * fallback for when the held-out corpus is itself too large to
     * broadcast (e.g. decontaminating against another full training
     * split, not a benchmark). Identical semantics and oracle to
-    * [[curDecontaminate]]; the membership probe becomes a bucketed
-    * left join on the gram key — both sides hash-partition on `g`, so
-    * the cost is one shuffle of each side and no executor ever holds
-    * the whole eval set. The broadcast variant stays the default: for
-    * real benchmark sets (MMLU-sized) shipping the inverted index to
-    * every executor beats reshuffling the training corpus.
+    * [[curDecontaminate]]; the membership probe is a bucketed join on
+    * the gram key — both sides hash-partition on `g`, so no executor
+    * ever holds the whole eval set.
+    *
+    * The training stream is PREFILTERED map-side through the shared
+    * eval-gram bloom sketch ([[evalGramBloom]], constant-size model
+    * state) before the shuffle: the vast majority of training grams
+    * are misses, so only probable-hit grams — true hits plus a
+    * vanishing FP fraction — ever reach the exchange, and the exact
+    * gram-equality join then adjudicates the false positives.
+    * Semantics are unchanged (no false negatives in a bloom probe);
+    * shuffled volume drops by roughly the miss rate (~99% at the test
+    * SFs, and the bigger the training/eval asymmetry the bigger the
+    * win — exactly the 100 TB regime). Docs whose grams all miss are
+    * restored by a left join of the per-doc hit counts back onto the
+    * one-row-per-doc training table (corpus-sized on both sides at
+    * scale, hence sort-merge, not broadcast).
     */
   def curDecontaminateShuffle(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BloomSketch
     val grams = barrier(s,
       Tables.documents(s, d)
         .withColumn("toks", TextAnalysis.tokens(col("text")))
@@ -139,13 +151,20 @@ object Curation {
         .select(col("doc_id"), col("g5")))
     val evalGrams = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
       .select(explode(col("g5")).as("g")).distinct()
-    grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val bfRef = org.apache.spark.sql.GraftColumnBridge.scalarSubquery(evalGramBloom(s, d))
+    val train = grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val hits = train
       .select(col("doc_id"), explode(col("g5")).as("g"))
-      .join(evalGrams.hint("shuffle_hash").withColumn("hit", lit(1)), Seq("g"), "left")
+      .filter(BloomSketch.mightContain(bfRef, xxhash64(col("g"))))
+      .join(evalGrams.hint("shuffle_hash"), Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(count(col("hit")).as("n_overlap"))
-      .select(col("doc_id"), col("n_overlap"),
-        when(col("n_overlap") > 0, 1L).otherwise(0L).as("contaminated"))
+      .agg(count(lit(1)).as("n_hits"))
+    train.select(col("doc_id"))
+      .hint("merge")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, 1L).otherwise(0L).as("contaminated"))
       .orderBy(col("doc_id"))
   }
 
@@ -160,6 +179,37 @@ object Curation {
     */
   val BloomEstItems = 200000L
   val BloomNumBits: Long = 8L * 1024 * 1024
+
+  /** Built eval-gram bloom sketches, keyed by (application, dataset):
+    * the sketch is deterministic fitted MODEL state — a pure function
+    * of the eval split and the (items, bits) configuration — so every
+    * consumer ([[curDecontaminateBloom]]'s probe, the
+    * [[curDecontaminateShuffle]] prefilter) must share one build
+    * rather than re-aggregating the eval corpus per query, exactly as
+    * [[Similarity.kmeansCentroids]] shares its trained quantizer. The
+    * cached value is the one-row aggregate materialized via
+    * localCheckpoint (a numBits/8-byte cell in block storage), which
+    * consumers reference as a scalar subquery — the sketch bytes stay
+    * OUT of the plan text (no megabyte literal re-hashed with every
+    * task), and the checkpoint makes the subquery stage a single
+    * cached-row scan. Deterministic build ⇒ caching cannot change any
+    * result.
+    */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private[graft] def evalGramBloom(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BloomSketch
+    bloomCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("g5", expr(FiveGramExpr))
+        .select(explode(col("g5")).as("g")).distinct()
+        .agg(BloomSketch.bloomAgg(xxhash64(col("g")), BloomEstItems, BloomNumBits).as("bf"))
+        .localCheckpoint()
+    })
+  }
 
   /** Decontamination via a broadcast BLOOM FILTER of the eval grams —
     * the production shape when even the distinct eval-gram set is too
@@ -177,18 +227,14 @@ object Curation {
         .withColumn("toks", TextAnalysis.tokens(col("text")))
         .withColumn("g5", expr(FiveGramExpr))
         .select(col("doc_id"), col("g5")))
-    // The filter aggregates DISTRIBUTED and feeds the probe as a
-    // SCALAR SUBQUERY — the exact construct Spark's own injected
-    // runtime join filters use (might_contain requires a constant or
-    // scalar-subquery filter side). The sketch — a constant numBits/8
-    // bytes regardless of corpus size, i.e. bounded model state like
-    // the IVF centroid matrix — is built as a subquery stage of the
-    // SAME query: no separate driver action, and no megabyte binary
-    // literal embedded in (and re-hashed with) every plan/task.
-    val bf = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
-      .select(explode(col("g5")).as("g")).distinct()
-      .agg(BloomSketch.bloomAgg(xxhash64(col("g")), BloomEstItems, BloomNumBits).as("bf"))
-    val bfRef = org.apache.spark.sql.GraftColumnBridge.scalarSubquery(bf)
+    // The sketch feeds the probe as a SCALAR SUBQUERY — the exact
+    // construct Spark's own injected runtime join filters use
+    // (might_contain requires a constant or scalar-subquery filter
+    // side) — over the SHARED cached build ([[evalGramBloom]]): a
+    // constant numBits/8 bytes regardless of corpus size, i.e.
+    // bounded model state like the IVF centroid matrix, built once
+    // per (application, dataset) and never embedded in plan text.
+    val bfRef = org.apache.spark.sql.GraftColumnBridge.scalarSubquery(evalGramBloom(s, d))
     grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
       .select(col("doc_id"), explode(col("g5")).as("g"))
       .groupBy(col("doc_id"))

@@ -437,50 +437,86 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Near-dup clustering: connected components over the exact-Jaccard
-    * pair graph, keeping the smallest doc_id as each cluster's
-    * canonical representative. Iterative min-label propagation (the
-    * GraphX connected-components recurrence expressed on DataFrames):
-    * each round every node takes the min of its own and its
-    * neighbors' labels; converges in O(diameter) rounds — near-dup
-    * clusters are tiny, so 2-4 rounds in practice, and each round is
-    * one shuffle join. Docs in no pair are their own representative.
+  /** Hard cap on [[clusterPairs]] rounds: with pointer doubling the
+    * label horizon at least doubles per round, so 40 rounds covers a
+    * path of 2⁴⁰ nodes — unreachable by any real component; the cap
+    * is a runaway backstop, not a tuning knob.
     */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint (eager), NOT cache(): the union below scans
-    // `pairs` twice within one job, and an unpopulated cache makes
-    // both branches recompute the whole jaccard pipeline concurrently
-    // (measured: clusters ≈ 2× jaccard + rounds). Checkpointing runs
-    // jaccard exactly once; each propagation round then plans against
-    // a flat scan.
-    val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).localCheckpoint()
+  private[graft] val MaxClusterRounds = 40
+
+  /** Connected components over an undirected (doc_a, doc_b) pair
+    * list: min-label propagation WITH POINTER DOUBLING. Each round
+    *  1. propagates: every node takes the min of its own and its
+    *     neighbors' labels (one shuffle join + partial-agg groupBy);
+    *  2. pointer-doubles: every node then jumps to its label's label
+    *     (one self-join) — the parallel pointer-jumping step, sound
+    *     because labels are node ids and label(v) ≤ v is invariant.
+    * Step 2 is what turns the O(diameter) plain-propagation bound
+    * into O(log diameter) rounds: the reachable-label horizon more
+    * than doubles per round, so even an ADVERSARIAL component — a
+    * boilerplate-heavy crawl chaining near-dup pairs into one long
+    * path — converges in ~log₂(n) rounds where plain propagation
+    * needs n (and silently mis-labels once it hits any fixed round
+    * cap). DedupSpec asserts both the bound and the labels on a
+    * deliberately chained graph. Labels decrease monotonically, so
+    * the changed-count convergence test terminates; per-round
+    * localCheckpoints truncate lineage growth that would otherwise
+    * make analysis time itself O(rounds). Returns (labels, rounds).
+    */
+  private[graft] def clusterPairs(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < MaxClusterRounds) {
       val prop = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nlabel"))
       // Carry the previous label through the projection so convergence
-      // is a filter over this frame — not a second join per round —
-      // and checkpoint to truncate the per-round lineage growth that
-      // otherwise makes analysis/optimization time itself O(rounds).
-      val next = labels.join(prop, col("doc_id") === col("src"), "left")
+      // is a filter over this frame — not a second join per round.
+      // Checkpointed because the doubling self-join scans it twice.
+      val stepped = labels.join(prop, col("doc_id") === col("src"), "left")
         .select(col("doc_id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("mid"))
+        .localCheckpoint()
+      // pointer doubling: label ← label(label). doc_id is unique on
+      // the build side, so the join is 1:1; hot labels (a giant
+      // cluster converging) skew only the streamed side.
+      val next = stepped.as("x")
+        .join(stepped.select(col("doc_id").as("ldoc"), col("mid").as("llabel")).as("y"),
+          col("x.mid") === col("y.ldoc"), "left")
+        .select(col("x.doc_id").as("doc_id"), col("x.old").as("old"),
+          coalesce(col("y.llabel"), col("x.mid")).as("label"))
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
+    (labels, rounds)
+  }
+
+  /** Near-dup clustering: connected components over the exact-Jaccard
+    * pair graph, keeping the smallest doc_id as each cluster's
+    * canonical representative — [[clusterPairs]] (min-label
+    * propagation + pointer doubling, O(log diameter) shuffle-join
+    * rounds) over the [[dedupNgramJaccard]] pairs. Docs in no pair
+    * are their own representative.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint (eager), NOT cache(): the edge-building union
+    // scans `pairs` twice within one job, and an unpopulated cache
+    // makes both branches recompute the whole jaccard pipeline
+    // concurrently (measured: clusters ≈ 2× jaccard + rounds).
+    // Checkpointing runs jaccard exactly once; each propagation round
+    // then plans against a flat scan.
+    val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val (labels, _) = clusterPairs(pairs)
     val all = Tables.documents(s, d).select(col("doc_id"))
-    val out = all.join(labels, Seq("doc_id"), "left")
+    all.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_rep"))
       .orderBy(col("doc_id"))
-    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -306,67 +306,57 @@ object Etl {
       lit("event: message"), line1,
       lit("""data: {"code": 1, "message": "transient error"}"""),
       line2, lit("data: [DONE]"))
-    // Fully codegen'd shape, zero lambdas: explode transcript lines to
-    // rows, parse each chunk ONCE with a top-level from_json (the
-    // expression reuses its Jackson parser across rows — inside an
-    // interpreted HOF lambda it re-initializes per call, measured 16s
-    // vs <1s at sf0.1), then last-wins via max(struct(line_no, v))
-    // aggregates (nulls ignored, line_no orders the struct).
     val chunkSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "code INT, data STRUCT<answer: STRING, session_id: STRING, reference: STRUCT<total: BIGINT>>")
     // Early repartition with an EXPLICIT partition count: the source
     // is a single parquet split locally, so without it the whole
-    // explode+parse map phase runs in ONE task — and a bare
-    // repartition(col) gets AQE-coalesced back to ~1 partition at this
-    // data size. A user-specified count is exempt from AQE coalescing.
+    // parse phase runs in ONE task — and a bare repartition(col) gets
+    // AQE-coalesced back to ~1 partition at this data size. A
+    // user-specified count is exempt from AQE coalescing.
     val nPart = s.sessionState.conf.numShufflePartitions
     val base = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("props"))
       .repartition(nPart, col("event_id"))
-      .select(col("event_id"), raw.as("raw"))
+      .select(col("event_id"), split(raw, "\n").as("lines"))
+    // STATIC line addressing, not a posexplode: the transcript layout
+    // is fixed by the synthesis above — of its five lines only #2 and
+    // #4 are `data:` lines that can survive the reference's filters
+    // (#1 is an event: header, #3 is the code!=0 error record, #5 the
+    // [DONE] sentinel), so exploding every transcript into five rows,
+    // Jackson-parsing three of them and shuffling the line rows
+    // through a groupBy re-derives per row what is known per column.
+    // Parsing exactly the two candidate lines keeps the whole
+    // pipeline map-side — no Generate, no exchange, no aggregate —
+    // and ~halves the from_json calls (measured 4.0s → sub-second at
+    // sf0.1). The validity filters (code == 0, object payload) and
+    // the last-line-wins merge are still evaluated per chunk, so the
+    // semantics are the reference's, not a constant-folded shortcut.
     val parsed = base
-      .select(col("event_id"), posexplode(split(col("raw"), "\n")).as(Seq("line_no", "l")))
-      .filter(col("l").startsWith("data:"))
-      // Sentinel pushdown: the reference json.loads-es every data:
-      // line and skips the ones that fail to parse ([DONE]) or carry
-      // no object payload (null/None) — dropping those exact literals
-      // BEFORE from_json is semantics-preserving and saves the
-      // Jackson parse on the fixed per-transcript sentinel line
-      // (~1 in 4 data: lines here).
-      .filter(!trim(expr("substring(l, 6)")).isin("[DONE]", "null", "None"))
-      .select(col("event_id"), col("line_no"),
-        from_json(trim(expr("substring(l, 6)")), chunkSchema).as("p"))
-      // Materialization barrier: from_json is CodegenFallback, and the
-      // aggregate's field references would each re-inline (and re-run)
-      // the parse. localCheckpoint evaluates it once per line WITHOUT
-      // a shuffle (a repartition barrier ships every parsed line
-      // through an exchange; the checkpoint keeps them in place and
-      // lets the partial aggregation shrink line-rows to event-rows
-      // before anything moves). Lazy: the first consuming stage
-      // materializes it; construction/explain runs nothing.
-      .localCheckpoint(eager = false)
-      .filter(col("p.code") === 0 && col("p.data").isNotNull)
-      .groupBy(col("event_id"))
-      // max_by keeps the aggregation hash-based; a max-over-struct
-      // formulation degrades to SortAggregate + a full Sort of the
-      // exploded lines. Null ordering skips rows where the field is
-      // absent, giving last-non-null semantics.
-      .agg(
-        max_by(col("p.data.answer"),
-          when(col("p.data.answer").isNotNull, col("line_no"))).as("a"),
-        max_by(col("p.data.session_id"),
-          when(col("p.data.session_id").isNotNull, col("line_no"))).as("s"),
-        max_by(col("p.data.reference.total"),
-          when(col("p.data.reference.total").isNotNull, col("line_no"))).as("t"))
-    // No anti-join back to the event list: line1 of every synthesized
-    // transcript is a valid chunk, so the aggregation already has one
-    // group per event; coalesce covers the per-field absences.
-    parsed
       .select(col("event_id"),
-        coalesce(col("a"), lit("")).as("answer"),
-        coalesce(col("s"), lit("")).as("session_id"),
-        coalesce(col("t"), lit(0L)).as("total_references"))
+        from_json(trim(expr("substring(element_at(lines, 2), 6)")), chunkSchema).as("p1"),
+        from_json(trim(expr("substring(element_at(lines, 4), 6)")), chunkSchema).as("p2"))
+      // Materialization barrier: from_json is CodegenFallback, and
+      // stacked projections can re-inline (and re-run) the parse per
+      // consuming field reference; the lazy checkpoint also lets the
+      // final projection sit ABOVE the sort so the range exchange's
+      // sampling pass samples parsed one-row-per-event structs, not
+      // the parse itself (see curPiiRedact).
+      .localCheckpoint(eager = false)
+    // last-wins chunk merge: a later valid chunk's non-null field
+    // overrides an earlier one's (the reference's streaming-chunk
+    // overwrite), expressed as coalesce over validity-guarded fields.
+    def valid(p: Column): Column = p.getField("code") === 0 && p.getField("data").isNotNull
+    def field(p: Column, path: String): Column =
+      when(valid(p), path.split('.').foldLeft(p)(_.getField(_)))
+    parsed
       .orderBy(col("event_id"))
+      .select(col("event_id"),
+        coalesce(field(col("p2"), "data.answer"), field(col("p1"), "data.answer"),
+          lit("")).as("answer"),
+        coalesce(field(col("p2"), "data.session_id"), field(col("p1"), "data.session_id"),
+          lit("")).as("session_id"),
+        coalesce(field(col("p2"), "data.reference.total"), field(col("p1"), "data.reference.total"),
+          lit(0L)).as("total_references"))
   }
 
   /** The reference's record-summarization model call
@@ -431,11 +421,16 @@ object Etl {
        |FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    // byte-exact replica of ModelHook.StubClient over the same prompts
+    // byte-exact replica of ModelHook.StubClient over the same prompts;
+    // the stub never fails, so every row carries (status = 200,
+    // err = NULL) — the error columns are exercised by ModelHookSpec's
+    // failing-client cases.
     "etl_model_summarize" ->
       """SELECT doc_id,
         | '[summary ' || substring(md5('summarize: ' || text), 1, 8) || '] ' ||
-        |   substring('summarize: ' || text, 1, 64) AS completion
+        |   substring('summarize: ' || text, 1, 64) AS completion,
+        | CAST(200 AS INTEGER) AS status,
+        | CAST(NULL AS VARCHAR) AS err
         |FROM documents ORDER BY doc_id""".stripMargin,
     "etl_sse_parse" ->
       """WITH r AS (

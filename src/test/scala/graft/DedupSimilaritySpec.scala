@@ -63,6 +63,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("clusterPairs: adversarial 512-node chain converges in O(log n) rounds, one cluster") {
+    import spark.implicits._
+    // the worst case for plain min-label propagation: a single path
+    // 0-1-2-...-511, diameter n-1 — propagation alone needs ~n rounds
+    // (and mis-labels under any fixed cap), pointer doubling must land
+    // it in ~log2(n)
+    val n = 512
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.clusterPairs(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), "chain must collapse to one cluster rooted at 0")
+    val bound = (math.log(n) / math.log(2)).toInt + 4
+    assert(rounds <= bound, s"took $rounds rounds on a $n-chain, bound $bound")
+  }
+
+  test("clusterPairs: mixed components (chain + star + singleton pair) label to component minima") {
+    import spark.implicits._
+    val pairs = ((100L to 119L).sliding(2).map(s => (s(0), s(1))) ++  // 20-chain
+      Seq((0L, 7L), (0L, 9L), (0L, 13L)) ++                           // star at 0
+      Seq((55L, 54L))).toSeq.toDF("doc_a", "doc_b")                   // reversed pair
+    val (labels, _) = Dedup.clusterPairs(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 119L).foreach(i => assert(got(i) == 100L))
+    Seq(0L, 7L, 9L, 13L).foreach(i => assert(got(i) == 0L))
+    Seq(54L, 55L).foreach(i => assert(got(i) == 54L))
+  }
+
   test("brute-force topk: k rows per query, descending cosine") {
     val rows = Similarity.annBruteforceTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))

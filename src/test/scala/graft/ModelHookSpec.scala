@@ -22,6 +22,39 @@ class RecordingClient extends ModelHook.ModelClient {
   }
 }
 
+/** JVM-static attempt counter for the failure-injection clients (same
+  * singleton-sharing rationale as [[BatchSizeCollector]]).
+  */
+object AttemptCounter {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = calls.set(0)
+}
+
+/** Fails every FIRST attempt at a given batch (transient fault); the
+  * retry must succeed without surfacing any error row.
+  */
+class FlakyOnceClient extends ModelHook.ModelClient {
+  override def complete(prompts: Seq[String]): Seq[String] = {
+    if (AttemptCounter.calls.getAndIncrement() % 2 == 0)
+      throw ModelHook.ModelCallException(503, "transient upstream")
+    prompts.map(p => s"ok:${p.take(8)}")
+  }
+}
+
+/** Permanently rejects any prompt containing the poison marker — the
+  * batch it arrives in must degrade to per-row calls, and only the
+  * poison row may become an error row.
+  */
+class PoisonClient extends ModelHook.ModelClient {
+  override def complete(prompts: Seq[String]): Seq[String] = {
+    AttemptCounter.calls.getAndIncrement()
+    prompts.map { p =>
+      if (p.contains("POISON")) throw ModelHook.ModelCallException(422, s"unprocessable: ${p.take(16)}")
+      else s"ok:${p.take(8)}"
+    }
+  }
+}
+
 class ModelHookSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -30,7 +63,7 @@ class ModelHookSpec extends AnyFunSuite {
       .select(col("doc_id"), concat(lit("summarize: "), col("text")).as("prompt"))
     val out = ModelHook.completions(spark, docs, "doc_id", "prompt",
       new ModelHook.StubClient("summary"))
-    assert(out.columns.toSeq == Seq("doc_id", "completion"))
+    assert(out.columns.toSeq == Seq("doc_id", "completion", "status", "err"))
     assert(out.count() == 50)
     // deterministic across runs
     val a = out.orderBy("doc_id").collect().map(_.getString(1)).toSeq
@@ -38,9 +71,46 @@ class ModelHookSpec extends AnyFunSuite {
       new ModelHook.StubClient("summary")).orderBy("doc_id").collect().map(_.getString(1)).toSeq
     assert(a == b)
     assert(a.forall(_.startsWith("[summary ")))
+    // all-success rows carry (200, null err)
+    assert(out.filter(col("status") === ModelHook.StatusOk && col("err").isNull).count() == 50)
     // joins back 1:1
     val joined = docs.join(out, "doc_id")
     assert(joined.count() == 50)
+  }
+
+  test("completions: transient batch failure is retried, no error rows surface") {
+    AttemptCounter.reset()
+    val docs = sources.Tables.documents(spark, sf).limit(40)
+      .select(col("doc_id"), col("text")).coalesce(1)
+    val out = ModelHook.completions(spark, docs, "doc_id", "text",
+      new FlakyOnceClient, batchSize = 10, maxRetries = 1).collect()
+    assert(out.length == 40)
+    assert(out.forall(r => r.getInt(2) == ModelHook.StatusOk && r.isNullAt(3)))
+    // every batch cost exactly one failed attempt + one retry
+    assert(AttemptCounter.calls.get() == 8)
+  }
+
+  test("completions: poison prompt becomes one error row, batch survives, retries bounded") {
+    AttemptCounter.reset()
+    import spark.implicits._
+    val docs = (0L until 20L).map(i =>
+        (i, if (i == 7) "POISON prompt" else s"fine prompt $i"))
+      .toDF("doc_id", "text").coalesce(1)
+    val maxRetries = 2
+    val out = ModelHook.completions(spark, docs, "doc_id", "text",
+      new PoisonClient, batchSize = 20, maxRetries = maxRetries)
+      .orderBy("doc_id").collect()
+    assert(out.length == 20)
+    val bad = out.filter(_.getInt(2) != ModelHook.StatusOk)
+    assert(bad.map(_.getLong(0)).toSeq == Seq(7L))
+    assert(bad.head.isNullAt(1))
+    assert(bad.head.getInt(2) == 422)
+    assert(bad.head.getString(3).contains("unprocessable"))
+    // the 19 healthy rows all completed despite sharing the poison batch
+    assert(out.count(r => r.getInt(2) == ModelHook.StatusOk && !r.isNullAt(1)) == 19)
+    // attempt accounting: (maxRetries+1) batch attempts, then per-row
+    // adjudication = 19 single-row successes + (maxRetries+1) failures
+    assert(AttemptCounter.calls.get() == (maxRetries + 1) + 19 + (maxRetries + 1))
   }
 
   test("completions: prompts reach the client in batches of at most batchSize") {
@@ -54,15 +124,18 @@ class ModelHookSpec extends AnyFunSuite {
     assert(recorded.sum == 100)
   }
 
-  test("completions: misbehaving client (wrong batch length) fails loudly") {
+  test("completions: misbehaving client (wrong batch length) degrades to error rows, not task death") {
     val bad = new ModelHook.ModelClient {
       override def complete(prompts: Seq[String]): Seq[String] = prompts.drop(1).map(_ => "x")
     }
     val docs = sources.Tables.documents(spark, sf).limit(10)
       .select(col("doc_id"), col("text"))
-    val e = intercept[Exception] {
-      ModelHook.completions(spark, docs, "doc_id", "text", bad).count()
-    }
-    assert(e.getMessage != null)
+    // drops one completion per call at EVERY granularity, so even the
+    // per-row adjudication fails — every row must surface as an error
+    // row carrying the length-mismatch message, and the query completes
+    val out = ModelHook.completions(spark, docs, "doc_id", "text", bad, maxRetries = 0).collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.isNullAt(1) && r.getInt(2) == ModelHook.StatusErr))
+    assert(out.forall(_.getString(3).contains("completions")))
   }
 }
