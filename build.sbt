@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench/verify mains compile ~2 whole-stage-codegen classes per
+  // query plan; across 87 queries x 2 passes the default 240m JIT code
+  // cache fills, C2 stops compiling, and every later query runs
+  // interpreted - a uniform 2-3x inflation that looks like host load.
+  "-XX:ReservedCodeCacheSize=1g",
 )

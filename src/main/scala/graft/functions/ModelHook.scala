@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *    iterator function that never materializes the partition;
   *  - the client is `Serializable`, constructed ON THE EXECUTOR per
   *    partition (connections/tokens must not ship from the driver);
-  *  - output is (key, completion), joined back by the caller — which
-  *    keeps retries/reruns of the expensive stage independent of the
-  *    rest of the query.
+  *  - output is (key, completion, status, err), joined back by the
+  *    caller — which keeps retries/reruns of the expensive stage
+  *    independent of the rest of the query, and failures are captured
+  *    PER ROW (bounded retry, then batch→per-row degradation, then an
+  *    error row) instead of killing the task — the reference's
+  *    continue-on-error contract.
   *
   * The container has no network/SDK, so the only shipped client is
   * [[ModelHook.StubClient]], a deterministic stand-in (md5-tagged

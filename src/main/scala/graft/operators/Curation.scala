@@ -573,31 +573,56 @@ object Curation {
     *  4. `repetitive`     — fails the Gopher-style repetition bars;
     *  5. `ok`             — keep = 1.
     * This is the composition a user of the reference actually runs
-    * between crawl and tokenizer. All three signal joins are on the
-    * high-cardinality doc id and hinted sort-merge: the signal tables
-    * are corpus-sized (and two come from typed kernels whose stats
-    * Catalyst cannot estimate — left alone it would auto-broadcast
-    * them).
+    * between crawl and tokenizer.
+    *
+    * Shape: the three signals are corpus-sized tables keyed by the
+    * doc id, so instead of three sort-merge joins (each paying a sort
+    * exchange per side) they are UNIONED as sparse (doc_id, signal)
+    * rows and folded by ONE hash aggregation on doc_id — the
+    * signal-assembly pattern that costs a single exchange regardless
+    * of how many signals compose. The canonical-copy signal covers
+    * every document (its window spans the corpus), so the aggregate
+    * needs no separate spine join. The contamination signal probes
+    * the SHARED eval-gram bloom sketch ([[evalGramBloom]]) map-side —
+    * the same effectively-exact configuration (and FP argument) as
+    * [[curDecontaminateBloom]], which shares the exact variant's
+    * oracle — and ships only the contaminated doc ids into the fold.
     */
   def curKeepList(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"))
+    import graft.functions.BloomSketch
     val wCanon = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
     val canon = Tables.documents(s, d)
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("content_key", md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
       .withColumn("rn", row_number().over(wCanon))
-      .select(col("doc_id"), (col("rn") === 1).as("is_canonical"))
-    val rep = repetitionKernel(s, d).select(col("doc_id"), col("keep").as("rep_keep"))
-    val dec = curDecontaminate(s, d).select(col("doc_id"), col("contaminated"))
+      .select(col("doc_id"), when(col("rn") === 1, 1L).otherwise(0L).as("is_canon"),
+        lit(null).cast("long").as("rep_keep"), lit(null).cast("long").as("contaminated"))
+    val rep = repetitionKernel(s, d)
+      .select(col("doc_id"), lit(null).cast("long").as("is_canon"),
+        col("keep").as("rep_keep"), lit(null).cast("long").as("contaminated"))
+    val bfRef = org.apache.spark.sql.GraftColumnBridge.scalarSubquery(evalGramBloom(s, d))
+    val dec = barrier(s, Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(20)) =!= 0)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("g5", expr(FiveGramExpr))
+        .select(col("doc_id"), col("g5")))
+      .select(col("doc_id"), explode(col("g5")).as("g"))
+      .filter(BloomSketch.mightContain(bfRef, xxhash64(col("g"))))
+      .select(col("doc_id"), lit(null).cast("long").as("is_canon"),
+        lit(null).cast("long").as("rep_keep"), lit(1L).as("contaminated"))
+    val folded = canon.unionAll(rep).unionAll(dec)
+      .groupBy(col("doc_id"))
+      .agg(max(col("is_canon")).as("is_canon"), max(col("rep_keep")).as("rep_keep"),
+        max(col("contaminated")).as("contaminated"))
+    // null-tolerant rule cascade: a doc with no repetition row (empty
+    // doc) or no contamination row falls through the rule, matching
+    // the oracle's LEFT JOIN semantics
     val reason = when(pmod(col("doc_id"), lit(20)) === 0, "eval_holdout")
-      .when(!col("is_canonical"), "exact_dup")
+      .when(col("is_canon") === 0, "exact_dup")
       .when(col("contaminated") === 1, "contaminated")
       .when(col("rep_keep") === 0, "repetitive")
       .otherwise("ok")
-    docs
-      .hint("merge").join(canon, Seq("doc_id"))
-      .hint("merge").join(rep, Seq("doc_id"), "left")
-      .hint("merge").join(dec, Seq("doc_id"), "left")
+    folded
       .select(col("doc_id"), reason.as("reason"),
         when(reason === "ok", 1L).otherwise(0L).as("keep"))
       .orderBy(col("doc_id"))

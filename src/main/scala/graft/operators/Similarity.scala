@@ -446,26 +446,50 @@ object Similarity {
   val PqIters = 3 // Lloyd's iterations per subspace codebook
   val PqRefine = 64 // ADC candidates re-ranked exactly per query
 
-  /** Per-vector PQ assignment against literal codebooks: an array of
-    * (m, code, sv) structs, one per subspace. The argmin over the 16
-    * centroids is computed as an argmax of codegen'd literal dots
-    * (for fixed sv, min ‖sv−c‖² ≡ max (sv·c − ‖c‖²/2)) — pure
-    * map-side, no join, no shuffle, exactly like [[centroidSims]].
-    * Ties break toward the smaller code id (max of −code).
+  /** Per-vector PQ assignment: for every subspace m, the argmin-‖sv−c‖²
+    * code (computed as argmax (sv·c − ‖c‖²/2), ties toward the smaller
+    * code id) plus the subvector itself — emitted as (vec_id, m, code,
+    * sv) rows from a typed mapPartitions KERNEL over the broadcast
+    * M×K×[[PqSubDim]] codebook tensor. Pure map-side, no join, no
+    * shuffle — and deliberately NOT a literal-expression argmax like
+    * [[centroidSims]] (8 centroids): at M×K = 128 literal dot
+    * expressions the generated projection blows past the JIT/janino
+    * method limits, so every fresh plan paid a ~2s compile and then
+    * ran INTERPRETED anyway (measured: the whole-stage codegen
+    * disabled warning, 13s codebook fit / 2.3s encode at sf0.1's mere
+    * 2000 vectors, both compile-bound). The kernel is plain JIT'd JVM
+    * code with the same sequential left-to-right double arithmetic,
+    * so assignments are bit-identical to the expression form.
     */
-  private def pqAssignExpr(books: Map[(Int, Int), Seq[Double]]): Column =
-    array((0 until PqSubspaces).map { m =>
-      val sub = expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)")
-      val scored = array((0 until PqCodes).map { k =>
-        val c = books((m, k))
-        val halfNorm2 = c.map(x => x * x).sum / 2
-        struct((dot(sub, typedLit(c)) - lit(halfNorm2)).as("sim"),
-          lit(-k).as("negcode"))
-      }: _*)
-      struct(lit(m).as("m"),
-        (-array_max(scored).getField("negcode")).cast("int").as("code"),
-        sub.as("sv"))
-    }: _*)
+  private def pqAssign(s: SparkSession, d: String,
+      books: Map[(Int, Int), Seq[Double]]): DataFrame = {
+    import s.implicits._
+    val bk: Array[Array[Array[Double]]] =
+      Array.tabulate(PqSubspaces, PqCodes)((m, k) => books((m, k)).toArray)
+    val half: Array[Array[Double]] = bk.map(_.map(c => c.map(x => x * x).sum / 2))
+    val M = PqSubspaces; val K = PqCodes; val D = PqSubDim
+    withNorm(s, d).select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, vSeq) =>
+          val v = vSeq.toArray
+          (0 until M).iterator.map { m =>
+            var best = Double.NegativeInfinity
+            var bestK = 0
+            var k = 0
+            while (k < K) {
+              val c = bk(m)(k)
+              var dp = 0.0
+              var i = 0
+              while (i < D) { dp += v(m * D + i) * c(i); i += 1 }
+              val sim = dp - half(m)(k)
+              if (sim > best) { best = sim; bestK = k }
+              k += 1
+            }
+            (id, m, bestK, v.slice(m * D, (m + 1) * D).toSeq)
+          }
+        }
+      }.toDF("vec_id", "m", "code", "sv")
+  }
 
   /** Fitted PQ codebooks, keyed like [[centroidCache]]: the M×K×8
     * centroid tensor is model state shared by the top-k and recall
@@ -478,12 +502,13 @@ object Similarity {
     codebookCache.getOrElseUpdate((s.sparkContext.applicationId, d), fitCodebooks(s, d))
 
   /** Per-subspace k-means codebooks via Lloyd's on DataFrames (same
-    * pattern as [[fitCentroids]]): assignment is the map-side literal
-    * argmax of [[pqAssignExpr]]; the update is one explode + bounded
-    * groupBy(m, code, pos) avg whose result — the M×K×[[PqSubDim]]
-    * codebook tensor, ~4 KB of model state — is all that is ever
-    * collected. Deterministic: seeded by the first [[PqCodes]]
-    * vectors' subvectors, fixed iterations, ties toward smaller code.
+    * pattern as [[fitCentroids]]): assignment is the [[pqAssign]]
+    * kernel; the update is one bounded groupBy(m, code, pos) avg over
+    * the kernel's (m, code, sv) rows whose result — the
+    * M×K×[[PqSubDim]] codebook tensor, ~4 KB of model state — is all
+    * that is ever collected. Deterministic: seeded by the first
+    * [[PqCodes]] vectors' subvectors, fixed iterations, ties toward
+    * smaller code.
     */
   private def fitCodebooks(s: SparkSession, d: String): Map[(Int, Int), Seq[Double]] = {
     val e = withNorm(s, d)
@@ -494,9 +519,8 @@ object Similarity {
           (0 until PqSubspaces).map(m => (m, k) -> v.slice(m * PqSubDim, (m + 1) * PqSubDim).toSeq)
         }.toMap
     for (_ <- 1 to PqIters) {
-      val means = e.select(explode(pqAssignExpr(books)).as("a"))
-        .select(col("a.m").as("m"), col("a.code").as("code"),
-          posexplode(col("a.sv")).as(Seq("pos", "x")))
+      val means = pqAssign(s, d, books)
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("m"), col("code"), col("pos")).agg(avg(col("x")).as("mu"))
         .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
       books = books.map { case ((m, k), old) =>
@@ -510,7 +534,7 @@ object Similarity {
 
   /** PQ/ADC candidate set with exact re-rank. Stages, each in its
     * scale-correct shape:
-    *  1. encode — map-side literal argmax ([[pqAssignExpr]]), corpus
+    *  1. encode — map-side typed-kernel argmax ([[pqAssign]]), corpus
     *     → (neighbor_id, m, code), M rows per vector, no shuffle;
     *  2. LUT — the 10 query vectors × M×K codebook entries = a
     *     bounded (q·M·K)-row partial-dot table, broadcast;
@@ -526,23 +550,32 @@ object Similarity {
     * and once for the (bounded) refine join.
     */
   private[graft] def pqCandidates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val books = pqCodebooks(s, d)
     val e = withNorm(s, d)
-    val codes = e.select(col("vec_id").as("neighbor_id"), explode(pqAssignExpr(books)).as("a"))
-      .select(col("neighbor_id"), col("a.m").as("m"), col("a.code").as("code"))
-    val lutEntries = (0 until PqSubspaces).flatMap { m =>
-      (0 until PqCodes).map { k =>
-        val c = books((m, k))
-        struct(lit(m).as("m"), lit(k).as("code"),
-          dot(expr(s"slice(v, ${m * PqSubDim + 1}, $PqSubDim)"), typedLit(c)).as("pdot"),
-          lit(c.map(x => x * x).sum).as("cnorm2"))
-      }
-    }
+    val codes = pqAssign(s, d, books)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+    // the (query × m × code) partial-dot LUT from the same typed-kernel
+    // discipline as [[pqAssign]] (128 literal dot expressions per row
+    // would pay the same janino-compile/interpret penalty); q·M·K rows,
+    // broadcast below.
+    val bk: Array[Array[Array[Double]]] =
+      Array.tabulate(PqSubspaces, PqCodes)((m, k) => books((m, k)).toArray)
+    val cn2: Array[Array[Double]] = bk.map(_.map(c => c.map(x => x * x).sum))
+    val M = PqSubspaces; val K = PqCodes; val D = PqSubDim
     val lut = e.filter(col("vec_id") < NumQueryVecs)
-      .select(col("vec_id").as("query_id"), col("nrm").as("nrma"),
-        explode(array(lutEntries: _*)).as("t"))
-      .select(col("query_id"), col("nrma"), col("t.m").as("m"),
-        col("t.code").as("code"), col("t.pdot").as("pdot"), col("t.cnorm2").as("cnorm2"))
+      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, vSeq, nrm) =>
+          val v = vSeq.toArray
+          for (m <- (0 until M).iterator; k <- (0 until K).iterator) yield {
+            var dp = 0.0
+            var i = 0
+            while (i < D) { dp += v(m * D + i) * bk(m)(k)(i); i += 1 }
+            (id, nrm, m, k, dp, cn2(m)(k))
+          }
+        }
+      }.toDF("query_id", "nrma", "m", "code", "pdot", "cnorm2")
     val adc = codes.join(broadcast(lut), Seq("m", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
