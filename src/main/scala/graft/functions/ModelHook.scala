@@ -73,6 +73,31 @@ object ModelHook {
     }
   }
 
+  /** Deterministic failure-injecting stand-in: succeeds like
+    * [[StubClient]] except for prompts whose md5 hex starts with
+    * `failHexPrefix` (a "0" prefix ≈ 1/16 of rows), which raise
+    * [[ModelCallException]](503). Failure is a pure function of the
+    * prompt, so a whole pipeline run through it — including the
+    * batch→per-row degradation and the emitted error rows — is
+    * byte-reproducible by a SQL oracle: the error PATH itself becomes
+    * hash-gated, not just spec-covered. Models the reference judge
+    * loop's intermittent `judge-http-<status>` failures
+    * (test_chat_assistant_with_judge.py:361-377).
+    */
+  final class FlakyStubClient(tag: String, failHexPrefix: String) extends ModelClient {
+    private val ok = new StubClient(tag)
+    override def complete(prompts: Seq[String]): Seq[String] = {
+      prompts.foreach { p =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        if (digest.startsWith(failHexPrefix))
+          throw ModelCallException(503, "service unavailable")
+      }
+      ok.complete(prompts)
+    }
+  }
+
   val DefaultBatchSize = 32
 
   /** Run `client` over the `(keyCol, promptCol)` pairs of `df`,

@@ -383,8 +383,37 @@ object Etl {
       .orderBy(col("doc_id"))
   }
 
+  /** The reference's judge loop routed through [[graft.functions
+    * .ModelHook]] WITH deterministic failure injection
+    * ([[graft.functions.ModelHook.FlakyStubClient]]: prompts whose
+    * md5 starts with '0' — ~1/16 of documents — raise a 503). What
+    * the driver's hash gate covers here is the CONTINUE-ON-ERROR
+    * machinery end-to-end: nearly every 32-prompt batch contains a
+    * failing prompt, so the batch call fails, degrades to per-row
+    * adjudication, and emits (null, 503, err) rows for exactly the
+    * failing documents while every healthy row still completes —
+    * byte-reproduced by the DuckDB oracle because failure is a pure
+    * function of the prompt. Mirrors
+    * test_chat_assistant_with_judge.py:361-377's per-row
+    * `judge-http-<status>` rows.
+    */
+  def etlModelJudge(s: SparkSession, d: String): DataFrame = {
+    val prompts = Tables.documents(s, d)
+      .select(col("doc_id"), concat(lit("judge: "), col("text")).as("prompt"))
+    graft.functions.ModelHook.completions(
+        s, prompts, "doc_id", "prompt",
+        new graft.functions.ModelHook.FlakyStubClient("judge", "0"),
+        maxRetries = 1)
+      // lazy checkpoint before the sort — same reasoning as
+      // etlModelSummarize (the sampling pass must not re-fire the
+      // model stage)
+      .localCheckpoint(eager = false)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_model_summarize" -> etlModelSummarize _,
+    "etl_model_judge" -> etlModelJudge _,
     "etl_sse_parse" -> etlSseParse _,
     "etl_flatten_json" -> etlFlattenJson _,
     "etl_tristate_flags" -> etlTristateFlags _,
@@ -431,6 +460,18 @@ object Etl {
         |   substring('summarize: ' || text, 1, 64) AS completion,
         | CAST(200 AS INTEGER) AS status,
         | CAST(NULL AS VARCHAR) AS err
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // byte-exact replica of the FlakyStubClient run INCLUDING its
+    // failure rows: failure iff md5(prompt) starts with '0'
+    "etl_model_judge" ->
+      """SELECT doc_id,
+        | CASE WHEN substring(md5('judge: ' || text), 1, 1) <> '0'
+        |   THEN '[judge ' || substring(md5('judge: ' || text), 1, 8) || '] ' ||
+        |        substring('judge: ' || text, 1, 64) END AS completion,
+        | CAST(CASE WHEN substring(md5('judge: ' || text), 1, 1) = '0'
+        |   THEN 503 ELSE 200 END AS INTEGER) AS status,
+        | CASE WHEN substring(md5('judge: ' || text), 1, 1) = '0'
+        |   THEN 'ModelCallException: service unavailable' END AS err
         |FROM documents ORDER BY doc_id""".stripMargin,
     "etl_sse_parse" ->
       """WITH r AS (

@@ -124,6 +124,19 @@ class ModelHookSpec extends AnyFunSuite {
     assert(recorded.sum == 100)
   }
 
+  test("etlModelJudge: deterministic failure injection emits 503 rows for exactly the md5-'0' prompts") {
+    val out = operators.Etl.etlModelJudge(spark, sf).collect()
+    assert(out.nonEmpty)
+    val (bad, good) = out.partition(_.getInt(2) == 503)
+    // ~1/16 of prompts fail by construction; both paths must be present
+    assert(bad.nonEmpty && good.nonEmpty)
+    assert(bad.forall(r => r.isNullAt(1) && r.getString(3).contains("service unavailable")))
+    assert(good.forall(r => r.getInt(2) == ModelHook.StatusOk && r.isNullAt(3) && r.getString(1).startsWith("[judge ")))
+    // failure is a pure function of the prompt: re-run is byte-identical
+    val again = operators.Etl.etlModelJudge(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("completions: misbehaving client (wrong batch length) degrades to error rows, not task death") {
     val bad = new ModelHook.ModelClient {
       override def complete(prompts: Seq[String]): Seq[String] = prompts.drop(1).map(_ => "x")
