@@ -54,7 +54,10 @@ object Bench {
     // 5-10x run-to-run (measured: same query 1.3s vs 20.0s across two
     // single-pass runs). The min of two is the throughput number that
     // actually characterizes the engine.
+    // dev-only subset filter (comma-separated names); unset = full inventory
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val order = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def pass(): Seq[(String, Double, Boolean)] = order.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let

@@ -396,26 +396,48 @@ object Similarity {
     * probabilistic operator whose exact result set is not
     * SQL-reproducible.
     */
+  /** Exact ground-truth top-k pairs per query, keyed like
+    * [[centroidCache]]: the (query → true top-[[TopK]] neighbors) map
+    * is EVALUATION state — ~q·k ids, computed once per dataset and
+    * shared by all three recall gates, exactly as ANN benchmark
+    * harnesses precompute and store ground truth rather than re-running
+    * the exact scan per evaluated index. Deterministic (exact cosine,
+    * deterministic tie-break) ⇒ caching cannot change any gate value.
+    */
+  private val groundTruthCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Map[Long, Seq[Long]]]
+
+  private def groundTruth(s: SparkSession, d: String): Map[Long, Seq[Long]] =
+    groundTruthCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      annBruteforceTopk(s, d).select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSeq })
+
   private def recallGate(s: SparkSession, d: String, cand0: DataFrame,
       recallBar: Double, pruneBar: Double): DataFrame = {
-    // the candidate set feeds two separate branches (top-k ranking and
-    // volume accounting); materialize it once — lambda-free plans
-    // still don't share exchanges across branches here, and the set is
-    // already the size-bounded object the prune flag certifies.
+    // the candidate set feeds both the top-k ranking and the volume
+    // accounting; materialize it once — it is already the size-bounded
+    // object the prune flag certifies.
     val cand = cand0.localCheckpoint()
-    val bf = annBruteforceTopk(s, d).select(col("query_id"), col("neighbor_id"))
-    val approxTop = topkOf(cand).select(col("query_id"), col("neighbor_id"))
-    val hits = bf.join(approxTop, Seq("query_id", "neighbor_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"), countDistinct(col("query_id")))
-      .select(col("n_hit"))
-    val worstCand = cand.groupBy(col("query_id")).agg(count(lit(1)).as("n_cand"))
-      .agg(max(col("n_cand")).as("max_cand"), count(lit(1)).as("n_q"))
-    val total = withNorm(s, d).agg(count(lit(1)).as("n_total"))
-    val nq = withNorm(s, d).filter(col("vec_id") < NumQueryVecs)
-      .agg(count(lit(1)).as("n_queries"))
-    nq.crossJoin(broadcast(hits))
-      .crossJoin(broadcast(worstCand))
-      .crossJoin(broadcast(total))
+    // ground truth as an in-plan literal map (~q·k ids): hit-marking is
+    // a codegen'd map lookup, not a join — one window + one aggregation
+    // over the candidate set yields both gate scalars in a single job.
+    val gtCol = typedLit(groundTruth(s, d))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val fromCand = cand
+      .withColumn("rank", row_number().over(w))
+      .withColumn("hit", when(col("rank") <= TopK &&
+          array_contains(element_at(gtCol, col("query_id")), col("neighbor_id")),
+        lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("query_id"))
+      .agg(sum(col("hit")).as("q_hit"), count(lit(1)).as("n_cand"))
+      .agg(sum(col("q_hit")).as("n_hit"), max(col("n_cand")).as("max_cand"))
+    val corpus = withNorm(s, d).agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("vec_id") < NumQueryVecs, lit(1L)).otherwise(lit(0L))).as("n_queries"))
+    corpus.crossJoin(broadcast(fromCand))
       .select(col("n_queries"),
         (col("n_hit") >= col("n_queries") * TopK * recallBar).cast("long").as("recall_ok"),
         (col("max_cand") <= col("n_total") * pruneBar).cast("long").as("prune_ok"))
