@@ -98,6 +98,33 @@ object ModelHook {
     }
   }
 
+  /** Client decorator enforcing a minimum gap between successive
+    * batch calls FROM ONE TASK SLOT — the knob a deployment tunes so
+    * that `executors × slots × (1000/minGapMs)` stays under the model
+    * service's rate limit. The reference pipelines throttle the same
+    * way (a sleep between successive HTTP calls); expressing it as a
+    * decorator keeps throttling composable with any client, including
+    * the retry machinery in [[completions]] (retries are calls and are
+    * therefore throttled too). State is per deserialized copy, i.e.
+    * per task — exactly the per-slot semantics the aggregate-QPS
+    * formula needs. `clock`/`sleep` are injectable for deterministic
+    * tests; production uses the defaults.
+    */
+  final class ThrottledClient(
+      inner: ModelClient,
+      minGapMs: Long,
+      clock: () => Long = () => System.currentTimeMillis(),
+      sleep: Long => Unit = Thread.sleep) extends ModelClient {
+    require(minGapMs >= 0, s"minGapMs must be non-negative, got $minGapMs")
+    private var nextAllowed = Long.MinValue
+    override def complete(prompts: Seq[String]): Seq[String] = {
+      val now = clock()
+      if (now < nextAllowed) sleep(nextAllowed - now)
+      nextAllowed = clock() + minGapMs
+      inner.complete(prompts)
+    }
+  }
+
   val DefaultBatchSize = 32
 
   /** Run `client` over the `(keyCol, promptCol)` pairs of `df`,

@@ -124,6 +124,24 @@ class ModelHookSpec extends AnyFunSuite {
     assert(recorded.sum == 100)
   }
 
+  test("ThrottledClient: enforces the inter-call gap with injected clock, first call free") {
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var now = 1000L
+    val inner = new ModelHook.StubClient("t")
+    val c = new ModelHook.ThrottledClient(inner, minGapMs = 100,
+      clock = () => now, sleep = ms => { slept += ms; now += ms })
+    c.complete(Seq("a")) // first call: no wait
+    assert(slept.isEmpty)
+    now += 30 // 70ms short of the gap
+    c.complete(Seq("b"))
+    assert(slept.toSeq == Seq(70L))
+    now += 500 // well past the gap
+    c.complete(Seq("c"))
+    assert(slept.toSeq == Seq(70L))
+    // the decorated client still completes normally
+    assert(c.complete(Seq("hello")).head.startsWith("[t "))
+  }
+
   test("etlModelJudge: deterministic failure injection emits 503 rows for exactly the md5-'0' prompts") {
     val out = operators.Etl.etlModelJudge(spark, sf).collect()
     assert(out.nonEmpty)

@@ -240,4 +240,23 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("ann_bruteforce_topk")
     assert(p.contains("dotproduct") || p.contains("DotProduct"), p)
   }
+
+  test("ann recall gates: hit-check is a literal-map lookup, not a join (one-pass gate)") {
+    // the gate's only join must be the final single-row broadcast
+    // cross-join assembling the corpus scalars with the candidate
+    // scalars; ground truth is an in-plan literal, so no semi-join and
+    // no second window/ranking branch may appear.
+    for (q <- Seq("ann_lsh_recall", "ann_ivf_recall", "ann_pq_recall")) {
+      val p = planOf(q)
+      assert(!p.contains("LeftSemi"), s"$q: ground-truth semi-join resurfaced\n$p")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+        s"$q: more than the single scalar-assembly cross join\n$p")
+      // exactly one ranking Window node (the candidate top-k); the old
+      // shape ranked twice (gate + separate brute-force branch). The
+      // "Window \[" form avoids counting WindowGroupLimit rank-pushdown
+      // nodes, which legitimately appear in partial+final pairs.
+      assert("Window \\[".r.findAllIn(p).size <= 1,
+        s"$q: multiple window branches\n$p")
+    }
+  }
 }
