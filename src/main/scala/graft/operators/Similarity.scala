@@ -367,9 +367,24 @@ object Similarity {
     * of all-pairs. A quantizer regression (lost recall or collapsed
     * cells blowing up the scan) flips a flag and fails the hash.
     */
+  /** The gate's ground truth — the exact cosine pair set — cached
+    * per dataset like [[groundTruthCache]], but as a DISTRIBUTED
+    * checkpoint rather than a driver collect: the pair set is
+    * data-sized (unlike the q·k ANN ground truth), so it stays in
+    * executor storage. Validation state only: the
+    * `dedup_embedding_cosine` QUERY never reads this cache, so its
+    * bench time keeps measuring the real block-pair scan.
+    */
+  private val exactPairCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def exactPairsFor(s: SparkSession, d: String): DataFrame =
+    exactPairCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      dedupEmbeddingCosine(s, d).select(col("vec_a"), col("vec_b")).localCheckpoint())
+
   def dedupSemanticGate(s: SparkSession, d: String): DataFrame = {
     val cells = cellAssigned(s, d).select(col("vec_id"), col("cell")).localCheckpoint()
-    val exact = dedupEmbeddingCosine(s, d).select(col("vec_a"), col("vec_b"))
+    val exact = exactPairsFor(s, d)
     val sameCell = exact
       .hint("merge").join(cells.select(col("vec_id").as("vec_a"), col("cell").as("ca")), "vec_a")
       .hint("merge").join(cells.select(col("vec_id").as("vec_b"), col("cell").as("cb")), "vec_b")
