@@ -74,6 +74,24 @@ cur_sample_stratified 0.3s — the whole curation surface is ~4-15x
 sf0.1 time at 100x docs (with 2x doc length): strongly sublinear,
 nothing resident, nothing skew-bound.
 
+ROUND-4 RE-RUN (same dataset recipe, post JIT-code-cache fix +
+pointer-doubled clustering + bloom-prefiltered decontamination +
+keep-list single-aggregation + static SSE parse; warm = 2nd run):
+
+- dedup_clusters           151.7s  (was 277s)   # O(log d) rounds
+- dedup_ngram_jaccard      58-72s  (was 167s)
+- dedup_minhash_lsh          7.7s  (was  87s)
+- cur_decontaminate_shuffle  7.6s  (was 8.0s)
+- cur_decontaminate_bloom    5.6s  (was 7.0s)
+- cur_keep_list              6.3s  (was 14.7s)
+- etl_sse_parse              6.2s  (was 14.9s)
+- etl_model_judge            0.8s  (new: failure-injected model stage)
+
+The across-the-board factor beyond the targeted rewrites is the
+ReservedCodeCacheSize=1g fix: the r3 100x numbers were measured
+with the default 240 MB code cache, which exhausts mid-run on long
+multi-query sessions and silently de-optimizes everything after.
+
 Relational/ETL/ANN/streaming at 100x (warm): q1 1.4s over 60M
 lineitem rows, q3 2.7s, q5 6.8s, q9 1.0s, q13 1.6s, q16 1.8s,
 q17 0.5s, q21 2.9s, q22 0.5s, etl_flatten_json 2.6s, etl_sse_parse
