@@ -46,31 +46,60 @@ object Dedup {
     */
   val DfCap = 20
 
-  /** documents + distinct 3-gram `sh` shingle arrays.
+  /** documents + distinct 3-gram `sh` shingle arrays, as a typed
+    * mapPartitions KERNEL (same discipline as [[bandTable]] and the
+    * PQ encode): the expression form ([[TextAnalysis.shingleExpr]],
+    * kept for documentation/oracle parity) is a higher-order lambda
+    * that can never enter codegen — it runs interpreted forever, and
+    * on a cold JVM the interpreter itself is uncompiled, which the
+    * 100× probe measured as a ~350 s one-time storm on the first
+    * dedup query (421 s cold vs ~65 s warm for the same jaccard run).
+    * The kernel is plain JVM code: JIT-compiled within seconds, and
+    * byte-identical output — split-on-single-space keeping empties
+    * (`split(" ", -1)` = the `split(text, ' ')` regex), windows
+    * i..i+2 joined with one space, first-occurrence distinct
+    * (LinkedHashSet = `array_distinct` order), size < 3 ⇒ empty,
+    * null text ⇒ null array.
     *
-    * The trailing `repartition(doc_id)` is load-bearing: the shingle
-    * pipeline is a higher-order lambda (interpreted, not codegen'd),
-    * and a Generate consuming it directly re-evaluates the lambda per
-    * EXPLODED row (~52x per doc here — measured 7.8s vs 0.1s at
-    * sf0.1). The exchange materializes the arrays once per doc, and
-    * ReuseExchange shares the result across all consumers of this
-    * subplan within a query.
+    * The trailing `repartition(doc_id)` is the doc-id partitioning
+    * CONTRACT downstream merge-joins lean on ([[verifyExactJaccard]]:
+    * "re-sorts but does not re-shuffle"); every consumer checkpoints
+    * this frame, so the exchange also materializes the arrays once.
     */
-  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, d)
-      // doc_id is never null; declaring it here keeps every consumer's
-      // pushed-down predicates identical, so the join sides below stay
-      // ONE canonical subtree and ReuseExchange computes the (costly,
-      // interpreted) shingle lambda once per query, not once per
-      // consumer. Queries must also derive all their uses from a
-      // single shingled() result for the same reason.
+      // doc_id is never null; declaring it keeps every consumer's
+      // pushed-down predicates identical so the subtree stays
+      // canonical for reuse across join sides.
       .filter(col("doc_id").isNotNull)
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
-      .withColumn("sh", expr(TextAnalysis.shingleExpr))
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          if (text == null) (id, null: Seq[String])
+          else {
+            val toks = text.split(" ", -1)
+            if (toks.length < 3) (id, Seq.empty[String])
+            else {
+              val seen = new java.util.LinkedHashSet[String]()
+              var i = 0
+              while (i + 2 < toks.length) {
+                seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+                i += 1
+              }
+              val out = new Array[String](seen.size())
+              seen.toArray(out)
+              (id, scala.collection.immutable.ArraySeq.unsafeWrapArray(out): Seq[String])
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "sh")
       // explicit count: a bare repartition(col) gets AQE-coalesced to
-      // ~1 partition at this size, serializing the lambda evaluation
+      // ~1 partition at this size, serializing downstream consumers
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+  }
 
   /** Exploded (doc_id, shingle) inverted-index form. */
   private[graft] def shingledEx(s: SparkSession, d: String): DataFrame =

@@ -158,4 +158,45 @@ object Sinks {
     }
     df.select(cols.toIndexedSeq: _*)
   }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes`-sized files. Streaming sinks, per-partition
+    * writers and incremental append jobs accrete thousands of small
+    * files; at 100 TB the next scan then pays a task per file plus
+    * listing/metadata pressure, so periodic compaction is standard
+    * lake maintenance. Output file count = ceil(on-disk bytes /
+    * target), from the file listing — no data pass. With `sortCol`
+    * the rewrite range-partitions and sorts within files, so the
+    * compacted files carry tight min/max ranges and row-group
+    * skipping keeps working; without it rows round-robin. The rewrite
+    * lands in a `_compact_tmp` sibling first and swaps in via two
+    * renames, so a failed compaction leaves the input untouched (the
+    * swap itself is the usual non-transactional-lake caveat — table
+    * formats with commit protocols close that window, not raw
+    * parquet dirs). Returns the compacted file count.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20, sortCol: Option[String] = None): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(hPath).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(path)
+    val out = sortCol match {
+      case Some(c) => df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
+      case None => df.repartition(nFiles)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(hPath.getParent, hPath.getName + "_compact_tmp")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(hPath.getParent, hPath.getName + "_compact_old")
+    if (!fs.rename(hPath, old)) throw new java.io.IOException(s"compact: cannot move $hPath aside")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath) // roll back
+      throw new java.io.IOException(s"compact: cannot swap in $tmp")
+    }
+    fs.delete(old, true)
+    fs.listStatus(hPath).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
 }

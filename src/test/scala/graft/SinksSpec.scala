@@ -184,4 +184,41 @@ class SinksSpec extends AnyFunSuite {
     val back = Sinks.readTsv(spark, path)
     assert(back.count() == qa.count())
   }
+
+  test("compact: many small files collapse to the byte-sized target, content identical") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val path = tmp("compact")
+    docs.repartition(64).write.parquet(path)
+    def files(p: String) = new java.io.File(p).listFiles
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files(path) == 64)
+    val n = Sinks.compact(spark, path, targetFileBytes = 1L << 30)
+    assert(n == 1 && files(path) == 1)
+    val back = spark.read.parquet(path)
+    assert(back.orderBy("doc_id").collect().map(_.toString).toSeq ==
+      docs.orderBy("doc_id").collect().map(_.toString).toSeq)
+  }
+
+  test("compact with sortCol: files are range-disjoint (min/max pruning preserved)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val path = tmp("compactsort")
+    docs.repartition(32).write.parquet(path)
+    // tiny target forces multiple output files even at spec scale
+    val n = Sinks.compact(spark, path, targetFileBytes = 16L << 10, sortCol = Some("doc_id"))
+    assert(n >= 2, s"expected a multi-file compaction, got $n")
+    // per-file id ranges must not overlap: range partitioning on the
+    // sort column is what keeps file-level min/max skipping effective
+    val ranges = new java.io.File(path).listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val ids = spark.read.parquet(f.getAbsolutePath).agg(
+          min(col("doc_id")), max(col("doc_id"))).head
+        (ids.getLong(0), ids.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(path).count() == docs.count())
+  }
 }
