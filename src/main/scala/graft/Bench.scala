@@ -2,6 +2,45 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Warm up the ENGINE (not the queries): Hadoop FS init, scheduler,
+    * whole-stage codegen+janino, and — the big one — C2-compilation of
+    * the interpreted expression paths (from_json/get_json_object are
+    * CodegenFallback, higher-order lambdas are always interpreted).
+    * Cold, those paths run 5-10x slower for the first queries that hit
+    * them (measured: etl_sse_parse 12.9s first-ever vs 1.2s warm; at
+    * the 100x probe an unwarmed first dedup query paid a ~350s
+    * interpreter storm). Standard benchmark practice; uses only
+    * synthetic range data. Shared with [[Probe]] so probe "first run"
+    * numbers measure per-plan costs, not interpreter compilation.
+    */
+  private[graft] def warmup(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val w = spark.range(200000).select(col("id"),
+      concat(lit("""{"k": """), col("id"), lit(""", "s": "v"}""")).as("js"),
+      array_repeat(col("id") % 100, 8).as("arr"))
+    w.select(
+        get_json_object(col("js"), "$.k").as("k1"),
+        from_json(col("js"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING")).as("p"),
+        regexp_extract(col("js"), "\\{.*\\}", 0).as("re"),
+        expr("transform(arr, x -> x * 2 + 1)").as("t"),
+        expr("aggregate(arr, 0L, (a, x) -> a + x)").as("agg"),
+        md5(col("js")).as("m"), xxhash64(col("js")).as("xx"))
+      .write.format("noop").mode("overwrite").save()
+    val g = w.select(col("id"), explode(col("arr")).as("k"))
+    g.groupBy(col("k")).count()
+      .join(g.hint("shuffle_hash"), Seq("k"))
+      .write.format("noop").mode("overwrite").save()
+    import spark.implicits._
+    w.select(col("id"), col("arr")).as[(Long, Seq[Long])]
+      .map { case (i, a) => (i, a.sum) }
+      .toDF("id", "s")
+      .select(col("id"), sum(col("s")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id") % 32).orderBy(col("id"))).as("r"))
+      .orderBy(col("r")).limit(10).collect()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,40 +51,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the ENGINE (not the queries): Hadoop FS init, scheduler,
-    // whole-stage codegen+janino, and — the big one — C2-compilation of
-    // the interpreted expression paths (from_json/get_json_object are
-    // CodegenFallback, higher-order lambdas are always interpreted).
-    // Cold, those paths run 5-10x slower for the first queries that hit
-    // them (measured: etl_sse_parse 12.9s first-ever vs 1.2s warm).
-    // Standard benchmark practice; uses only synthetic range data.
-    locally {
-      import org.apache.spark.sql.functions._
-      val w = spark.range(200000).select(col("id"),
-        concat(lit("""{"k": """), col("id"), lit(""", "s": "v"}""")).as("js"),
-        array_repeat(col("id") % 100, 8).as("arr"))
-      w.select(
-          get_json_object(col("js"), "$.k").as("k1"),
-          from_json(col("js"),
-            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING")).as("p"),
-          regexp_extract(col("js"), "\\{.*\\}", 0).as("re"),
-          expr("transform(arr, x -> x * 2 + 1)").as("t"),
-          expr("aggregate(arr, 0L, (a, x) -> a + x)").as("agg"),
-          md5(col("js")).as("m"), xxhash64(col("js")).as("xx"))
-        .write.format("noop").mode("overwrite").save()
-      val g = w.select(col("id"), explode(col("arr")).as("k"))
-      g.groupBy(col("k")).count()
-        .join(g.hint("shuffle_hash"), Seq("k"))
-        .write.format("noop").mode("overwrite").save()
-      import spark.implicits._
-      w.select(col("id"), col("arr")).as[(Long, Seq[Long])]
-        .map { case (i, a) => (i, a.sum) }
-        .toDF("id", "s")
-        .select(col("id"), sum(col("s")).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("id") % 32).orderBy(col("id"))).as("r"))
-        .orderBy(col("r")).limit(10).collect()
-    }
+    warmup(spark)
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // Two passes over the inventory, report the per-query MIN (JMH-style
     // steady-state): a single pass is a lottery — one-time costs that the

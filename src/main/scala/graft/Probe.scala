@@ -14,6 +14,9 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shared engine warmup (see Bench.warmup): probe first-run numbers
+    // should measure per-plan costs, not interpreter/C2 compilation
+    Bench.warmup(spark)
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
