@@ -241,6 +241,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dotproduct") || p.contains("DotProduct"), p)
   }
 
+  test("shingling is a typed kernel, no interpreted lambda in its plan") {
+    // the transform(sequence(...)) shingle expression can never enter
+    // codegen and costs a cold-interpreter storm at scale (measured
+    // ~350s at the 100x probe). Downstream dedup plans hide the
+    // subtree behind a checkpoint, so assert on the shingle frame's
+    // own physical plan.
+    val p = operators.Dedup.shingled(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("transform(sequence"), s"interpreted shingle lambda resurfaced\n$p")
+    assert(p.contains("MapPartitions"), s"expected a typed shingle kernel in the plan\n$p")
+  }
+
   test("ann recall gates: hit-check is a literal-map lookup, not a join (one-pass gate)") {
     // the gate's only join must be the final single-row broadcast
     // cross-join assembling the corpus scalars with the candidate
