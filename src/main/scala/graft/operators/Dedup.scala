@@ -66,14 +66,13 @@ object Dedup {
     * "re-sorts but does not re-shuffle"); every consumer checkpoints
     * this frame, so the exchange also materializes the arrays once.
     */
-  private[graft] def shingled(s: SparkSession, d: String): DataFrame = {
+  /** The shingle kernel over any (doc_id, text) frame — split out so
+    * PropertySpec can pin kernel-vs-expression byte parity on
+    * generated edge-case texts.
+    */
+  private[graft] def shingleArrays(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      // doc_id is never null; declaring it keeps every consumer's
-      // pushed-down predicates identical so the subtree stays
-      // canonical for reuse across join sides.
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -96,10 +95,18 @@ object Dedup {
         }
       }
       .toDF("doc_id", "sh")
+  }
+
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s,
+      Tables.documents(s, d)
+        // doc_id is never null; declaring it keeps every consumer's
+        // pushed-down predicates identical so the subtree stays
+        // canonical for reuse across join sides.
+        .filter(col("doc_id").isNotNull))
       // explicit count: a bare repartition(col) gets AQE-coalesced to
       // ~1 partition at this size, serializing downstream consumers
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
-  }
 
   /** Exploded (doc_id, shingle) inverted-index form. */
   private[graft] def shingledEx(s: SparkSession, d: String): DataFrame =

@@ -69,4 +69,24 @@ class PropertySpec extends AnyFunSuite {
       assert(fp(0) == fp(1))
     }
   }
+
+  test("shingle kernel is byte-identical to the expression form on edge-case texts") {
+    import graft.operators.{Dedup, TextAnalysis}
+    // generated word-soup plus the edge shapes the parity argument
+    // rests on: < 3 tokens, empty tokens from doubled/leading/trailing
+    // spaces, repeated windows (distinct), the empty string
+    val texts = samples(Gen.listOfN(12, wordGen).map(_.mkString(" ")), 10) ++ Seq(
+      "", "a", "a b", "a b c", "x y x y x y x y",
+      "a  b c d", " a b c", "a b c ", "a   b", "dup dup dup dup")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kernel = Dedup.shingleArrays(spark, docs)
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    val exprForm = docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sh", expr(TextAnalysis.shingleExpr))
+      .orderBy("doc_id").select("sh").collect().map(_.getSeq[String](0))
+    kernel.zip(exprForm).zipWithIndex.foreach { case ((k, e), i) =>
+      assert(k == e, s"parity broke on text ${texts(i)}: kernel=$k expr=$e")
+    }
+  }
 }
