@@ -310,7 +310,7 @@ object Dedup {
     * < 1e-5, so the output provably matches the exact oracle.
     */
   /** splitmix64 finalizer — the per-seed hash family for minhash. */
-  private def mix(h: Long, seed: Int): Long = {
+  private[graft] def mix(h: Long, seed: Int): Long = {
     var z = h ^ (0x9e3779b97f4a7c15L * (seed + 1))
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

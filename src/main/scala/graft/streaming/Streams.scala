@@ -161,6 +161,69 @@ object Streams {
   }
 
   // ------------------------------------------------------------------
+  // Streaming incremental near-dup probe.
+  // ------------------------------------------------------------------
+
+  /** Probe a stream of NEW documents against the persisted corpus
+    * MinHash band index — [[graft.operators.Dedup.dedupIncrementalMinhash]]
+    * as a stream, the recurring-crawl shape where the shard arrives
+    * continuously instead of in batches. Per stream row the shingle
+    * kernel, 128-hash signature and band hashes all run MAP-SIDE (a
+    * stream row holds the whole document, so the batch path's
+    * explode + groupBy collapses into one flatMap; the xxhash64
+    * transform keeps the hash family bit-identical to
+    * [[graft.operators.Dedup.bandTable]]'s index). Candidates come
+    * from the stream-static band join; exact-Jaccard verification
+    * joins the corpus shingle arrays from the static store, while the
+    * probe doc's own shingles ride its candidate rows — the shard is
+    * the small recurring increment whose content is already in
+    * flight; only corpus state is read from storage. The
+    * dropDuplicates state is bounded by the shard's candidate pair
+    * count. Works identically on a batch shard frame (the spec's
+    * stream-vs-batch equivalence check).
+    */
+  def neardupProbeStream(s: SparkSession, shardDocs: DataFrame,
+      corpusDocs: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.operators.Dedup
+    val corpusSh = Dedup.shingleArrays(s, corpusDocs).localCheckpoint()
+    val corpusBands = Dedup.bandTable(s, corpusSh)
+    val bandRows = Dedup.NumHashes / Dedup.NumBands
+    val shardBands = Dedup.shingleArrays(s, shardDocs)
+      .withColumn("hs", expr("transform(sh, x -> xxhash64(x))"))
+      .as[(Long, Seq[String], Seq[Long])]
+      .flatMap { case (id, sh, hs) =>
+        val sig = Array.fill(Dedup.NumHashes)(Long.MaxValue)
+        hs.foreach { h =>
+          var i = 0
+          while (i < Dedup.NumHashes) {
+            val m = Dedup.mix(h, i)
+            if (m < sig(i)) sig(i) = m
+            i += 1
+          }
+        }
+        (0 until Dedup.NumBands).map { b =>
+          var bh = 1125899906842597L
+          var r = 0
+          while (r < bandRows) { bh = bh * 31 + sig(b * bandRows + r); r += 1 }
+          (id, b, bh, sh)
+        }
+      }.toDF("doc_id", "band", "bh", "sh")
+    val cand = shardBands
+      .join(corpusBands.select(col("band"), col("bh"), col("doc_id").as("doc_b")),
+        Seq("band", "bh"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("sh").as("sha"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(corpusSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
   // Stream-stream interval join.
   // ------------------------------------------------------------------
 

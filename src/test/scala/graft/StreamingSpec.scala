@@ -92,6 +92,40 @@ class StreamingSpec extends AnyFunSuite {
     assert((keptIds & Set(1L, 2L, 4L)).size == 1)
   }
 
+  test("incremental near-dup probe streams against the static corpus index, matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: two known docs; shard: one near-dup of corpus doc 1
+    // (only the final token differs -> 7 of 8 shared shingles,
+    // jaccard 7/9 = 0.7778 >= 0.5) and one novel doc
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text about spark engines and scale")).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "nothing in common with anything at all here truly"))
+    val stream = MemoryStream[(Long, String)]
+    val out = Streams.neardupProbeStream(spark,
+      stream.toDF().toDF("doc_id", "text"), corpus)
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    try {
+      stream.addData(shard(0))
+      q.processAllAvailable()
+      stream.addData(shard(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("neardup_out").orderBy("doc_a", "doc_b")
+      .collect().map(_.toString).toSeq
+    // identical rows from the same function run in batch mode
+    val batch = Streams.neardupProbeStream(spark, shard.toDF("doc_id", "text"), corpus)
+      .orderBy("doc_a", "doc_b").collect().map(_.toString).toSeq
+    assert(got == batch)
+    // the engineered near-dup pair surfaces; the novel doc does not
+    assert(got.size == 1 && got.head.startsWith("[10,1,0.7778"))
+  }
+
   test("model stage composes with Structured Streaming (stateless kernel per micro-batch)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
