@@ -39,6 +39,24 @@ object Bench {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("id") % 32).orderBy(col("id"))).as("r"))
       .orderBy(col("r")).limit(10).collect()
+    // One tiny pass through the dedup kernels themselves (shingle
+    // flatMap → xxhash64 → minhash signature/band vote loop → verify
+    // join): the generic map/flatMap warmup above compiles the Dataset
+    // plumbing but NOT these kernel classes, and at the 100x probe the
+    // first real dedup query still paid a cold-JIT storm (jaccard 156s
+    // cold vs ~105s warm). ~2k synthetic docs: milliseconds of work,
+    // and the kernels' hot loops reach C2 before any measured query.
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("w"), pmod(col("id") + i, lit(97)))): _*).as("text"))
+    val sh = graft.operators.Dedup.shingleArrays(spark, docs).localCheckpoint()
+    graft.operators.Dedup.bandTable(spark, sh)
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+    sh.select(col("doc_id"), col("sh").as("sha"))
+      .join(sh.select((col("doc_id") + 1).as("doc_id"), col("sh").as("shb")), Seq("doc_id"))
+      .select(size(array_intersect(col("sha"), col("shb"))).as("inter"))
+      .agg(sum(col("inter"))).collect()
   }
 
   def main(args: Array[String]): Unit = {
@@ -76,7 +94,16 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    // Each pass starts with empty EVALUATION-state caches (ANN ground
+    // truth, exact cosine-pair set), so the per-query min still pays
+    // that computation once per pass — otherwise pass 2's gate queries
+    // would inherit pass 1's ground truth and their min-of-2 numbers
+    // would exclude the gates' dominant input entirely. Trained model
+    // state (centroids, codebooks, bloom sketch) persists across
+    // passes by design; see Similarity.resetEvalCaches.
+    graft.operators.Similarity.resetEvalCaches()
     val p1 = pass()
+    graft.operators.Similarity.resetEvalCaches()
     val p2 = pass()
     val results = p1.zip(p2).map { case ((n, t1, ok1), (_, t2, ok2)) =>
       (n, math.min(t1, t2), ok1 && ok2)
@@ -101,11 +128,14 @@ object Bench {
     println(line)
     // Also persist to disk: the driver captures only a bounded output tail,
     // which destroyed 9 query rows of the round-3 artifact. The on-disk copy
-    // is the authoritative record.
+    // is the authoritative record — so a SPARK_GRAFT_ONLY dev-subset run
+    // writes to a suffixed file instead, and can never overwrite the
+    // authoritative full-inventory artifact with a partial total.
+    val benchFile = if (only.isDefined) "bench_out_subset.json" else "bench_out.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(benchFile),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
+    } catch { case e: Throwable => System.err.println(s"[bench] $benchFile write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

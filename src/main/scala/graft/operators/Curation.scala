@@ -582,11 +582,16 @@ object Curation {
     * signal-assembly pattern that costs a single exchange regardless
     * of how many signals compose. The canonical-copy signal covers
     * every document (its window spans the corpus), so the aggregate
-    * needs no separate spine join. The contamination signal probes
-    * the SHARED eval-gram bloom sketch ([[evalGramBloom]]) map-side —
-    * the same effectively-exact configuration (and FP argument) as
-    * [[curDecontaminateBloom]], which shares the exact variant's
-    * oracle — and ships only the contaminated doc ids into the fold.
+    * needs no separate spine join. The contamination signal PREFILTERS
+    * the training gram stream map-side through the SHARED eval-gram
+    * bloom sketch ([[evalGramBloom]]) and then ADJUDICATES the
+    * surviving grams against the exact eval-gram set — the same
+    * prefilter-then-exact shape as [[curDecontaminateShuffle]], so the
+    * verdict stays exact at ANY eval-set size: even if the sketch
+    * saturates (eval grams ≫ its fixed capacity) the only cost is a
+    * higher FP fraction reaching the adjudication join, never a clean
+    * document wrongly dropped. Only the adjudicated contaminated doc
+    * ids enter the fold.
     */
   def curKeepList(s: SparkSession, d: String): DataFrame = {
     import graft.functions.BloomSketch
@@ -601,6 +606,11 @@ object Curation {
       .select(col("doc_id"), lit(null).cast("long").as("is_canon"),
         col("keep").as("rep_keep"), lit(null).cast("long").as("contaminated"))
     val bfRef = org.apache.spark.sql.GraftColumnBridge.scalarSubquery(evalGramBloom(s, d))
+    val evalGrams = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(20)) === 0)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("g5", expr(FiveGramExpr))
+      .select(explode(col("g5")).as("g")).distinct()
     val dec = barrier(s, Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(20)) =!= 0)
         .withColumn("toks", TextAnalysis.tokens(col("text")))
@@ -608,6 +618,10 @@ object Curation {
         .select(col("doc_id"), col("g5")))
       .select(col("doc_id"), explode(col("g5")).as("g"))
       .filter(BloomSketch.mightContain(bfRef, xxhash64(col("g"))))
+      // exact adjudication of the bloom survivors (false positives
+      // out) — both sides already shrunk to probable-hit grams, so
+      // the bucketed join moves ~the true-hit volume
+      .join(evalGrams.hint("shuffle_hash"), Seq("g"))
       .select(col("doc_id"), lit(null).cast("long").as("is_canon"),
         lit(null).cast("long").as("rep_keep"), lit(1L).as("contaminated"))
     val folded = canon.unionAll(rep).unionAll(dec)

@@ -579,6 +579,28 @@ object Dedup {
          |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Exact batch×corpus jaccard: doc_a is always the new-shard doc
+    * (doc_id % 10 = 0), doc_b the existing-corpus doc — no a<b
+    * canonicalization across the split. Shared with the streaming
+    * near-dup probe's batch-mode gate row (`stream_neardup`), which
+    * computes the identical pair set through the stream-shaped plan.
+    */
+  private[graft] val incrementalMinhashOracle =
+    raw"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, len(string_split(text, ' ')) - 2),
+         |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         |        || ' ' || string_split(text, ' ')[i+2])) AS sh FROM documents),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s
+         |       AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         | round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) AS jaccard
+         |FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_clusters" ->
       raw"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_transform(
@@ -623,24 +645,7 @@ object Dedup {
     // LSH recall is effectively 1 at this threshold (see Scaladoc), so
     // the probabilistic path is held to the same exact oracle.
     "dedup_minhash_lsh" -> jaccardOracle,
-    // Exact batch×corpus jaccard: doc_a is always the new-shard doc
-    // (doc_id % 10 = 0), doc_b the existing-corpus doc — no a<b
-    // canonicalization across the split.
-    "dedup_incremental_minhash" ->
-      raw"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
-           |   generate_series(1, len(string_split(text, ' ')) - 2),
-           |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-           |        || ' ' || string_split(text, ' ')[i+2])) AS sh FROM documents),
-           |sz AS (SELECT doc_id, len(sh) AS n FROM t),
-           |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
-           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-           |      FROM e a JOIN e b ON a.s = b.s
-           |       AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2)
-           |SELECT doc_a, doc_b,
-           | round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) AS jaccard
-           |FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-           |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= 0.5
-           |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_incremental_minhash" -> incrementalMinhashOracle,
     // Full simhash recomputation: same md5-derived 64-bit hash, bit
     // votes via a 64-row series cross join, signature kept as two
     // 32-bit halves (1 << 63 would overflow BIGINT), identical

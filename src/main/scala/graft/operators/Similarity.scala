@@ -422,6 +422,25 @@ object Similarity {
   private val groundTruthCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Map[Long, Seq[Long]]]
 
+  /** Drop the EVALUATION-state caches (exact-pair set, ANN ground
+    * truth) so a subsequent run pays their computation again. Bench
+    * calls this between its two passes: without it the min-of-2 time
+    * for the gate queries would exclude their dominant input entirely
+    * (the ground truth would be a leftover from pass 1), and the
+    * reported numbers would not measure the work the query performs.
+    * Trained MODEL state (centroids, PQ codebooks, the eval-gram
+    * bloom sketch) is deliberately NOT cleared — a production
+    * deployment fits those once and serves many queries, and the
+    * DuckDB baseline is not re-fitting a quantizer per query either.
+    * Within one pass the ground truth is still shared across the
+    * three recall gates (the standard ANN-benchmark posture: ground
+    * truth is computed once per dataset, not once per index).
+    */
+  private[graft] def resetEvalCaches(): Unit = {
+    exactPairCache.clear()
+    groundTruthCache.clear()
+  }
+
   private def groundTruth(s: SparkSession, d: String): Map[Long, Seq[Long]] =
     groundTruthCache.getOrElseUpdate((s.sparkContext.applicationId, d),
       annBruteforceTopk(s, d).select(col("query_id"), col("neighbor_id"))

@@ -146,7 +146,10 @@ object TextAnalysis {
       .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .as[(Long, String)]
       .flatMap { case (_, text) =>
-        val t = text.split(" ", -1)
+        // null-text docs contribute no grams (mirrors shingleArrays'
+        // null ⇒ null guard; current corpora have none, but a kernel
+        // must not NPE the task on one bad row)
+        val t = if (text == null) Array.empty[String] else text.split(" ", -1)
         if (t.length < 3) Iterator.empty
         else {
           val seen = new java.util.HashSet[String]()

@@ -223,6 +223,23 @@ object Streams {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Driver-gated batch-mode evaluation of [[neardupProbeStream]]:
+    * the shard split is the same doc_id % 10 convention as
+    * [[graft.operators.Dedup.dedupIncrementalMinhash]], so the probe
+    * is held to that query's EXACT batch×corpus jaccard oracle — the
+    * stream-shaped plan (map-side signatures, stream-static band
+    * join) must reproduce the batch pipeline's pair set
+    * byte-for-byte. StreamingSpec separately proves the MemoryStream
+    * execution of the same function matches this batch evaluation.
+    */
+  def streamNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    neardupProbeStream(s,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ------------------------------------------------------------------
   // Stream-stream interval join.
   // ------------------------------------------------------------------
@@ -320,9 +337,13 @@ object Streams {
     "stream_dedup" -> streamDedup _,
     "stream_topk" -> streamTopK _,
     "stream_interval_join" -> streamIntervalJoin _,
-    "stream_decontaminate" -> streamDecontaminate _)
+    "stream_decontaminate" -> streamDecontaminate _,
+    "stream_neardup" -> streamNeardup _)
 
   val oracleSql: Map[String, String] = Map(
+    // Same exact pair-set oracle as dedup_incremental_minhash — the
+    // stream-shaped plan must agree with the batch pipeline.
+    "stream_neardup" -> graft.operators.Dedup.incrementalMinhashOracle,
     "stream_decontaminate" ->
       """WITH t AS (SELECT doc_id, list_distinct(list_transform(
         |   generate_series(1, len(string_split(text, ' ')) - 4),
