@@ -478,11 +478,19 @@ object Curation {
     * occurrence in the corpus just to count in-document duplicates;
     * the kernel collapses them map-side, same reasoning as
     * [[curRepetition]] — measured ~1.5s → ~0.6s warm at sf0.1).
-    * df is one hash aggregation over the tf stream; the document
-    * count joins in as a single-row broadcast (same scalar-aggregate
-    * shape as q24_revenue_share); ranking is a per-doc window over
-    * ≤ |vocab| rows. Scores are rounded to 4 decimals and tie-broken
-    * on the term so the ordering is reproducible. The tokenizer is
+    * df comes from a count window OVER the tf stream itself
+    * (partitioned on the term), so the tf frame has exactly ONE
+    * consumer and the whole query is one linear job — no checkpoint
+    * materialization, no df self-join. (Previous form: checkpoint the
+    * tf frame, aggregate df, join it back — identical values, but it
+    * paid a checkpoint job plus a join exchange; at sf0.1 the query's
+    * cost was four scheduled stages × Spark's ~0.3s dispatch floor,
+    * 2.6× the oracle. The window form pays kernel → term exchange →
+    * doc exchange → output sort.) The document count joins in as a
+    * single-row broadcast (same scalar-aggregate shape as
+    * q24_revenue_share); ranking is a per-doc window over ≤ |vocab|
+    * rows. Scores are rounded to 4 decimals and tie-broken on the
+    * term so the ordering is reproducible. The tokenizer is
     * split-on-single-space keeping empties — exactly DuckDB's
     * `string_split(text, ' ')`, which the oracle uses.
     */
@@ -497,15 +505,11 @@ object Curation {
         m.entrySet().iterator().asScala.map(e => (id, e.getKey, e.getValue))
       }
       .toDF("doc_id", "term", "tf")
-      // two consumers (df aggregation + the score join) and the lambda
-      // kernel defeats plan-level reuse — materialize once, same
-      // reasoning as the dedup shingle table.
-      .localCheckpoint()
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val wDf = Window.partitionBy(col("term"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
