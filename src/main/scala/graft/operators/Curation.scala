@@ -486,13 +486,23 @@ object Curation {
     * paid a checkpoint job plus a join exchange; at sf0.1 the query's
     * cost was four scheduled stages × Spark's ~0.3s dispatch floor,
     * 2.6× the oracle. The window form pays kernel → term exchange →
-    * doc exchange → output sort.) The document count joins in as a
-    * single-row broadcast (same scalar-aggregate shape as
-    * q24_revenue_share); ranking is a per-doc window over ≤ |vocab|
-    * rows. Scores are rounded to 4 decimals and tie-broken on the
-    * term so the ordering is reproducible. The tokenizer is
-    * split-on-single-space keeping empties — exactly DuckDB's
-    * `string_split(text, ' ')`, which the oracle uses.
+    * doc exchange → output sort.) n_docs is a driver-side parquet
+    * footer count ([[Tables.parquetRowCount]]) folded in as a literal
+    * — the same metadata-only count(*) the DuckDB oracle performs; a
+    * Spark scan-and-aggregate job for one scalar would pay two extra
+    * stage dispatches to recompute what the footers already record.
+    * Ranking is a per-doc window over ≤ |vocab| rows. The output
+    * total order (doc_id, rank) is produced by a single-reducer sort
+    * of the 3·n_docs result rows rather than a range-partitioned
+    * orderBy: the result is presentation-sized (top-3 per doc), and a
+    * global orderBy would pay a range-boundary sampling pass that
+    * re-executes the ranking stage. (At cluster scale with billions
+    * of docs, swap the repartition(1) for repartitionByRange on
+    * doc_id — the sort key is already the layout key.) Scores are
+    * rounded to 4 decimals and tie-broken on the term so the ordering
+    * is reproducible. The tokenizer is split-on-single-space keeping
+    * empties — exactly DuckDB's `string_split(text, ' ')`, which the
+    * oracle uses.
     */
   def curTfidfTopterms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -505,18 +515,17 @@ object Curation {
         m.entrySet().iterator().asScala.map(e => (id, e.getKey, e.getValue))
       }
       .toDF("doc_id", "term", "tf")
-    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val nDocs = Tables.parquetRowCount(s, d, "documents")
     val wDf = Window.partitionBy(col("term"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.withColumn("df", count(lit(1)).over(wDf))
-      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
-      .orderBy(col("doc_id"), col("rank"))
+      .repartition(1).sortWithinPartitions(col("doc_id"), col("rank"))
   }
 
   // ------------------------------------------------------------------

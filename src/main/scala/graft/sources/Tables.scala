@@ -43,6 +43,30 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Exact table row count from the parquet footers — a driver-side
+    * metadata read (no Spark job). This is the same work a
+    * metadata-aware engine's `count(*)` performs (DuckDB, and Spark's
+    * own V2 aggregate pushdown, answer bare counts from the footer
+    * row counts); a DataFrame scan-and-aggregate for one scalar would
+    * instead pay two scheduled stages. Footer reads stay O(#files) at
+    * any data scale and are how table formats serve `count(*)`.
+    */
+  def parquetRowCount(s: SparkSession, sfDir: String, name: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      else Array(root)
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
