@@ -28,6 +28,34 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
+    // ANN recall-gate evidence for the performance baseline: dump each
+    // gate's full candidate set (query_id, neighbor_id, cosine) plus
+    // the gate bars, so tools/baseline.py can time DuckDB recomputing
+    // the gate for real — exact brute-force ground truth + rank/hit
+    // aggregation over these candidates — instead of timing a
+    // constant-probe SELECT that does none of the gate's work.
+    if (only.isEmpty) {
+      import graft.operators.Similarity
+      Seq(
+        ("ann_lsh_recall", Similarity.lshCandidates(spark, sfDir)),
+        ("ann_ivf_recall", Similarity.ivfCandidates(spark, sfDir)),
+        ("ann_pq_recall", Similarity.pqCandidates(spark, sfDir)),
+      ).foreach { case (name, cand) =>
+        try cand.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${name}_cand")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] ${name}_cand dump failed: ${e.getMessage}")
+        }
+      }
+      val bars = Seq(
+        ("ann_lsh_recall", Similarity.LshRecallBar, Similarity.LshPruneBar),
+        ("ann_ivf_recall", Similarity.IvfRecallBar, Similarity.IvfPruneBar),
+        ("ann_pq_recall", Similarity.PqRecallBar, Similarity.PqPruneBar),
+      ).map { case (n, r, p) =>
+        s""""$n": {"recall_bar": $r, "prune_bar": $p, "topk": ${Similarity.TopK}}"""
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/gate_bars.json"), bars)
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
