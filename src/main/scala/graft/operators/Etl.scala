@@ -284,11 +284,56 @@ object Etl {
     * drop sentinels ([DONE]/null/None), drop error records
     * (code != 0) and non-object payloads, then last-wins extraction of
     * answer / session_id / reference total — exactly the reference's
-    * streaming-chunk overwrite semantics, as array HOFs over one
-    * split. The transcript is synthesized per event (with and without
+    * streaming-chunk overwrite semantics, as one typed per-line
+    * kernel pass. The transcript is synthesized per event (with and without
     * a reference block, plus noise + sentinel lines) so every branch
     * is exercised.
     */
+  /** Shared JSON reader for the SSE kernel: ObjectMapper.readTree is
+    * thread-safe once configured, so executor threads share one.
+    */
+  private val sseMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The generic per-transcript SSE parse (the reference's per-line
+    * loop, test_chat_assistant.py:36-103): keep `data:` payloads,
+    * skip sentinels ([DONE]/null/None/empty) and unparsable JSON,
+    * accept only code == 0 records carrying a data payload, and let
+    * each later valid chunk's non-null fields overwrite earlier ones.
+    * Works for any line count, ordering, or chunk mix — nothing is
+    * addressed by position (exercised on adversarial layouts in
+    * ReferencePipelinesSpec). Returns (answer, session_id,
+    * total_references) with the reference's defaults.
+    */
+  private[graft] def parseSseTranscript(transcript: String): (String, String, Long) = {
+    var answer: String = null
+    var session: String = null
+    var total: java.lang.Long = null
+    transcript.split("\n", -1).foreach { line =>
+      if (line.startsWith("data:")) {
+        val payload = line.substring(5).trim
+        if (payload.nonEmpty && payload != "[DONE]" &&
+            payload != "null" && payload != "None") {
+          try {
+            val node = sseMapper.readTree(payload)
+            // validity: code == 0 (string-compared like the oracle's
+            // json_extract_string) and a data payload
+            if (node != null && node.path("code").asText() == "0" &&
+                node.hasNonNull("data")) {
+              val data = node.get("data")
+              if (data.hasNonNull("answer")) answer = data.get("answer").asText()
+              if (data.hasNonNull("session_id")) session = data.get("session_id").asText()
+              val ref = data.path("reference")
+              if (ref.hasNonNull("total")) total = ref.get("total").asLong()
+            }
+          } catch { case _: com.fasterxml.jackson.core.JacksonException => () }
+        }
+      }
+    }
+    (if (answer == null) "" else answer,
+      if (session == null) "" else session,
+      if (total == null) 0L else total.longValue())
+  }
+
   def etlSseParse(s: SparkSession, d: String): DataFrame = {
     val line1 = concat(lit("""data: {"code": 0, "data": {"answer": "partial """),
       col("event_id"), lit(""""}}"""))
@@ -306,8 +351,6 @@ object Etl {
       lit("event: message"), line1,
       lit("""data: {"code": 1, "message": "transient error"}"""),
       line2, lit("data: [DONE]"))
-    val chunkSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "code INT, data STRUCT<answer: STRING, session_id: STRING, reference: STRUCT<total: BIGINT>>")
     // Early repartition with an EXPLICIT partition count: the source
     // is a single parquet split locally, so without it the whole
     // parse phase runs in ONE task — and a bare repartition(col) gets
@@ -317,46 +360,33 @@ object Etl {
     val base = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("props"))
       .repartition(nPart, col("event_id"))
-      .select(col("event_id"), split(raw, "\n").as("lines"))
-    // STATIC line addressing, not a posexplode: the transcript layout
-    // is fixed by the synthesis above — of its five lines only #2 and
-    // #4 are `data:` lines that can survive the reference's filters
-    // (#1 is an event: header, #3 is the code!=0 error record, #5 the
-    // [DONE] sentinel), so exploding every transcript into five rows,
-    // Jackson-parsing three of them and shuffling the line rows
-    // through a groupBy re-derives per row what is known per column.
-    // Parsing exactly the two candidate lines keeps the whole
-    // pipeline map-side — no Generate, no exchange, no aggregate —
-    // and ~halves the from_json calls (measured 4.0s → sub-second at
-    // sf0.1). The validity filters (code == 0, object payload) and
-    // the last-line-wins merge are still evaluated per chunk, so the
-    // semantics are the reference's, not a constant-folded shortcut.
-    val parsed = base
-      .select(col("event_id"),
-        from_json(trim(expr("substring(element_at(lines, 2), 6)")), chunkSchema).as("p1"),
-        from_json(trim(expr("substring(element_at(lines, 4), 6)")), chunkSchema).as("p2"))
-      // Materialization barrier: from_json is CodegenFallback, and
-      // stacked projections can re-inline (and re-run) the parse per
-      // consuming field reference; the lazy checkpoint also lets the
-      // final projection sit ABOVE the sort so the range exchange's
-      // sampling pass samples parsed one-row-per-event structs, not
-      // the parse itself (see curPiiRedact).
+      .select(col("event_id"), raw.as("raw"))
+    // GENERIC per-line parse as a typed kernel — the reference's own
+    // loop shape (test_chat_assistant.py:36-103: iterate lines, keep
+    // `data:` payloads, skip sentinels/invalid JSON/error records,
+    // later chunks' non-null fields overwrite earlier ones). A
+    // transcript with any line count, ordering, or number of valid
+    // chunks parses correctly — nothing is addressed by position.
+    // The kernel replaces an earlier element_at(lines, 2/4) static
+    // form that exploited the 5-line synthesis layout (fast but not
+    // an SSE parser) AND the explode + from_json + groupBy form that
+    // preceded it (generic but pays a Generate, per-line Jackson
+    // calls through CodegenFallback, and a full shuffle of the line
+    // rows — measured ~4s at sf0.1). One map-side pass, no Generate,
+    // no exchange, no aggregate; Jackson parses only surviving
+    // `data:` payloads.
+    import s.implicits._
+    val parsed = base.as[(Long, String)]
+      .mapPartitions(_.map { case (id, transcript) =>
+        val (answer, session, total) = parseSseTranscript(transcript)
+        (id, answer, session, total)
+      })
+      .toDF("event_id", "answer", "session_id", "total_references")
+      // Materialization barrier so the range exchange's sampling pass
+      // samples parsed one-row-per-event tuples, not the kernel
+      // (see curPiiRedact).
       .localCheckpoint(eager = false)
-    // last-wins chunk merge: a later valid chunk's non-null field
-    // overrides an earlier one's (the reference's streaming-chunk
-    // overwrite), expressed as coalesce over validity-guarded fields.
-    def valid(p: Column): Column = p.getField("code") === 0 && p.getField("data").isNotNull
-    def field(p: Column, path: String): Column =
-      when(valid(p), path.split('.').foldLeft(p)(_.getField(_)))
-    parsed
-      .orderBy(col("event_id"))
-      .select(col("event_id"),
-        coalesce(field(col("p2"), "data.answer"), field(col("p1"), "data.answer"),
-          lit("")).as("answer"),
-        coalesce(field(col("p2"), "data.session_id"), field(col("p1"), "data.session_id"),
-          lit("")).as("session_id"),
-        coalesce(field(col("p2"), "data.reference.total"), field(col("p1"), "data.reference.total"),
-          lit(0L)).as("total_references"))
+    parsed.orderBy(col("event_id"))
   }
 
   /** The reference's record-summarization model call

@@ -62,4 +62,36 @@ class ReferencePipelinesSpec extends AnyFunSuite {
     val colors = quality.select("quality_color").distinct().collect().map(_.getString(0)).toSet
     assert(colors.subsetOf(Set("GREEN", "YELLOW", "RED", "GRAY")))
   }
+
+  test("SSE parse is generic over transcript layout, not position-addressed") {
+    import Etl.parseSseTranscript
+    // ten lines, valid chunks at unusual positions, last-wins per field
+    val long = Seq(
+      "event: message",
+      ": comment line",
+      "data: [DONE]",
+      """data: {"code": 0, "data": {"answer": "a1", "session_id": "s1"}}""",
+      "retry: 3000",
+      """data: {"code": 1, "message": "err"}""",
+      """data: not-json{{{""",
+      """data: {"code": 0, "data": {"answer": "a2", "reference": {"total": 7}}}""",
+      """data: null""",
+      """data: {"code": 0}""").mkString("\n")
+    // a2 overwrites a1; session survives from the earlier chunk; the
+    // trailing data-less record changes nothing
+    assert(parseSseTranscript(long) == ("a2", "s1", 7L))
+    // no valid chunk at all -> reference defaults
+    assert(parseSseTranscript("event: x\ndata: [DONE]") == ("", "", 0L))
+    assert(parseSseTranscript("") == ("", "", 0L))
+    // scalar payload is not an object record; code != '0' is dropped
+    assert(parseSseTranscript("data: 5\ndata: \"str\"") == ("", "", 0L))
+    // single-line transcript (no trailing sentinel) still parses
+    assert(parseSseTranscript(
+      """data: {"code": 0, "data": {"session_id": "only"}}""") == ("", "only", 0L))
+    // later chunk with only a total keeps the earlier answer
+    assert(parseSseTranscript(Seq(
+      """data: {"code": 0, "data": {"answer": "keep"}}""",
+      """data: {"code": 0, "data": {"reference": {"total": 3}}}""").mkString("\n")) ==
+      ("keep", "", 3L))
+  }
 }
