@@ -270,4 +270,81 @@ class PlanSpec extends AnyFunSuite {
         s"$q: multiple window branches\n$p")
     }
   }
+
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact scan") {
+    // The dominant scan-pruning mechanism for hive-partitioned layouts
+    // at 100 TB: a date-partitioned fact joined through a filtered dim
+    // must plan a dynamicpruningexpression partition filter on the
+    // fact scan (fed by the reused dim broadcast), so only the
+    // partitions matching the dim filter are ever listed/read. The dim
+    // is written to parquet — a filter over an in-memory LocalRelation
+    // would be constant-folded away before the PartitionPruning rule
+    // looks for a selective predicate.
+    import org.apache.spark.sql.functions._
+    val factPath = "/tmp/graft-dpp-fact"
+    val dimPath = "/tmp/graft-dpp-dim"
+    sources.Sinks.writePartitionedParquet(
+      sources.Tables.orders(spark, sf)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
+      factPath, "o_month")
+    val fact = spark.read.parquet(factPath)
+    import spark.implicits._
+    val months = fact.select(col("o_month").cast("string")).distinct()
+      .as[String].collect().sorted
+    assert(months.length > 10, s"fact should span many partitions, got ${months.length}")
+    sources.Sinks.writePartitionedParquet(
+      months.zipWithIndex.toSeq.toDF("m_month", "m_idx")
+        .withColumn("m_kind", when(col("m_idx") < 2, lit("target")).otherwise(lit("rest"))),
+      dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("m_kind") === "target")
+    val q = fact.join(broadcast(dim), col("o_month") === col("m_month"))
+      .groupBy(col("o_month")).agg(count(lit(1)).as("n"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { q.explain("formatted") }
+    val p = out.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic pruning filter on the fact scan:\n$p")
+    // and the pruned query is correct: exactly the two target months
+    val got = q.collect().map(r => r.getString(0)).sorted
+    assert(got.toSeq == months.take(2).toSeq, got.mkString(","))
+  }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The runtime half of the skew story: the engine's own dedup joins
+    // bound skew statically (DfCap caps any key's fan-out), but a
+    // user-supplied join key can still be arbitrarily hot — that case
+    // is delegated to AQE's skew-join optimization, so prove the
+    // delegation actually works end-to-end: a 90%-one-key join must
+    // execute as SortMergeJoin(skew=true) in the final adaptive plan.
+    // Thresholds are lowered to test scale; the mechanism (median-vs-
+    // factor detection, split + replicate) is the same one that acts
+    // on multi-GB partitions on a cluster.
+    import org.apache.spark.sql.functions._
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      .map(k => k -> spark.conf.get(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8KB")
+      // 90% of the left side lands on key 0; the rest spread thin
+      val left = spark.range(200000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(2000).select(col("id").as("k"), lit(1L).as("rv"))
+      val q = left.join(right, "k").select(sum(length(col("payload"))).as("s"))
+      // collect() (not head()) so THIS QueryExecution runs — head()
+      // executes a separate limited plan and leaves q's unexecuted.
+      assert(q.collect()(0).getLong(0) > 0)
+      val finalPlan = q.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("SortMergeJoin(skew=true)"),
+        s"AQE did not mark the skewed join split:\n$finalPlan")
+      assert(finalPlan.contains("AQEShuffleRead skewed"),
+        s"no skewed shuffle read in the final plan:\n$finalPlan")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
