@@ -32,6 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pre-size the heap: growing a multi-GB heap from the 512m default
+  // during the first heavy query stacks full GCs + expansion stalls
+  // onto whatever query runs first (measured at the 100x probe:
+  // first-dedup-query 3.2x its steady-state time with -Xmx alone).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // The bench/verify mains compile ~2 whole-stage-codegen classes per
   // query plan; across 87 queries x 2 passes the default 240m JIT code
   // cache fills, C2 stops compiling, and every later query runs
