@@ -655,7 +655,64 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // Gopher-style document-quality rule bounds (Rae et al. 2021,
+  // "Scaling Language Models: ... Gopher", Appendix A quality
+  // heuristics — word-count window, mean-word-length window, stopword
+  // presence, alphabetic-token fraction, symbol-to-word ratio).
+  val GopherMinWords = 10
+  val GopherMaxWords = 100000
+  val GopherMinWordLen = 2.0
+  val GopherMaxWordLen = 12.0
+  val GopherMinStopHits = 2
+  val GopherMinAlphaFrac = 0.8
+  val GopherMaxSymbolFrac = 0.1
+
+  private val gopherStops: Seq[String] = TextAnalysis.stopEn ++ TextAnalysis.stopData
+
+  /** Gopher-style quality rule cascade: the five document-level
+    * filter rules above, each emitted as its own flag plus the
+    * composite `keep` — the per-rule flags are what a pipeline
+    * operator reports so a curation run can account for WHY documents
+    * were dropped, not just how many. (Within-document repetition,
+    * Gopher's other rule family, is already [[curRepetition]].)
+    *
+    * All signals are integer counts or exact ratios of counts
+    * (mean word length is derived from char/word counts, not a float
+    * aggregation), so every column is bit-stable across engines. Pure
+    * map-side projection — no shuffle at any scale beyond the
+    * presentation sort.
+    */
+  def curGopherRules(s: SparkSession, d: String): DataFrame = {
+    val inList = gopherStops.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("mean_wl",
+        (length(col("text")) - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("alpha_frac",
+        expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("double") / col("n_words"))
+      .withColumn("stop_hits",
+        expr(s"size(filter(toks, t -> t IN ($inList)))").cast("long"))
+      .withColumn("symbol_frac",
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("double") / col("n_words"))
+      .withColumn("wc_ok",
+        col("n_words").between(GopherMinWords, GopherMaxWords).cast("long"))
+      .withColumn("mwl_ok",
+        col("mean_wl").between(GopherMinWordLen, GopherMaxWordLen).cast("long"))
+      .withColumn("stop_ok", (col("stop_hits") >= GopherMinStopHits).cast("long"))
+      .withColumn("alpha_ok", (col("alpha_frac") >= GopherMinAlphaFrac).cast("long"))
+      .withColumn("symbol_ok", (col("symbol_frac") <= GopherMaxSymbolFrac).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("mean_wl"), col("alpha_frac"),
+        col("stop_hits"), col("symbol_frac"), col("wc_ok"), col("mwl_ok"),
+        col("stop_ok"), col("alpha_ok"), col("symbol_ok"),
+        (col("wc_ok") * col("mwl_ok") * col("stop_ok") * col("alpha_ok")
+          * col("symbol_ok")).as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_gopher_rules" -> curGopherRules _,
     "cur_keep_list" -> curKeepList _,
     "cur_pii_redact" -> curPiiRedact _,
     "cur_decontaminate" -> curDecontaminate _,
@@ -684,6 +741,34 @@ object Curation {
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cur_gopher_rules" -> {
+      val inList = gopherStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |  strlen(text) AS nc FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_wl,
+         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |    / len(toks) AS alpha_frac,
+         |  CAST(len(list_filter(toks, x -> x IN ($inList))) AS BIGINT) AS stop_hits,
+         |  CAST(nc - strlen(replace(text, '#', '')) AS DOUBLE) / len(toks) AS symbol_frac
+         | FROM t)
+         |SELECT doc_id, n_words, mean_wl, alpha_frac, stop_hits, symbol_frac,
+         | CAST(CASE WHEN n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+         |   THEN 1 ELSE 0 END AS BIGINT) AS wc_ok,
+         | CAST(CASE WHEN mean_wl BETWEEN $GopherMinWordLen AND $GopherMaxWordLen
+         |   THEN 1 ELSE 0 END AS BIGINT) AS mwl_ok,
+         | CAST(CASE WHEN stop_hits >= $GopherMinStopHits THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
+         | CAST(CASE WHEN alpha_frac >= $GopherMinAlphaFrac THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
+         | CAST(CASE WHEN symbol_frac <= $GopherMaxSymbolFrac THEN 1 ELSE 0 END AS BIGINT) AS symbol_ok,
+         | CAST(CASE WHEN n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+         |        AND mean_wl BETWEEN $GopherMinWordLen AND $GopherMaxWordLen
+         |        AND stop_hits >= $GopherMinStopHits
+         |        AND alpha_frac >= $GopherMinAlphaFrac
+         |        AND symbol_frac <= $GopherMaxSymbolFrac
+         |   THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     "cur_keep_list" ->
       """WITH ck AS (
         | SELECT doc_id, row_number() OVER (

@@ -697,7 +697,44 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Filtered vector search: exact cosine top-[[TopK]] per query among
+    * only the corpus vectors satisfying a metadata predicate (here:
+    * same `label` as the query — the "search within my shard/tenant/
+    * modality" shape). The predicate enters the JOIN CONDITION, not a
+    * post-ranking filter: the equi-join on `label` makes Spark
+    * co-partition candidates by the predicate key, so each query only
+    * ever meets its own label's block — at 100 TB with a
+    * label-partitioned layout this is partition pruning (scan only the
+    * matching partitions) rather than an all-pairs scan that discards
+    * non-matching rows after ranking. Post-filtering the unfiltered
+    * top-k would also be WRONG (it returns < k survivors); the filter
+    * must constrain the candidate set before ranking.
+    */
+  def annFilteredTopk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("v").as("va"), col("nrm").as("nrma"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("label"),
+      col("v").as("vb"), col("nrm").as("nrmb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(n, Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("label"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_filtered_topk" -> annFilteredTopk _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_semantic" -> dedupSemantic _,
     "dedup_semantic_gate" -> dedupSemanticGate _,
@@ -773,6 +810,24 @@ object Similarity {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "ann_filtered_topk" ->
+      s"""WITH n AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |    (acc, x) -> acc + x)) AS nrm
+         | FROM embeddings),
+         |c AS (SELECT a.vec_id AS query_id, a.label AS label,
+         |  b.vec_id AS neighbor_id,
+         |  round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) AS cosine
+         | FROM n a JOIN n b ON a.label = b.label
+         | WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT query_id, label, neighbor_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         | FROM c)
+         |SELECT query_id, label, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_bruteforce_topk" ->
       s"""$cosineCte,
          |c AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -165,6 +165,98 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** OOV cut for [[textLmScore]], as a fraction of the mean token
+    * frequency (self-calibrating across SFs: the threshold is computed
+    * from the corpus's own totals, not a row-count constant).
+    */
+  val OovMeanFrac = 0.5
+
+  /** Unigram-LM document scoring — the C4/CCNet-style "perplexity
+    * filter" signal: fit a unigram language model on the corpus itself
+    * (token → corpus frequency), then score every document by its
+    * cross-entropy under that model, `xent = log2(N) − avg(log2 c)` =
+    * −avg log2 p(tok). High xent = rare-token-heavy document (garbled
+    * or off-distribution); low = boilerplate. Also emits the exact
+    * integer/rational signals a keep-rule would actually cut on:
+    * `rarest_c` (corpus frequency of the doc's rarest token) and
+    * `oov_frac` (fraction of tokens rarer than [[OovMeanFrac]] × the
+    * corpus mean frequency — an exact ratio of counts, no float
+    * drift).
+    *
+    * Scale shape: the model is the token-frequency table — vocabulary-
+    * sized, aggregated with map-side partials, and BROADCAST back onto
+    * the exploded token stream (a 100 TB corpus's vocabulary is
+    * megabytes; ship the model to the data, never shuffle the corpus
+    * by token). The only corpus-sized shuffle is the per-document
+    * re-aggregation on `doc_id`. `xent` is rounded to 6 decimals: the
+    * division/multiplication chain is bit-identical across engines but
+    * `log2` is correctly-rounded only per-libm, and the doc-level
+    * float sum runs in engine-specific order.
+    */
+  def textLmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).cast("double").as("n_total"),
+      count(lit(1)).cast("double").as("vocab"))
+    toks.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        min(col("c")).as("rarest_c"),
+        (sum(when(col("c") < lit(OovMeanFrac) * col("n_total") / col("vocab"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1))).as("oov_frac"),
+        round(log2(max(col("n_total"))) - avg(log2(col("c"))), 6).as("xent"))
+      .orderBy(col("doc_id"))
+  }
+
+  val PmiMinCount = 5 // min bigram occurrences for a collocation row
+  val PmiTopK = 40
+
+  /** Bigram collocations by pointwise mutual information —
+    * `pmi = log2( p(w1 w2) / (p(w1)·p(w2)) )` over corpus unigram and
+    * bigram counts — the classic collocation/phrase-mining signal
+    * (Church & Hanks 1990) used to decide which token pairs merge into
+    * phrase units. Top [[PmiTopK]] by (rounded pmi desc, w1, w2) among
+    * bigrams seen ≥ [[PmiMinCount]] times.
+    *
+    * Bigram extraction is a typed per-document kernel (one pass,
+    * all occurrences — NOT distinct, unlike the shingle path): a
+    * higher-order-function form would stay interpreted forever (HOF
+    * lambdas never enter codegen, SURVEY §8a). Both count tables are
+    * vocabulary²-bounded aggregates with map-side partials; the two
+    * probability joins broadcast the unigram table (vocabulary-sized),
+    * so nothing corpus-sized shuffles except the bigram count
+    * aggregation itself.
+    */
+  def textPmiBigrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val uni = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bi = docs.select(col("doc_id"), col("text"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .as[(Long, String)]
+      .flatMap { case (_, text) =>
+        val t = if (text == null) Array.empty[String] else text.split(" ", -1)
+        if (t.length < 2) Iterator.empty
+        else (0 until t.length - 1).iterator.map(i => (t(i), t(i + 1)))
+      }
+      .toDF("w1", "w2")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val tot = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+      .crossJoin(bi.agg(sum(col("c_ab")).cast("double").as("n_bi")))
+    bi.filter(col("c_ab") >= PmiMinCount)
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("ca"))), Seq("w1"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("cb"))), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log2((col("c_ab") / col("n_bi")) /
+          ((col("ca") / col("n_uni")) * (col("cb") / col("n_uni")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
   /** Corpus top-k frequent tokens via the Misra-Gries sketch
     * ([[graft.functions.FreqItems]], a TypedImperativeAggregate).
     *
@@ -198,6 +290,8 @@ object TextAnalysis {
           raw"transform(toks, t -> regexp_replace(t, '(ing|es|s)$$', ''))"), " ").as("stemmed"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> textLmScore _,
+    "text_pmi_bigrams" -> textPmiBigrams _,
     "text_stem" -> textStem _,
     "text_freq_items" -> textFreqItems _,
     "text_ngram_freq" -> textNgramFreq _,
@@ -212,6 +306,38 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total,
+         |               CAST(count(*) AS DOUBLE) AS vocab FROM freq)
+         |SELECT t.doc_id,
+         | CAST(count(*) AS BIGINT) AS n_toks,
+         | min(f.c) AS rarest_c,
+         | CAST(sum(CASE WHEN f.c < $OovMeanFrac * tot.n_total / tot.vocab
+         |   THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_frac,
+         | round(log2(max(tot.n_total)) - avg(log2(CAST(f.c AS DOUBLE))), 6) AS xent
+         |FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    "text_pmi_bigrams" ->
+      s"""WITH docs_l AS (SELECT string_split(text, ' ') AS l FROM documents),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(l) AS w FROM docs_l) GROUP BY w),
+         |big0 AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+         |  i -> l[i] || ' ' || l[i + 1])) AS bg FROM docs_l),
+         |big AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         |  CAST(count(*) AS BIGINT) AS c_ab FROM big0 GROUP BY 1, 2),
+         |tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS n_uni,
+         |               (SELECT CAST(sum(c_ab) AS DOUBLE) FROM big) AS n_bi)
+         |SELECT w1, w2, c_ab,
+         | round(log2((c_ab / tot.n_bi) /
+         |   ((ua.c / tot.n_uni) * (ub.c / tot.n_uni))), 6) AS pmi
+         |FROM big JOIN uni ua ON big.w1 = ua.w
+         |         JOIN uni ub ON big.w2 = ub.w
+         |         CROSS JOIN tot
+         |WHERE c_ab >= $PmiMinCount
+         |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin,
     "text_stem" ->
       raw"""SELECT doc_id,
            | array_to_string(list_transform(string_split(text, ' '),

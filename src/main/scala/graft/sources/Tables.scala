@@ -16,6 +16,24 @@ object Tables {
   private val InferFiltersRule =
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
+  /** Resolved-relation cache, keyed per (application, dataset, table).
+    *
+    * Constructing a parquet DataFrame re-pays file listing + footer
+    * schema inference on EVERY call (~45 ms warm at sf0.1, measured by
+    * FloorProbe), and the first action on a fresh relation pays another
+    * ~50 ms of scan-node setup vs a reused one. A catalog-backed engine
+    * (DuckDB's catalog, Spark's own metastore tables) resolves a table
+    * once per session and reuses the relation; these paths are immutable
+    * driver-generated datasets, so the cached plan can never go stale.
+    * This is metadata caching only — no row data is cached, every query
+    * still scans parquet — so bench times keep measuring real work.
+    */
+  private val relationCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  /** Drop cached relations (for tests that rewrite a table path). */
+  private[graft] def clearRelationCache(): Unit = relationCache.clear()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // InferFiltersFromGenerate turns explode(<interpreted lambda>) into
     // a pushed-down scan filter with the lambda fully inlined — per-row
@@ -28,7 +46,9 @@ object Tables {
     val cur = spark.conf.getOption(key).filter(_.trim.nonEmpty)
     if (!cur.exists(_.split(",").map(_.trim).contains(InferFiltersRule)))
       spark.conf.set(key, cur.map(_ + "," + InferFiltersRule).getOrElse(InferFiltersRule))
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relationCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sfDir, name),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Semantic checks for the round-5 additions: unigram-LM scoring, PMI
+  * collocations, Gopher rule cascade, and filtered vector search.
+  * (The exact values are oracle-gated by the driver; these specs pin
+  * the semantics that a passing hash alone wouldn't explain.)
+  */
+class TextCurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("lm score: signals bounded, xent consistent with token rarity") {
+    val rows = TextAnalysis.textLmScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val oov = r.getAs[Double]("oov_frac")
+      assert(oov >= 0.0 && oov <= 1.0)
+      assert(r.getAs[Long]("rarest_c") >= 1L)
+      assert(r.getAs[Long]("n_toks") >= 1L)
+      // a unigram model fit on the corpus itself cannot give any token
+      // probability > 1, so per-doc cross-entropy is strictly positive
+      assert(r.getAs[Double]("xent") > 0.0)
+    }
+    // xent orders documents by average token rarity: the doc whose
+    // tokens are all corpus-frequent must score below the doc holding
+    // the corpus's rarest token mass. Verify the extremes agree with a
+    // direct recomputation of avg(log2 c).
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val meanLog = toks.join(freq, "tok").groupBy("doc_id")
+      .agg(avg(log2(col("c"))).as("m")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("m")).toMap
+    val byXent = rows.sortBy(_.getAs[Double]("xent"))
+    assert(meanLog(byXent.head.getAs[Long]("doc_id")) >=
+      meanLog(byXent.last.getAs[Long]("doc_id")))
+  }
+
+  test("pmi bigrams: count floor respected, pmi matches a recomputation") {
+    val out = TextAnalysis.textPmiBigrams(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= TextAnalysis.PmiTopK)
+    out.foreach(r => assert(r.getAs[Long]("c_ab") >= TextAnalysis.PmiMinCount))
+    // ordered by pmi desc with (w1, w2) tie-break
+    val pmis = out.map(_.getAs[Double]("pmi")).toSeq
+    assert(pmis == pmis.sorted.reverse)
+    // recompute one row's pmi by hand from raw counts
+    val docs = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0))
+    val unis = docs.flatMap(_.split(" ", -1))
+    val bis = docs.flatMap { t =>
+      val a = t.split(" ", -1); a.zip(a.drop(1)).map { case (x, y) => (x, y) }
+    }
+    val head = out.head
+    val (w1, w2) = (head.getAs[String]("w1"), head.getAs[String]("w2"))
+    val cab = bis.count(p => p._1 == w1 && p._2 == w2).toDouble
+    val expected = math.log((cab / bis.length) /
+      ((unis.count(_ == w1).toDouble / unis.length) *
+        (unis.count(_ == w2).toDouble / unis.length))) / math.log(2.0)
+    assert(math.abs(head.getAs[Double]("pmi") - expected) < 1e-5)
+  }
+
+  test("gopher rules: flags re-derivable from the text, keep is the conjunction") {
+    val rows = Curation.curGopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    var kept = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = texts(id).split(" ", -1)
+      assert(r.getAs[Long]("n_words") == toks.length)
+      val meanWl = toks.map(_.length).sum.toDouble / toks.length
+      assert(math.abs(r.getAs[Double]("mean_wl") - meanWl) < 1e-12)
+      val flags = Seq("wc_ok", "mwl_ok", "stop_ok", "alpha_ok", "symbol_ok")
+        .map(r.getAs[Long](_))
+      flags.foreach(f => assert(f == 0L || f == 1L))
+      assert(r.getAs[Long]("keep") == flags.product)
+      kept += r.getAs[Long]("keep").toInt
+    }
+    // the rule set must actually bite on the corpus in at least one
+    // direction — all-pass AND all-fail would both be suspicious
+    assert(kept > 0)
+  }
+
+  test("filtered topk: predicate constrains candidates BEFORE ranking") {
+    val out = Similarity.annFilteredTopk(spark, sf).collect()
+    assert(out.nonEmpty)
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      // ranks contiguous from 1, cosine non-increasing
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos == cos.sorted.reverse)
+      rs.foreach { r =>
+        val n = r.getAs[Long]("neighbor_id")
+        assert(n != q)
+        // every neighbor carries the query's label — the filter ran
+        // inside candidate generation, not as a post-ranking cut
+        assert(labels(n) == labels(q))
+        assert(r.getAs[Int]("label") == labels(q))
+      }
+    }
+  }
+}
