@@ -413,8 +413,67 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
+  val DppQuarter = "1995-Q1" // dim filter for [[q28DppJoin]]
+
+  /** Month-partitioned layout for [[q28DppJoin]], written once per
+    * (application, dataset) under /tmp and reused — table-format state
+    * like bucketed tables: a deployment partitions its fact tables at
+    * INGEST time, and every subsequent query benefits; re-partitioning
+    * per query would charge the query for the ingest. The dim is a
+    * parquet FILE (not a LocalRelation): a filtered in-memory relation
+    * is constant-folded before the PartitionPruning rule runs, so DPP
+    * would never plan (PlanSpec pins the same gotcha).
+    */
+  private val dppLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def dppLayout(s: SparkSession, d: String): String =
+    dppLayoutCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val root = "/tmp/graft_dpp/" +
+        java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(d))
+      val orders = Tables.orders(s, d)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      graft.sources.Sinks.writePartitionedParquet(
+        orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_month")),
+        s"$root/fact", "o_month")
+      graft.sources.Sinks.writePartitionedParquet(
+        orders.select(col("o_month"),
+          concat(year(col("o_orderdate")).cast("string"), lit("-Q"),
+            quarter(col("o_orderdate")).cast("string")).as("qtr")).distinct(),
+        s"$root/dim")
+      root
+    })
+
+  /** Dynamic-partition-pruning showcase as a GATED query: monthly
+    * order volume/revenue for one quarter, read from the
+    * month-partitioned fact through a filtered month-dimension join.
+    * The quarter predicate lives on the DIM side only — the fact scan
+    * has no static partition filter, so the only thing keeping Spark
+    * from reading all ~80 month partitions is the
+    * `dynamicpruningexpression` subquery DPP injects into the fact
+    * scan from the dim broadcast (asserted in PlanSpec). At 100 TB
+    * this is THE scan-pruning mechanism for hive-partitioned facts:
+    * 3 of ~80 partitions listed/read, a ~27× scan cut that static
+    * pushdown cannot express because the month list is only known
+    * after filtering the dim. The DuckDB oracle computes the same
+    * result from the raw orders table — partitioning changes the plan,
+    * never the answer.
+    */
+  def q28DppJoin(s: SparkSession, d: String): DataFrame = {
+    val root = dppLayout(s, d)
+    val fact = s.read.parquet(s"$root/fact")
+    val dim = s.read.parquet(s"$root/dim").filter(col("qtr") === lit(DppQuarter))
+    fact.join(broadcast(dim), Seq("o_month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("o_month"))
+  }
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_dpp_join" -> q28DppJoin _,
     "q26_data_profile" -> q26DataProfile _,
     "q24_revenue_share" -> q24RevenueShare _,
     "q25_winsorize" -> q25Winsorize _,
@@ -445,6 +504,18 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q28_dpp_join" ->
+      s"""WITH f AS (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+         |  FROM orders),
+         |dim AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS o_month,
+         |  CAST(year(o_orderdate) AS VARCHAR) || '-Q' ||
+         |    CAST(quarter(o_orderdate) AS VARCHAR) AS qtr
+         | FROM orders)
+         |SELECT f.o_month, CAST(count(*) AS BIGINT) AS n_orders,
+         | round(sum(o_totalprice), 2) AS revenue
+         |FROM f JOIN dim ON f.o_month = dim.o_month
+         |WHERE dim.qtr = '$DppQuarter'
+         |GROUP BY f.o_month ORDER BY f.o_month""".stripMargin,
     "q26_data_profile" ->
       """SELECT column_name, n_rows, n_nulls, n_distinct FROM (
         | SELECT 'user_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,

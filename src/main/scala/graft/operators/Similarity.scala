@@ -451,7 +451,10 @@ object Similarity {
       recallBar: Double, pruneBar: Double): DataFrame = {
     // the candidate set feeds both the top-k ranking and the volume
     // accounting; materialize it once — it is already the size-bounded
-    // object the prune flag certifies.
+    // object the prune flag certifies. (Measured: dropping this
+    // checkpoint does NOT speed the gate — the candidate set is small,
+    // so the barrier is cheap and keeps the lambda-bearing generation
+    // subtree out of the window stage's map side.)
     val cand = cand0.localCheckpoint()
     // ground truth as an in-plan literal map (~q·k ids): hit-marking is
     // a codegen'd map lookup, not a join — one window + one aggregation

@@ -244,8 +244,14 @@ object TextAnalysis {
       }
       .toDF("w1", "w2")
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    // Σ c_ab needs no job of its own: every document contributes
+    // exactly (n_tokens − 1) bigrams (split(" ") is never empty, so
+    // len ≥ 1 and the identity is exact for len = 1 docs too), hence
+    // n_bi = n_uni − n_docs with n_docs a driver-side parquet-footer
+    // count — one scheduled aggregation instead of two.
+    val nDocs = Tables.parquetRowCount(s, d, "documents").toDouble
     val tot = uni.agg(sum(col("c")).cast("double").as("n_uni"))
-      .crossJoin(bi.agg(sum(col("c_ab")).cast("double").as("n_bi")))
+      .withColumn("n_bi", col("n_uni") - lit(nDocs))
     bi.filter(col("c_ab") >= PmiMinCount)
       .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("ca"))), Seq("w1"))
       .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("cb"))), Seq("w2"))

@@ -148,12 +148,14 @@ class PlanSpec extends AnyFunSuite {
     // vectors against the table (its whole point is the exact scan);
     // the ann recall gates cross single-row aggregates (scalar
     // measurements), as do q24 and cur_tfidf_topterms (scalar
-    // subquery). IVF cell assignment itself is join-free now (literal
-    // centroids) but its recall row inherits the gate crosses.
+    // subquery) and the LM/PMI text scores (corpus-total scalars
+    // broadcast onto the token stream). IVF cell assignment itself is
+    // join-free now (literal centroids) but its recall row inherits
+    // the gate crosses.
     val allowNestedLoop =
       Set("ann_bruteforce_topk", "ann_lsh_recall", "ann_ivf_recall",
         "ann_pq_recall", "dedup_semantic_gate", "q24_revenue_share",
-        "cur_tfidf_topterms")
+        "cur_tfidf_topterms", "text_lm_score", "text_pmi_bigrams")
     SparkEntry.queries.keys.filterNot(allowNestedLoop).foreach { q =>
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
@@ -307,6 +309,25 @@ class PlanSpec extends AnyFunSuite {
     // and the pruned query is correct: exactly the two target months
     val got = q.collect().map(r => r.getString(0)).sorted
     assert(got.toSeq == months.take(2).toSeq, got.mkString(","))
+  }
+
+  test("q28_dpp_join: the GATED query plans dynamic partition pruning") {
+    // Same mechanism as above, but on the driver-gated inventory row:
+    // the quarter predicate exists only on the dim side, so the fact
+    // scan's partition cut can come only from the DPP subquery.
+    val q = operators.Relational.queries("q28_dpp_join")(spark, sf)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { q.explain("formatted") }
+    assert(out.toString.contains("dynamicpruningexpression"),
+      s"q28 fact scan not dynamically pruned:\n${out.toString}")
+    val rows = q.collect()
+    // one row per month of the target quarter, months within the quarter
+    assert(rows.nonEmpty && rows.length <= 3, rows.length.toString)
+    rows.foreach { r =>
+      val m = r.getAs[String]("o_month")
+      assert(m >= "1995-01" && m <= "1995-03", m)
+      assert(r.getAs[Long]("n_orders") > 0L)
+    }
   }
 
   test("AQE splits a skewed sort-merge join partition at runtime") {
