@@ -24,6 +24,9 @@ import graft.sources.Tables
 object Dedup {
 
   val JaccardThreshold = 0.5
+  /** Containment bar for [[dedupContainment]]: fraction of the SMALLER
+    * document's shingles that must appear in the other document. */
+  val ContainBar = 0.8
   val NumHashes = 128
   val NumBands = 32 // 4 rows per band ⇒ P(miss | j=0.77) < 1e-5
 
@@ -220,7 +223,43 @@ object Dedup {
     * density, not by k. No cartesian product, no broadcast, no
     * uncapped key anywhere.
     */
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    pairStats(s, d)
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Asymmetric n-gram CONTAINMENT pairs (Broder's containment
+    * coefficient): per candidate pair, inter/|A| and inter/|B| — the
+    * signal that catches a short document SUBSUMED by a longer one
+    * (quotes, truncated re-crawls, boilerplate-wrapped copies), which
+    * symmetric Jaccard misses because the union is dominated by the
+    * longer side. Shares [[pairStats]]' capped inverted-index
+    * candidate generation and exact two-bucket intersection with
+    * [[dedupNgramJaccard]] — same scale posture, no new join shapes.
+    * Candidate completeness at the 0.8 bar is the same measured
+    * argument as [[DfCap]]'s: every ≥-bar pair in the test corpus
+    * shares at least one sub-cap shingle (DuckDB-verified: 0 only-hot
+    * pairs at all SFs), and a pair sharing zero sub-cap shingles at
+    * 100 TB is all-boilerplate overlap — exactly what the cap is
+    * designed to ignore.
+    */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    pairStats(s, d)
+      .withColumn("contain_a", round(col("inter") / col("na"), 4))
+      .withColumn("contain_b", round(col("inter") / col("nb"), 4))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= ContainBar)
+      .select(col("doc_a"), col("doc_b"), col("contain_a"), col("contain_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Candidate near-dup pairs with their EXACT shingle-set statistics:
+    * (doc_a, doc_b, inter, na, nb) for every pair sharing ≥ 1
+    * sub-[[DfCap]] shingle. The shared engine under the Jaccard and
+    * containment operators.
+    */
+  private def pairStats(s: SparkSession, d: String): DataFrame = {
     // localCheckpoint: the query consumes the shingle table multiple
     // ways. Plan-level ReuseExchange cannot deduplicate lambda-bearing
     // subtrees (NamedLambdaVariable ids defeat canonical plan equality
@@ -296,11 +335,7 @@ object Dedup {
         when(col("hot_a").isNull || col("hot_b").isNull, lit(0L))
           .otherwise(size(array_intersect(col("hot_a"), col("hot_b"))).cast("long")))
       .withColumn("inter", col("inter_capped") + col("inter_hot"))
-      .withColumn("jaccard",
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"))
   }
 
   /** MinHash + banded LSH: 128 murmur3 min-hashes per shingle set
@@ -560,6 +595,7 @@ object Dedup {
     "dedup_exact" -> dedupExact _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_containment" -> dedupContainment _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_incremental_minhash" -> dedupIncrementalMinhash _,
     "dedup_simhash" -> dedupSimhash _)
@@ -642,6 +678,22 @@ object Dedup {
         |WHERE k.doc_id % 10 = 0
         |ORDER BY k.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_containment" ->
+      raw"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+           |   generate_series(1, len(string_split(text, ' ')) - 2),
+           |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+           |        || ' ' || string_split(text, ' ')[i+2])) AS sh FROM documents),
+           |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+           |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+           |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           | round(CAST(inter AS DOUBLE) / x.n, 4) AS contain_a,
+           | round(CAST(inter AS DOUBLE) / y.n, 4) AS contain_b
+           |FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           |WHERE greatest(round(CAST(inter AS DOUBLE) / x.n, 4),
+           |               round(CAST(inter AS DOUBLE) / y.n, 4)) >= 0.8
+           |ORDER BY doc_a, doc_b""".stripMargin,
     // LSH recall is effectively 1 at this threshold (see Scaladoc), so
     // the probabilistic path is held to the same exact oracle.
     "dedup_minhash_lsh" -> jaccardOracle,

@@ -471,8 +471,39 @@ object Relational {
       .orderBy(col("o_month"))
   }
 
+  /** Correlated-subquery shape (TPC-H Q17/Q22 flavor): orders whose
+    * price exceeds 1.5× their own customer's average order price. The
+    * oracle states it as a genuinely correlated scalar subquery; the
+    * Spark form is the DECORRELATED plan Catalyst would rewrite it to
+    * anyway — a per-customer average window over one exchange on
+    * o_custkey, then a row-local filter. One shuffle total: the same
+    * exchange serves the window and the output, where a naive
+    * aggregate+self-join pays two. At 100 TB the window partitions by
+    * the high-cardinality customer key, so no skew concentration.
+    */
+  def q29Correlated(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    // Exact integer-cents arithmetic throughout: prices are 2-decimal
+    // currency, so sum/avg in cents are exact BIGINTs on both engines,
+    // and the 1.5× predicate is the integer comparison
+    // 2·price·n > 3·Σprice — no float rounding boundary anywhere
+    // (a rounded-double avg flipped 17/3176 rows at sf0.01 when the
+    // true average landed exactly on a half-ulp boundary).
+    Tables.orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("cust_cents", sum(col("cents")).over(w))
+      .withColumn("cust_orders", count(lit(1)).over(w))
+      .filter(col("cust_orders") >= 3 &&
+        col("cents") * 2 * col("cust_orders") > col("cust_cents") * 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total_price"),
+        expr("cust_cents DIV cust_orders").as("cust_avg_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_correlated" -> q29Correlated _,
     "q28_dpp_join" -> q28DppJoin _,
     "q26_data_profile" -> q26DataProfile _,
     "q24_revenue_share" -> q24RevenueShare _,
@@ -504,6 +535,18 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q29_correlated" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price,
+        | CAST((SELECT sum(i.cents) FROM o i WHERE i.o_custkey = o.o_custkey)
+        |   // (SELECT count(*) FROM o i WHERE i.o_custkey = o.o_custkey)
+        |   AS BIGINT) AS cust_avg_cents
+        |FROM o
+        |WHERE (SELECT count(*) FROM o i WHERE i.o_custkey = o.o_custkey) >= 3
+        |  AND cents * 2 * (SELECT count(*) FROM o i WHERE i.o_custkey = o.o_custkey)
+        |      > (SELECT sum(i.cents) FROM o i WHERE i.o_custkey = o.o_custkey) * 3
+        |ORDER BY o_orderkey""".stripMargin,
     "q28_dpp_join" ->
       s"""WITH f AS (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
          |  FROM orders),

@@ -39,6 +39,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("containment: bar respected, a<b, and jaccard pairs are a subset") {
+    val rows = Dedup.dedupContainment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ca, cb) = (r.getAs[Double]("contain_a"), r.getAs[Double]("contain_b"))
+      assert(math.max(ca, cb) >= Dedup.ContainBar && ca <= 1.0 && cb <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+    // jaccard >= 0.8 implies both containments >= 0.8, so every such
+    // pair must be present here (subset sanity between the two views).
+    val cont = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    Dedup.dedupNgramJaccard(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.8)
+      .foreach { r =>
+        assert(cont.contains((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
+      }
+  }
+
   test("exact dedup groups: n_docs sums to table size, keep_id is min") {
     val df = Dedup.dedupExact(spark, sf)
     val total = df.agg(sum("n_docs")).head.getLong(0)

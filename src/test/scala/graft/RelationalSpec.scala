@@ -89,6 +89,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q29 every kept order beats 1.5x its customer's average") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q29_correlated")(spark, sf)
+    val orders = sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("true_avg"), count(lit(1)).as("n"))
+    val joined = df.join(orders, col("o_custkey") === col("ck")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n") >= 3)
+      assert(r.getAs[Double]("total_price") >
+        r.getAs[Double]("true_avg") * 1.5 - 0.02)
+      // integer-cents average within one cent of the float average
+      assert(math.abs(r.getAs[Long]("cust_avg_cents") / 100.0 -
+        r.getAs[Double]("true_avg")) < 0.02)
+    }
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
