@@ -51,16 +51,24 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw int64 via the legacy
-    * conf, then rebuild a TimestampType column truncated to micros
-    * (integer `div`, not `/`, to avoid double-precision loss on
-    * ~1.7e18 nanosecond values).
+  /** `events.ts` has shipped in two physical layouts: parquet
+    * TIMESTAMP(NANOS), which Spark rejects ([PARQUET_TYPE_ILLEGAL])
+    * unless read as a raw int64 via the legacy conf, and plain
+    * TIMESTAMP(MICROS), which Spark reads natively (as NTZ). Branch on
+    * the loaded type: a long is nanoseconds → truncate to micros with
+    * integer `div` (not `/`, to avoid double-precision loss on ~1.7e18
+    * values); anything else is already a timestamp → cast to the
+    * session type (identity under the UTC session timezone).
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact table row count from the parquet footers — a driver-side
