@@ -711,7 +711,57 @@ object Curation {
           * col("symbol_ok")).as("keep"))
   }
 
+  // Fixed weights for [[curQualityWeights]]: (bias, len_score,
+  // 1 - stop_ratio, uniq_ratio, mean_wl / 10). In production these are
+  // the trained coefficients of a fasttext-style linear quality
+  // classifier; the values here are a deterministic stand-in with the
+  // same plumbing.
+  val QwBias = -2.0
+  val QwLen = 2.0
+  val QwStop = 1.0
+  val QwUniq = 1.5
+  val QwMwl = 0.5
+  val QwKeepBar = 0.5
+
+  /** Linear quality-classifier scoring — the "model-scored quality
+    * filter" stage of an LLM data pipeline (fasttext / logistic-
+    * regression classifiers in the C4/CCNet/FineWeb lineage) with the
+    * model reduced to its essence: a broadcast-sized weight vector
+    * dotted against per-document features, a sigmoid, a threshold.
+    * The features are this engine's deterministic quality signals
+    * (length score, stopword ratio, distinct-token ratio, mean word
+    * length), so the whole operator is reproducible end-to-end.
+    *
+    * Scale shape: pure map-side projection — the weights live in the
+    * plan as literals (a real model's coefficient vector broadcasts
+    * the same way), no shuffle beyond the presentation sort. Swapping
+    * in trained weights changes constants, not the plan.
+    */
+  def curQualityWeights(s: SparkSession, d: String): DataFrame = {
+    val stopList = TextAnalysis.stopEn.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, d).select(col("doc_id"), col("text"), col("n_chars"))
+      .orderBy(col("doc_id"))
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("nt", size(col("toks")).cast("double"))
+      .withColumn("len_score", least(col("n_chars") / lit(500.0), lit(1.0)))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(toks, t -> t IN ($stopList)))").cast("double") / col("nt"))
+      .withColumn("uniq_ratio", size(array_distinct(col("toks"))) / col("nt"))
+      .withColumn("mean_wl",
+        (length(col("text")) - (col("nt") - 1)) / col("nt"))
+      .withColumn("z",
+        lit(QwBias) + lit(QwLen) * col("len_score")
+          + lit(QwStop) * (lit(1.0) - col("stop_ratio"))
+          + lit(QwUniq) * col("uniq_ratio")
+          + lit(QwMwl) * col("mean_wl") / 10.0)
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .select(col("doc_id"), col("len_score"), col("stop_ratio"),
+        col("uniq_ratio"), col("mean_wl"), col("score"),
+        (col("score") >= QwKeepBar).cast("long").as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_quality_weights" -> curQualityWeights _,
     "cur_gopher_rules" -> curGopherRules _,
     "cur_keep_list" -> curKeepList _,
     "cur_pii_redact" -> curPiiRedact _,
@@ -741,6 +791,25 @@ object Curation {
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cur_quality_weights" -> {
+      val stopList = TextAnalysis.stopEn.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, n_chars,
+         |  string_split(text, ' ') AS toks,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt FROM documents),
+         |f AS (SELECT doc_id,
+         |  least(n_chars / 500.0, 1.0) AS len_score,
+         |  CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / nt AS stop_ratio,
+         |  len(list_distinct(toks)) / nt AS uniq_ratio,
+         |  (strlen(text) - (nt - 1)) / nt AS mean_wl
+         | FROM t),
+         |z AS (SELECT *, $QwBias + $QwLen * len_score + $QwStop * (1.0 - stop_ratio)
+         |    + $QwUniq * uniq_ratio + $QwMwl * mean_wl / 10.0 AS zz FROM f)
+         |SELECT doc_id, len_score, stop_ratio, uniq_ratio, mean_wl,
+         | round(1.0 / (1.0 + exp(-zz)), 6) AS score,
+         | CAST(CASE WHEN round(1.0 / (1.0 + exp(-zz)), 6) >= $QwKeepBar
+         |   THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM z ORDER BY doc_id""".stripMargin
+    },
     "cur_gopher_rules" -> {
       val inList = gopherStops.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,

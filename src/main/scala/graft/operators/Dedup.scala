@@ -590,7 +590,66 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokens per paragraph block for [[dedupParagraph]]. */
+  val ParaBlockTokens = 8
+
+  /** Paragraph-level exact dedup across the corpus — the C4/RefinedWeb
+    * "remove duplicated lines/paragraphs globally" pass, the highest-
+    * leverage dedup in web-scale curation after url-level dedup
+    * (boilerplate paragraphs repeat across millions of pages while the
+    * surrounding documents stay distinct, so document-level dedup
+    * never sees them). The synthetic corpus has no newline structure,
+    * so a "paragraph" here is each consecutive [[ParaBlockTokens]]-token
+    * block of the whitespace token stream (last block may be short);
+    * on real data the splitter is `split(text, '\n\n')` and nothing
+    * else changes.
+    *
+    * Keep-first semantics: the globally first occurrence of each block
+    * (ordered by doc_id, then block position) survives; every later
+    * repeat — across documents or within one — is dropped. Per doc we
+    * emit block counts, the dropped fraction, and an md5 over the
+    * kept-blocks-in-order concatenation (the cleaned text's content
+    * hash, so the oracle certifies the reconstruction, not just the
+    * counts); docs losing every block (exact duplicates) emit NULL.
+    *
+    * Scale shape: block extraction is one map-side pass; the global
+    * keep-first decision is ONE hash exchange partitioned by block
+    * content (the window's PARTITION BY — block text is the shuffle
+    * key exactly as in C4's line-hash shuffle), then one doc_id
+    * re-aggregation. Both keys are uniform-ish by construction
+    * (content hash / doc id), and a hot boilerplate block concentrates
+    * only its own occurrences — rank within one partition list, not a
+    * join fan-out, so skew cost is linear in the block's count, and
+    * AQE skew-split handles the residue (PlanSpec).
+    */
+  def dedupParagraph(s: SparkSession, d: String): DataFrame = {
+    val b = ParaBlockTokens
+    val blocks = Tables.documents(s, d)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, cast(ceil(size(toks) / ${b}.0) as int)), i -> concat_ws(' ', slice(toks, (i - 1) * $b + 1, $b)))"))
+          .as(Seq("idx0", "block")))
+      .select(col("doc_id"), (col("idx0") + 1).as("block_idx"), col("block"))
+    val ranked = blocks.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("block")).orderBy(col("doc_id"), col("block_idx"))))
+    ranked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_blocks"),
+        // struct sorts by field order, block_idx first → kept blocks
+        // re-assemble in document order deterministically.
+        array_sort(collect_list(when(col("rn") === 1, struct(col("block_idx"), col("block")))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_blocks"), col("n_dup_blocks"),
+        round(col("n_dup_blocks").cast("double") / col("n_blocks"), 6).as("dup_frac"),
+        when(size(col("kept")) === 0, lit(null).cast("string"))
+          .otherwise(md5(concat_ws(" ", expr("transform(kept, x -> x.block)")))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph" -> dedupParagraph _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_exact" -> dedupExact _,
     "dedup_incremental" -> dedupIncremental _,
@@ -638,6 +697,21 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_paragraph" ->
+      raw"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           |blk0 AS (SELECT doc_id, unnest(list_transform(
+           |   generate_series(1, CAST(ceil(len(l) / ${ParaBlockTokens}.0) AS BIGINT)),
+           |   i -> {'block_idx': i,
+           |         'block': array_to_string(l[(i - 1) * $ParaBlockTokens + 1 : i * $ParaBlockTokens], ' ')})) AS u
+           | FROM t),
+           |blk AS (SELECT doc_id, u.block_idx AS block_idx, u.block AS block FROM blk0),
+           |r AS (SELECT doc_id, block_idx, block,
+           |   row_number() OVER (PARTITION BY block ORDER BY doc_id, block_idx) AS rn FROM blk)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+           | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+           | round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac,
+           | md5(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY block_idx)) AS kept_md5
+           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       raw"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_transform(
            |   generate_series(1, len(string_split(text, ' ')) - 2),

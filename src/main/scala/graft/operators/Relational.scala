@@ -501,8 +501,32 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Explicit GROUPING SETS — the non-hierarchical multi-dimensional
+    * aggregation form (rollup = q8 and cube = q20 are its two special
+    * cases): two independent single-column breakdowns plus the grand
+    * total computed in ONE scan. Catalyst plans this as a single
+    * Expand (3 rows per input row) feeding one hash aggregation with
+    * map-side partials — at 100 TB that is one pass over the fact
+    * instead of three separate scan+agg jobs, the same reason
+    * reporting stacks batch their dimension breakdowns this way.
+    */
+  def q30GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"), col("avg_price"))
+      .orderBy(col("rflag"), col("lstatus"))
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_grouping_sets" -> q30GroupingSets _,
     "q29_correlated" -> q29Correlated _,
     "q28_dpp_join" -> q28DppJoin _,
     "q26_data_profile" -> q26DataProfile _,
@@ -535,6 +559,15 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q30_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        | coalesce(l_linestatus, 'ALL') AS lstatus,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rflag, lstatus""".stripMargin,
     "q29_correlated" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)

@@ -295,7 +295,87 @@ object TextAnalysis {
         array_join(expr(
           raw"transform(toks, t -> regexp_replace(t, '(ing|es|s)$$', ''))"), " ").as("stemmed"))
 
+  /** Fixed query-term set for [[textBm25Topk]] (a user's search terms;
+    * at scale the per-query state is always this dimension-sized).
+    */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "window")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+
+  /** BM25 retrieval scoring — rank documents against a query-term set
+    * with the Okapi BM25 function (Robertson & Zaragoza 2009; idf in
+    * the Lucene `ln(1 + (N - df + 0.5)/(df + 0.5))` form, k1=1.2,
+    * b=0.75). In a curation stack this is the lexical half of data
+    * selection / targeted decontamination: score the corpus against a
+    * probe query, inspect or drop the head.
+    *
+    * Scale shape: the corpus never shuffles at document granularity —
+    * the explode keeps ONLY query-term hits (a `filter` inside the
+    * array before explode), so the exchanged rows are (matching doc,
+    * term) pairs, a tiny fraction of the corpus. df and avgdl are
+    * term-count- and scalar-sized aggregates broadcast back; the final
+    * ranking aggregates per matching doc and takes a global top-k
+    * through a limit (partial top-k per partition, no full sort
+    * materialization).
+    */
+  def textBm25Topk(s: SparkSession, d: String): DataFrame = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val n = graft.sources.Tables.parquetRowCount(s, d, "documents").toDouble
+    val docs = withToks(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    val tf = docs
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(expr(s"filter(toks, t -> t IN ($inList))")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTab = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val avgdl = docs.agg(avg(size(col("toks"))).as("avgdl"))
+    tf.join(broadcast(dfTab), Seq("term"))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("contrib",
+        log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("tf") * (lit(Bm25K1) + 1.0) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  /** Low-entropy bar for [[textEntropy]]'s flag (bits/token). */
+  val EntropyLowBar = 3.0
+
+  /** Token-distribution Shannon entropy per document — the
+    * random-sequence / degenerate-repetition filter signal (CCNet-
+    * family pipelines cut both tails: near-zero entropy = boilerplate
+    * or repetition; max entropy at long length = machine noise).
+    * Computed as `log2(n) − Σ c·log2(c) / n`, the algebraic form of
+    * `−Σ (c/n)·log2(c/n)` that keeps every aggregate a plain sum.
+    *
+    * Scale shape: two hash aggregations with map-side partials — the
+    * (doc, token) count then the per-doc reduction; shuffle volume is
+    * per-doc distinct tokens, not corpus tokens.
+    */
+  def textEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_toks"),
+        count(lit(1)).as("n_distinct"),
+        round(log2(sum(col("c"))) - sum(col("c") * log2(col("c"))) / sum(col("c")), 6)
+          .as("entropy"))
+      .select(col("doc_id"), col("n_toks"), col("n_distinct"), col("entropy"),
+        when(col("entropy") < EntropyLowBar, 1L).otherwise(0L).as("low_entropy"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> textBm25Topk _,
+    "text_entropy" -> textEntropy _,
     "text_lm_score" -> textLmScore _,
     "text_pmi_bigrams" -> textPmiBigrams _,
     "text_stem" -> textStem _,
@@ -312,6 +392,37 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_bm25_topk" -> {
+      val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |a AS (SELECT CAST(avg(len(toks)) AS DOUBLE) AS avgdl FROM docs),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM
+         |  (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |     unnest(list_filter(toks, t -> t IN ($inList))) AS term FROM docs)
+         |  GROUP BY doc_id, dl, term),
+         |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |  FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |  ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * ($Bm25K1 + 1.0) /
+         |    (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * tf.dl / a.avgdl)) AS contrib
+         |  FROM tf JOIN df USING (term) CROSS JOIN a CROSS JOIN n)
+         |SELECT doc_id, round(sum(contrib), 6) AS bm25,
+         | CAST(count(*) AS BIGINT) AS n_terms
+         |FROM sc GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
+    "text_entropy" ->
+      s"""WITH c AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok)
+         |SELECT doc_id,
+         | CAST(sum(c) AS BIGINT) AS n_toks,
+         | CAST(count(*) AS BIGINT) AS n_distinct,
+         | round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy,
+         | CAST(CASE WHEN round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) < $EntropyLowBar
+         |   THEN 1 ELSE 0 END AS BIGINT) AS low_entropy
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),

@@ -107,6 +107,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("grouping sets = union of the three separate aggregations") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q30_grouping_sets")(spark, sf).collect()
+    val li = sources.Tables.lineitem(spark, sf)
+    val byFlag = li.groupBy(col("l_returnflag")).count().collect()
+      .map(r => (r.getString(0), "ALL") -> r.getLong(1)).toMap
+    val byStatus = li.groupBy(col("l_linestatus")).count().collect()
+      .map(r => ("ALL", r.getString(0)) -> r.getLong(1)).toMap
+    val total = Map(("ALL", "ALL") -> li.count())
+    val expected = byFlag ++ byStatus ++ total
+    val got = df.map(r => (r.getAs[String]("rflag"), r.getAs[String]("lstatus")) ->
+      r.getAs[Long]("n")).toMap
+    assert(got == expected)
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

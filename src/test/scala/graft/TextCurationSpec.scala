@@ -108,4 +108,71 @@ class TextCurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("paragraph dedup: kept blocks across the corpus = distinct blocks, fractions bounded") {
+    import graft.operators.Dedup
+    val rows = Dedup.dedupParagraph(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (nb, nd) = (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_dup_blocks"))
+      assert(nb >= 1 && nd >= 0 && nd <= nb)
+      val f = r.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      // kept_md5 is NULL exactly when every block was dropped
+      assert((r.getAs[String]("kept_md5") == null) == (nd == nb))
+    }
+    // keep-first semantics: exactly one survivor per distinct block,
+    // so Σ(n_blocks − n_dup_blocks) = |distinct blocks in corpus|
+    val kept = rows.map(r => r.getAs[Long]("n_blocks") - r.getAs[Long]("n_dup_blocks")).sum
+    val b = Dedup.ParaBlockTokens
+    val distinctBlocks = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(
+        s"transform(sequence(1, cast(ceil(size(toks) / ${b}.0) as int)), i -> concat_ws(' ', slice(toks, (i - 1) * $b + 1, $b)))"))
+        .as("block"))
+      .distinct().count()
+    assert(kept == distinctBlocks)
+    assert(rows.map(_.getAs[Long]("n_dup_blocks")).sum > 0, "corpus should contain duplicate blocks")
+  }
+
+  test("bm25: top-k size, positive non-increasing scores, matched-term bounds") {
+    val rows = TextAnalysis.textBm25Topk(spark, sf).collect()
+    assert(rows.length == TextAnalysis.Bm25TopK)
+    val scores = rows.map(_.getAs[Double]("bm25")).toSeq
+    assert(scores == scores.sorted.reverse)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("bm25") > 0.0)
+      val nt = r.getAs[Long]("n_terms")
+      assert(nt >= 1 && nt <= TextAnalysis.Bm25Terms.length)
+    }
+  }
+
+  test("entropy: bounded by log2(n_distinct), flag consistent with bar") {
+    val rows = TextAnalysis.textEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val nd = r.getAs[Long]("n_distinct")
+      assert(nd <= r.getAs[Long]("n_toks"))
+      assert(h >= -1e-6 && h <= math.log(nd.toDouble) / math.log(2.0) + 1e-6)
+      assert((r.getAs[Long]("low_entropy") == 1L) == (h < TextAnalysis.EntropyLowBar))
+    }
+  }
+
+  test("quality weights: sigmoid bounds, keep = score above bar, features bounded") {
+    val rows = Curation.curQualityWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sc = r.getAs[Double]("score")
+      assert(sc > 0.0 && sc < 1.0)
+      assert((r.getAs[Long]("keep") == 1L) == (sc >= Curation.QwKeepBar))
+      assert(r.getAs[Double]("stop_ratio") >= 0.0 && r.getAs[Double]("stop_ratio") <= 1.0)
+      assert(r.getAs[Double]("uniq_ratio") > 0.0 && r.getAs[Double]("uniq_ratio") <= 1.0)
+      assert(r.getAs[Double]("mean_wl") > 0.0)
+      assert(r.getAs[Double]("len_score") > 0.0 && r.getAs[Double]("len_score") <= 1.0)
+    }
+    // both classes should occur at test scale
+    assert(rows.exists(_.getAs[Long]("keep") == 1L))
+  }
 }
