@@ -760,7 +760,53 @@ object Curation {
         (col("score") >= QwKeepBar).cast("long").as("keep"))
   }
 
+  /** FUZZY benchmark decontamination — flag training documents that
+    * are NEAR-duplicates of any eval document (MinHash-banded
+    * candidates, exact-Jaccard adjudication at
+    * [[Dedup.JaccardThreshold]]), the generalization of the exact
+    * n-gram-overlap decontamination family above: published pipelines
+    * run both, because a paraphrased or lightly-perturbed benchmark
+    * leaks through exact gram matching but not through near-dup
+    * similarity. Eval set = doc_id % 20 == 0, as in
+    * [[curDecontaminate]].
+    *
+    * Scale shape — the mirror image of
+    * [[Dedup.dedupIncrementalMinhash]]: there BOTH band tables are
+    * corpus-scale (sort-merge, broadcast nothing); here the eval side
+    * is benchmark-sized (32 band rows per eval doc), so its band
+    * index BROADCASTS and the corpus-side band stream never
+    * shuffles for candidate generation. Only the candidate pairs
+    * (eval-adjacent docs, a vanishing fraction) proceed to the
+    * exact-verify joins. LSH recall at this corpus' similarity levels
+    * is exact (DedupSimilaritySpec pins LSH pairs == exact pairs;
+    * this query's pair set is that set restricted across the %20
+    * split), so the row is held to the exact train×eval Jaccard
+    * oracle with a keep-every-train-doc left join.
+    */
+  def curDecontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingled(s, d).localCheckpoint()
+    val bands = Dedup.bandTable(s, sh)
+    val evalB = bands.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val trainB = bands.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val cand = trainB.as("a").join(broadcast(evalB).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val pairs = Dedup.verifyExactJaccard(cand, sh)
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .join(pairs.groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("hits"), max(col("jaccard")).as("mj")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("n_near_eval"),
+        coalesce(col("mj"), lit(0.0)).as("max_jaccard"),
+        (coalesce(col("hits"), lit(0L)) > 0).cast("long").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_decontaminate_fuzzy" -> curDecontaminateFuzzy _,
     "cur_quality_weights" -> curQualityWeights _,
     "cur_gopher_rules" -> curGopherRules _,
     "cur_keep_list" -> curKeepList _,
@@ -791,6 +837,29 @@ object Curation {
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cur_decontaminate_fuzzy" ->
+      raw"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+           |   generate_series(1, len(string_split(text, ' ')) - 2),
+           |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+           |        || ' ' || string_split(text, ' ')[i+2])) AS sh FROM documents),
+           |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+           |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+           |      FROM e a JOIN e b ON a.s = b.s
+           |       AND a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0 GROUP BY 1, 2),
+           |j AS (SELECT doc_a,
+           |   round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) AS jaccard
+           |  FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           |  WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= ${Dedup.JaccardThreshold}),
+           |agg AS (SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS hits,
+           |   max(jaccard) AS mj FROM j GROUP BY 1)
+           |SELECT d.doc_id,
+           | CAST(coalesce(hits, 0) AS BIGINT) AS n_near_eval,
+           | coalesce(mj, 0.0) AS max_jaccard,
+           | CAST(CASE WHEN coalesce(hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+           |LEFT JOIN agg USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
     "cur_quality_weights" -> {
       val stopList = TextAnalysis.stopEn.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, text, n_chars,

@@ -199,4 +199,58 @@ object Sinks {
     fs.delete(old, true)
     fs.listStatus(hPath).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Copy-on-write keyed upsert into a hive-partitioned parquet
+    * table — the MERGE primitive of the table formats (Delta /
+    * Iceberg / Hudi CoW) at its engine-level essence: rows in
+    * `updates` replace existing rows with the same key, new keys
+    * append, and ONLY the partitions containing updated keys are
+    * read or rewritten — untouched partitions are never opened.
+    *
+    * Mechanics: the update batch's distinct partition values (a
+    * dimension-sized driver list, same bounded-state posture as the
+    * engine's other model collects) prune the existing-table scan;
+    * survivors = existing rows anti-joined against the update keys;
+    * survivors ∪ updates is written to a sibling tmp dir and each
+    * affected `partCol=value` directory is swapped in with aside/
+    * rollback renames (the same tmp-then-swap discipline as
+    * [[compact]]). At 100 TB, a daily upsert touching 1% of
+    * partitions costs 1% of the table in IO, not a rewrite —
+    * and a crash before the swap leaves the live table untouched.
+    *
+    * Returns the number of partitions rewritten (or created).
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String, partCol: String): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
+      updates.write.partitionBy(partCol).parquet(path)
+      return updates.select(col(partCol)).distinct().count().toInt
+    }
+    val partVals = updates.select(col(partCol)).distinct().collect().map(_.get(0))
+    val affected = spark.read.parquet(path).filter(col(partCol).isin(partVals: _*))
+    // align column order so unionByName sees identical schemas even if
+    // the update frame orders columns differently
+    val survivors = affected.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val merged = survivors.unionByName(updates.select(affected.columns.map(col).toIndexedSeq: _*))
+    val tmp = new org.apache.hadoop.fs.Path(hPath.getParent, hPath.getName + "_upsert_tmp")
+    fs.delete(tmp, true)
+    merged.write.partitionBy(partCol).parquet(tmp.toString)
+    val dirs = fs.listStatus(tmp).filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    dirs.foreach { st =>
+      val dest = new org.apache.hadoop.fs.Path(hPath, st.getPath.getName)
+      val old = new org.apache.hadoop.fs.Path(hPath, st.getPath.getName + "_upsert_old")
+      val had = fs.exists(dest)
+      if (had && !fs.rename(dest, old))
+        throw new java.io.IOException(s"upsert: cannot move $dest aside")
+      if (!fs.rename(st.getPath, dest)) {
+        if (had) fs.rename(old, dest) // roll back this partition
+        throw new java.io.IOException(s"upsert: cannot swap in ${st.getPath}")
+      }
+      if (had) fs.delete(old, true)
+    }
+    fs.delete(tmp, true)
+    dirs.length
+  }
 }

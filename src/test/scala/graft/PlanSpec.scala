@@ -155,7 +155,10 @@ class PlanSpec extends AnyFunSuite {
     val allowNestedLoop =
       Set("ann_bruteforce_topk", "ann_lsh_recall", "ann_ivf_recall",
         "ann_pq_recall", "dedup_semantic_gate", "q24_revenue_share",
-        "cur_tfidf_topterms", "text_lm_score", "text_pmi_bigrams")
+        "cur_tfidf_topterms", "text_lm_score", "text_pmi_bigrams",
+        // scalar avgdl aggregate broadcast onto the term stream —
+        // the same share-of-total shape as the LM/PMI rows above
+        "text_bm25_topk")
     SparkEntry.queries.keys.filterNot(allowNestedLoop).foreach { q =>
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")

@@ -221,4 +221,28 @@ class SinksSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(path).count() == docs.count())
   }
+
+  test("upsert: updates win, inserts append, untouched partitions' files are not rewritten") {
+    import spark.implicits._
+    val path = tmp("upsert")
+    val base = Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p3"))
+      .toDF("id", "v", "part")
+    val created = Sinks.upsert(spark, path, base, "id", "part")
+    assert(created == 3)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(p: String): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path, s"part=$p"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val p3Before = partFiles("p3")
+    // update id=2 (partition p1), insert id=5 into p2; p3 untouched
+    val batch = Seq((2L, "B2", "p1"), (5L, "e", "p2")).toDF("id", "v", "part")
+    val touched = Sinks.upsert(spark, path, batch, "id", "part")
+    assert(touched == 2)
+    val after = spark.read.parquet(path).as[(Long, String, String)].collect().toSet
+    assert(after == Set((1L, "a", "p1"), (2L, "B2", "p1"), (3L, "c", "p2"),
+      (5L, "e", "p2"), (4L, "d", "p3")))
+    assert(partFiles("p3") == p3Before, "untouched partition must keep its exact files")
+  }
 }

@@ -175,4 +175,31 @@ class TextCurationSpec extends AnyFunSuite {
     // both classes should occur at test scale
     assert(rows.exists(_.getAs[Long]("keep") == 1L))
   }
+
+  test("fuzzy decontamination = exact jaccard pairs restricted to the train x eval split") {
+    import graft.operators.Dedup
+    val expected = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .flatMap { case (a, b) =>
+        // orient as (train, eval); drop pairs not crossing the split
+        if (a % 20 == 0 && b % 20 != 0) Some(b -> a)
+        else if (b % 20 == 0 && a % 20 != 0) Some(a -> b)
+        else None
+      }
+    val expHits = expected.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val rows = Curation.curDecontaminateFuzzy(spark, sf).collect()
+    val nTrain = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 20 =!= 0).count()
+    assert(rows.length == nTrain, "every train doc gets a verdict row")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val hits = r.getAs[Long]("n_near_eval")
+      assert(hits == expHits.getOrElse(id, 0L))
+      assert((r.getAs[Long]("contaminated") == 1L) == (hits > 0))
+      if (hits == 0) assert(r.getAs[Double]("max_jaccard") == 0.0)
+      else assert(r.getAs[Double]("max_jaccard") >= Dedup.JaccardThreshold)
+    }
+    assert(rows.exists(_.getAs[Long]("contaminated") == 1L),
+      "corpus should contain near-dup train/eval pairs")
+  }
 }
