@@ -805,7 +805,37 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source document cap for [[curSourceCap]]. */
+  val SourceCap = 10
+
+  /** Per-source document cap — the "domain cap" anti-spam curation
+    * step (cap pages per domain so one prolific site cannot dominate
+    * the mixture; the companion to [[curMixSources]]' rate-based
+    * rebalancing): rank each source's documents by a deterministic
+    * quality priority (longer documents first, doc_id tie-break) and
+    * keep the top [[SourceCap]].
+    *
+    * Scale shape: one exchange on the source key, then a per-group
+    * rank — and because only the rank ≤ cap decision is needed, the
+    * window never materializes beyond its sort. A pathologically hot
+    * domain concentrates its own rows in one partition; that is the
+    * AQE-skew-split case PlanSpec proves, and at the extreme the
+    * production form presorts with a per-partition bounded heap
+    * (the [[graft.functions.TopKAgg]] used by q22/stream_topk) keyed
+    * by source.
+    */
+  def curSourceCap(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("priority_rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority_rank"),
+        (col("priority_rank") <= SourceCap).cast("long").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_source_cap" -> curSourceCap _,
     "cur_decontaminate_fuzzy" -> curDecontaminateFuzzy _,
     "cur_quality_weights" -> curQualityWeights _,
     "cur_gopher_rules" -> curGopherRules _,
@@ -837,6 +867,13 @@ object Curation {
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cur_source_cap" ->
+      s"""SELECT doc_id, source, n_chars,
+         | CAST(row_number() OVER (PARTITION BY source
+         |   ORDER BY n_chars DESC, doc_id) AS BIGINT) AS priority_rank,
+         | CAST(CASE WHEN row_number() OVER (PARTITION BY source
+         |   ORDER BY n_chars DESC, doc_id) <= $SourceCap THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "cur_decontaminate_fuzzy" ->
       raw"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
            |   generate_series(1, len(string_split(text, ' ')) - 2),

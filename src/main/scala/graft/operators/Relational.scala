@@ -524,8 +524,44 @@ object Relational {
         col("n"), col("sum_qty"), col("avg_price"))
       .orderBy(col("rflag"), col("lstatus"))
 
+  /** Ordered-funnel staging — for each user, how far through the
+    * view → click → purchase funnel they progressed with the steps in
+    * strict event-time order (a click only counts after the first
+    * view; a purchase only after that click): the standard product-
+    * analytics funnel, computed as three levels of first-touch
+    * aggregation. Each level is a per-user min over one event type
+    * joined back to the event stream — every join and aggregation is
+    * keyed on user_id, so at 100 TB the whole query is three
+    * user-partitioned hash aggregations over successively tiny
+    * filtered slices (each event-type filter is pushed to the scan),
+    * never a window sort over the full stream.
+    */
+  def q31Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L).as("funnel_stage"),
+        date_format(col("t1"), "yyyy-MM-dd HH:mm:ss").as("first_view"),
+        date_format(col("t2"), "yyyy-MM-dd HH:mm:ss").as("first_click"),
+        date_format(col("t3"), "yyyy-MM-dd HH:mm:ss").as("first_purchase"))
+      .orderBy(col("user_id"))
+  }
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_funnel" -> q31Funnel _,
     "q30_grouping_sets" -> q30GroupingSets _,
     "q29_correlated" -> q29Correlated _,
     "q28_dpp_join" -> q28DppJoin _,
@@ -559,6 +595,26 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q31_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+        |SELECT u.user_id,
+        | CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2
+        |   WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage,
+        | strftime(t1.t1, '%Y-%m-%d %H:%M:%S') AS first_view,
+        | strftime(t2.t2, '%Y-%m-%d %H:%M:%S') AS first_click,
+        | strftime(t3.t3, '%Y-%m-%d %H:%M:%S') AS first_purchase
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN t1 ON u.user_id = t1.user_id
+        |LEFT JOIN t2 ON u.user_id = t2.user_id
+        |LEFT JOIN t3 ON u.user_id = t3.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "q30_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         | coalesce(l_linestatus, 'ALL') AS lstatus,

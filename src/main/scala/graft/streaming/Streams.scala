@@ -331,6 +331,29 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming copy-on-write upsert sink: drive [[graft.sources
+    * .Sinks.upsert]] from a stream via foreachBatch — the incremental
+    * table-maintenance shape (a CDC/crawl stream continuously merged
+    * into a partitioned parquet table). Each epoch's batch upserts by
+    * key and rewrites ONLY the partitions its keys touch; the
+    * checkpoint's offset log makes epoch delivery effectively-once
+    * into an idempotent merge (replaying an epoch re-applies the same
+    * keys to the same partitions and converges to the same table).
+    * `AvailableNow` drains the backlog and stops — the recurring
+    * ingestion-batch posture used by the parquet sink above.
+    */
+  def upsertSink(updates: DataFrame, path: String, keyCol: String,
+      partCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.upsert(batch.sparkSession, path, batch, keyCol, partCol)
+        ()
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> streamWindowedAgg _,
     "stream_session_state" -> sessionizeBatch _,

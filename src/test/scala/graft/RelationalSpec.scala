@@ -122,6 +122,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("funnel: stage matches present timestamps and steps are strictly ordered") {
+    val rows = SparkEntry.queries("q31_funnel")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("funnel_stage") == 3L), "some user completes the funnel")
+    rows.foreach { r =>
+      val stage = r.getAs[Long]("funnel_stage")
+      val (v, c, p) = (r.getAs[String]("first_view"),
+        r.getAs[String]("first_click"), r.getAs[String]("first_purchase"))
+      assert((v != null) == (stage >= 1))
+      assert((c != null) == (stage >= 2))
+      assert((p != null) == (stage >= 3))
+      // string timestamps compare chronologically (fixed format);
+      // strict order is >= at second granularity after truncation
+      if (c != null) assert(v <= c)
+      if (p != null) assert(c <= p)
+    }
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

@@ -245,4 +245,34 @@ class SinksSpec extends AnyFunSuite {
       (5L, "e", "p2"), (4L, "d", "p3")))
     assert(partFiles("p3") == p3Before, "untouched partition must keep its exact files")
   }
+
+  test("streaming upsert: epochs merge into the table, untouched partitions preserved") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = tmp("streamupsert")
+    val ckpt = tmp("streamupsert_ckpt")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(p: String): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path, s"part=$p"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+
+    val stream = MemoryStream[(Long, String, String)]
+    stream.addData((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+    val q1 = graft.streaming.Streams.upsertSink(
+      stream.toDF().toDF("id", "v", "part"), path, "id", "part", ckpt)
+    try q1.awaitTermination() finally q1.stop()
+    val p2Before = partFiles("p2")
+
+    stream.addData((1L, "A1", "p1"), (4L, "d", "p3"))
+    val q2 = graft.streaming.Streams.upsertSink(
+      stream.toDF().toDF("id", "v", "part"), path, "id", "part", ckpt)
+    try q2.awaitTermination() finally q2.stop()
+
+    val after = spark.read.parquet(path).as[(Long, String, String)].collect().toSet
+    assert(after == Set((1L, "A1", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p3")))
+    assert(partFiles("p2") == p2Before, "partition p2 untouched by the second epoch")
+  }
 }

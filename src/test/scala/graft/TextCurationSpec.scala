@@ -202,4 +202,19 @@ class TextCurationSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("contaminated") == 1L),
       "corpus should contain near-dup train/eval pairs")
   }
+
+  test("source cap: per-source kept = min(cap, size), ranks contiguous, priority respected") {
+    val rows = Curation.curSourceCap(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("priority_rank")).sorted
+      assert(ranks.toSeq == (1L to rs.length).toSeq)
+      val kept = rs.filter(_.getAs[Long]("kept") == 1L)
+      assert(kept.length == math.min(Curation.SourceCap, rs.length))
+      // every kept doc outranks (longer-or-equal n_chars) every dropped doc
+      val dropped = rs.filter(_.getAs[Long]("kept") == 0L)
+      if (dropped.nonEmpty)
+        assert(kept.map(_.getAs[Long]("n_chars")).min >=
+          dropped.map(_.getAs[Long]("n_chars")).max)
+    }
+  }
 }
