@@ -145,6 +145,30 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Radius bar for [[annRangeSearch]]. */
+  val RangeBar = 0.35
+
+  /** Exact cosine RANGE (radius) search — every neighbor within the
+    * similarity bar per query vector, the "all matches above
+    * threshold" retrieval mode (candidate recall sets, near-dup
+    * sweeps around probe points) that top-k cannot express because k
+    * is unknown a priori. Same broadcast-query scan shape as
+    * [[annBruteforceTopk]]; the predicate replaces the rank window,
+    * so the per-query result is unbounded by design and ordered
+    * deterministically by (query, cosine desc, neighbor).
+    */
+  def annRangeSearch(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d)
+    val q = e.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("nrma"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nrmb"))
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
+      .filter(col("cosine") >= RangeBar)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
   /** Rank candidate (query_id, neighbor_id, cosine) rows into the
     * per-query top-k, deterministic on (cosine desc, neighbor asc).
     */
@@ -737,6 +761,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_range_search" -> annRangeSearch _,
     "ann_filtered_topk" -> annFilteredTopk _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_semantic" -> dedupSemantic _,
@@ -774,6 +799,13 @@ object Similarity {
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ann_range_search" ->
+      s"""$cosineCte
+         |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) AS cosine
+         |FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+         |WHERE round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) >= $RangeBar
+         |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin,
     // n_exact_pairs is recomputed for real by DuckDB; the two flags
     // assert the deterministic Spark-side measurement clears the bars.
     "dedup_semantic_gate" ->

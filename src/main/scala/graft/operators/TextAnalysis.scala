@@ -373,7 +373,37 @@ object TextAnalysis {
         when(col("entropy") < EntropyLowBar, 1L).otherwise(0L).as("low_entropy"))
       .orderBy(col("doc_id"))
 
+  // Flesch reading-ease coefficients (Flesch 1948; public formula).
+  val FleschBase = 206.835
+  val FleschSent = 1.015
+  val FleschSyll = 84.6
+
+  /** Readability scoring — Flesch reading ease over (words, sentences,
+    * syllables), the classic document-difficulty signal curation
+    * stacks bucket corpora by. The corpus has no sentence punctuation,
+    * so a "sentence" is a fixed 16-token span (ceil(words/16) —
+    * documented stand-in, same plumbing); syllables are vowel-group
+    * counts per token with a minimum of one (the standard heuristic
+    * syllable counter). Everything is a ratio of integer counts
+    * through one map-side regexp pass — no shuffle beyond the
+    * presentation sort, bit-stable across engines.
+    */
+  def textReadability(s: SparkSession, d: String): DataFrame =
+    withToks(sortedDocs(s, d))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_sents", expr("cast(ceil(size(toks) / 16.0) as bigint)"))
+      .withColumn("n_syll",
+        expr("""aggregate(transform(toks,
+          t -> greatest(size(regexp_extract_all(t, '[aeiouy]+', 0)), 1)),
+          0L, (acc, x) -> acc + x)"""))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+        round(lit(FleschBase)
+          - lit(FleschSent) * (col("n_words").cast("double") / col("n_sents"))
+          - lit(FleschSyll) * (col("n_syll").cast("double") / col("n_words")), 4)
+          .as("flesch"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> textReadability _,
     "text_bm25_topk" -> textBm25Topk _,
     "text_entropy" -> textEntropy _,
     "text_lm_score" -> textLmScore _,
@@ -392,6 +422,19 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_readability" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(ceil(len(toks) / 16.0) AS BIGINT) AS n_sents,
+         |  CAST(list_sum(list_transform(toks,
+         |    t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))) AS BIGINT) AS n_syll
+         | FROM t)
+         |SELECT doc_id, n_words, n_sents, n_syll,
+         | round($FleschBase
+         |   - $FleschSent * (CAST(n_words AS DOUBLE) / n_sents)
+         |   - $FleschSyll * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+         |FROM m ORDER BY doc_id""".stripMargin,
     "text_bm25_topk" -> {
       val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -203,6 +203,32 @@ class TextCurationSpec extends AnyFunSuite {
       "corpus should contain near-dup train/eval pairs")
   }
 
+  test("range search: all above bar, superset of bruteforce top-k rows above bar") {
+    val rows = Similarity.annRangeSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("cosine") >= Similarity.RangeBar))
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    Similarity.annBruteforceTopk(spark, sf).collect()
+      .filter(_.getAs[Double]("cosine") >= Similarity.RangeBar)
+      .foreach { r =>
+        assert(got.contains((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+      }
+  }
+
+  test("readability: counts consistent, flesch recomputable from them") {
+    val rows = TextAnalysis.textReadability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, se, sy) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_sents"), r.getAs[Long]("n_syll"))
+      assert(sy >= w, "every token counts at least one syllable")
+      assert(se == math.ceil(w / 16.0).toLong)
+      val expect = TextAnalysis.FleschBase -
+        TextAnalysis.FleschSent * (w.toDouble / se) -
+        TextAnalysis.FleschSyll * (sy.toDouble / w)
+      assert(math.abs(r.getAs[Double]("flesch") - expect) < 1e-3)
+    }
+  }
+
   test("source cap: per-source kept = min(cap, size), ranks contiguous, priority respected") {
     val rows = Curation.curSourceCap(spark, sf).collect()
     rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
