@@ -755,8 +755,13 @@ object Curation {
           + lit(QwUniq) * col("uniq_ratio")
           + lit(QwMwl) * col("mean_wl") / 10.0)
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
-      .select(col("doc_id"), col("len_score"), col("stop_ratio"),
-        col("uniq_ratio"), col("mean_wl"), col("score"),
+      // features rounded on output (oracle-parity rule: only
+      // string/bigint/rounded-double leave an operator); the z that
+      // feeds the score stays unrounded on BOTH engines.
+      .select(col("doc_id"), round(col("len_score"), 6).as("len_score"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("uniq_ratio"), 6).as("uniq_ratio"),
+        round(col("mean_wl"), 6).as("mean_wl"), col("score"),
         (col("score") >= QwKeepBar).cast("long").as("keep"))
   }
 
@@ -910,7 +915,10 @@ object Curation {
          | FROM t),
          |z AS (SELECT *, $QwBias + $QwLen * len_score + $QwStop * (1.0 - stop_ratio)
          |    + $QwUniq * uniq_ratio + $QwMwl * mean_wl / 10.0 AS zz FROM f)
-         |SELECT doc_id, len_score, stop_ratio, uniq_ratio, mean_wl,
+         |SELECT doc_id, round(len_score, 6) AS len_score,
+         | round(stop_ratio, 6) AS stop_ratio,
+         | round(uniq_ratio, 6) AS uniq_ratio,
+         | round(mean_wl, 6) AS mean_wl,
          | round(1.0 / (1.0 + exp(-zz)), 6) AS score,
          | CAST(CASE WHEN round(1.0 / (1.0 + exp(-zz)), 6) >= $QwKeepBar
          |   THEN 1 ELSE 0 END AS BIGINT) AS keep

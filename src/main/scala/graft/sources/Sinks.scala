@@ -207,16 +207,34 @@ object Sinks {
     * append, and ONLY the partitions containing updated keys are
     * read or rewritten — untouched partitions are never opened.
     *
-    * Mechanics: the update batch's distinct partition values (a
-    * dimension-sized driver list, same bounded-state posture as the
-    * engine's other model collects) prune the existing-table scan;
-    * survivors = existing rows anti-joined against the update keys;
-    * survivors ∪ updates is written to a sibling tmp dir and each
-    * affected `partCol=value` directory is swapped in with aside/
-    * rollback renames (the same tmp-then-swap discipline as
-    * [[compact]]). At 100 TB, a daily upsert touching 1% of
-    * partitions costs 1% of the table in IO, not a rewrite —
-    * and a crash before the swap leaves the live table untouched.
+    * Key scope contract (Hudi's non-global-index semantics): the key
+    * identifies a row WITHIN its partition. An update row replaces
+    * the same (key, partition) row; a row whose key exists under a
+    * DIFFERENT partition value is an insert there, and the old
+    * partition's row is untouched — a key "moving" partitions must be
+    * expressed by the caller as a delete + insert, exactly as with a
+    * Hudi record-key + partition-path index. Global-key enforcement
+    * would require scanning every partition and is the documented
+    * trade this primitive refuses. Null partition values are rejected
+    * up front: hive's null-partition encoding would make the pruning
+    * filter silently exclude (and the swap then drop) pre-existing
+    * null-partition survivors.
+    *
+    * Mechanics: the update batch is materialized once (it is read
+    * three times: partition-value list, anti-join side, union side);
+    * its distinct partition values (a dimension-sized driver list,
+    * same bounded-state posture as the engine's other model collects)
+    * prune the existing-table scan; survivors = existing rows
+    * anti-joined against the update keys; survivors ∪ updates is
+    * written to a sibling tmp dir and each affected `partCol=value`
+    * directory is swapped in with aside/rollback renames (the same
+    * tmp-then-swap discipline as [[compact]]). The aside dir lives
+    * OUTSIDE the table root — an aside left inside by a crash in the
+    * swap window would parse as a real hive partition and resurrect
+    * the old rows under a corrupted partition value on every
+    * subsequent read. At 100 TB, a daily upsert touching 1% of
+    * partitions costs 1% of the table in IO, not a rewrite — and a
+    * crash before the swap leaves the live table untouched.
     *
     * Returns the number of partitions rewritten (or created).
     */
@@ -224,33 +242,44 @@ object Sinks {
       keyCol: String, partCol: String): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hPath)) {
-      updates.write.partitionBy(partCol).parquet(path)
-      return updates.select(col(partCol)).distinct().count().toInt
-    }
-    val partVals = updates.select(col(partCol)).distinct().collect().map(_.get(0))
-    val affected = spark.read.parquet(path).filter(col(partCol).isin(partVals: _*))
-    // align column order so unionByName sees identical schemas even if
-    // the update frame orders columns differently
-    val survivors = affected.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
-    val merged = survivors.unionByName(updates.select(affected.columns.map(col).toIndexedSeq: _*))
-    val tmp = new org.apache.hadoop.fs.Path(hPath.getParent, hPath.getName + "_upsert_tmp")
-    fs.delete(tmp, true)
-    merged.write.partitionBy(partCol).parquet(tmp.toString)
-    val dirs = fs.listStatus(tmp).filter(st => st.isDirectory && st.getPath.getName.contains("="))
-    dirs.foreach { st =>
-      val dest = new org.apache.hadoop.fs.Path(hPath, st.getPath.getName)
-      val old = new org.apache.hadoop.fs.Path(hPath, st.getPath.getName + "_upsert_old")
-      val had = fs.exists(dest)
-      if (had && !fs.rename(dest, old))
-        throw new java.io.IOException(s"upsert: cannot move $dest aside")
-      if (!fs.rename(st.getPath, dest)) {
-        if (had) fs.rename(old, dest) // roll back this partition
-        throw new java.io.IOException(s"upsert: cannot swap in ${st.getPath}")
+    val u = updates.persist()
+    try {
+      require(u.filter(col(partCol).isNull).isEmpty,
+        s"upsert: null $partCol in updates — hive null-partition rows cannot be merged safely")
+      if (!fs.exists(hPath)) {
+        u.write.partitionBy(partCol).parquet(path)
+        return u.select(col(partCol)).distinct().count().toInt
       }
-      if (had) fs.delete(old, true)
-    }
-    fs.delete(tmp, true)
-    dirs.length
+      val partVals = u.select(col(partCol)).distinct().collect().map(_.get(0))
+      val affected = spark.read.parquet(path).filter(col(partCol).isin(partVals: _*))
+      // align column order so unionByName sees identical schemas even if
+      // the update frame orders columns differently
+      val survivors = affected.join(u.select(col(keyCol)), Seq(keyCol), "left_anti")
+      val merged = survivors.unionByName(u.select(affected.columns.map(col).toIndexedSeq: _*))
+      val tmp = new org.apache.hadoop.fs.Path(hPath.getParent, hPath.getName + "_upsert_tmp")
+      fs.delete(tmp, true)
+      merged.write.partitionBy(partCol).parquet(tmp.toString)
+      val aside = new org.apache.hadoop.fs.Path(hPath.getParent, hPath.getName + "_upsert_old")
+      fs.delete(aside, true)
+      fs.mkdirs(aside)
+      val dirs = fs.listStatus(tmp).filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      dirs.foreach { st =>
+        val dest = new org.apache.hadoop.fs.Path(hPath, st.getPath.getName)
+        val old = new org.apache.hadoop.fs.Path(aside, st.getPath.getName)
+        val had = fs.exists(dest)
+        if (had && !fs.rename(dest, old))
+          throw new java.io.IOException(s"upsert: cannot move $dest aside")
+        if (!fs.rename(st.getPath, dest)) {
+          if (had && !fs.rename(old, dest))
+            throw new java.io.IOException(
+              s"upsert: swap of ${st.getPath} failed AND rollback of $old failed — " +
+                s"partition ${st.getPath.getName} must be restored from $aside manually")
+          throw new java.io.IOException(s"upsert: cannot swap in ${st.getPath}")
+        }
+      }
+      fs.delete(aside, true)
+      fs.delete(tmp, true)
+      dirs.length
+    } finally u.unpersist()
   }
 }

@@ -246,6 +246,24 @@ class SinksSpec extends AnyFunSuite {
     assert(partFiles("p3") == p3Before, "untouched partition must keep its exact files")
   }
 
+  test("upsert contracts: null partition rejected; key is partition-scoped (no global move)") {
+    import spark.implicits._
+    val path = tmp("upsertedge")
+    val base = Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "part")
+    Sinks.upsert(spark, path, base, "id", "part")
+    // null partition value must fail loudly, not silently drop rows
+    val nullBatch = Seq((3L, "c", null.asInstanceOf[String])).toDF("id", "v", "part")
+    intercept[IllegalArgumentException] {
+      Sinks.upsert(spark, path, nullBatch, "id", "part")
+    }
+    // Hudi non-global-index semantics: same key under a NEW partition
+    // is an insert there; the old partition's row stays (the caller
+    // expresses a key move as delete + insert)
+    Sinks.upsert(spark, path, Seq((1L, "a2", "p2")).toDF("id", "v", "part"), "id", "part")
+    val after = spark.read.parquet(path).as[(Long, String, String)].collect().toSet
+    assert(after == Set((1L, "a", "p1"), (1L, "a2", "p2"), (2L, "b", "p2")))
+  }
+
   test("streaming upsert: epochs merge into the table, untouched partitions preserved") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
