@@ -220,46 +220,83 @@ object Sinks {
     * filter silently exclude (and the swap then drop) pre-existing
     * null-partition survivors.
     *
+    * The update batch must be unique on (key, partition) — MERGE
+    * semantics make "two updates for one target row" ambiguous, so
+    * rather than silently keeping both (or an arbitrary one) the
+    * batch is validated up front and rejected loudly; callers with a
+    * preference order resolve it before calling (e.g. a row_number
+    * pick on their version column).
+    *
     * Mechanics: the update batch is materialized once (it is read
-    * three times: partition-value list, anti-join side, union side);
-    * its distinct partition values (a dimension-sized driver list,
-    * same bounded-state posture as the engine's other model collects)
-    * prune the existing-table scan; survivors = existing rows
-    * anti-joined against the update keys; survivors ∪ updates is
-    * written to a sibling tmp dir and each affected `partCol=value`
-    * directory is swapped in with aside/rollback renames (the same
-    * tmp-then-swap discipline as [[compact]]). The aside dir lives
-    * OUTSIDE the table root — an aside left inside by a crash in the
-    * swap window would parse as a real hive partition and resurrect
-    * the old rows under a corrupted partition value on every
-    * subsequent read. At 100 TB, a daily upsert touching 1% of
+    * three times: partition-value prune, anti-join side, union side);
+    * the existing-table scan is pruned to the batch's partitions —
+    * via a static `isin` literal when the batch touches few
+    * partitions (guaranteed listing-level pruning), or a broadcast
+    * left-semi join above that (dynamic partition pruning; a literal
+    * list of thousands of values would bloat the plan and the
+    * predicate evaluation). Survivors = existing rows anti-joined
+    * against the update (key, partition) pairs — key AND partition,
+    * per the non-global-index contract above: a key updated in p2
+    * must not delete its un-updated namesake in p1. Survivors ∪
+    * updates is written to a per-invocation tmp dir and each affected
+    * `partCol=value` directory is swapped in with aside/rollback
+    * renames (the same tmp-then-swap discipline as [[compact]]). The
+    * aside dir lives OUTSIDE the table root — an aside left inside by
+    * a crash in the swap window would parse as a real hive partition
+    * and resurrect the old rows under a corrupted partition value on
+    * every subsequent read. Staging dir names carry a random
+    * per-invocation suffix so a racing retry cannot delete a live
+    * invocation's staging data; the swap window itself is still
+    * single-writer (two concurrent upserts of the SAME partition can
+    * interleave renames — that last-writer race is the usual
+    * non-transactional-lake caveat, closed only by a commit-protocol
+    * table format). At 100 TB, a daily upsert touching 1% of
     * partitions costs 1% of the table in IO, not a rewrite — and a
     * crash before the swap leaves the live table untouched.
     *
     * Returns the number of partitions rewritten (or created).
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String, partCol: String): Int = {
+      keyCol: String, partCol: String,
+      // above this many distinct partition values the prune switches
+      // from a literal `isin` to a broadcast semi-join (DPP)
+      isInPruneMax: Int = 256): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val u = updates.persist()
     try {
       require(u.filter(col(partCol).isNull).isEmpty,
         s"upsert: null $partCol in updates — hive null-partition rows cannot be merged safely")
+      require(u.groupBy(col(keyCol), col(partCol)).count()
+          .filter(col("count") > 1).isEmpty,
+        s"upsert: update batch has duplicate ($keyCol, $partCol) rows — " +
+          "MERGE target ambiguity; resolve duplicates before upserting")
       if (!fs.exists(hPath)) {
         u.write.partitionBy(partCol).parquet(path)
         return u.select(col(partCol)).distinct().count().toInt
       }
-      val partVals = u.select(col(partCol)).distinct().collect().map(_.get(0))
-      val affected = spark.read.parquet(path).filter(col(partCol).isin(partVals: _*))
+      val partDf = u.select(col(partCol)).distinct()
+      val nParts = partDf.count()
+      val existing = spark.read.parquet(path)
+      val affected =
+        if (nParts <= isInPruneMax)
+          existing.filter(col(partCol).isin(partDf.collect().map(_.get(0)).toIndexedSeq: _*))
+        else
+          existing.join(broadcast(partDf), Seq(partCol), "left_semi")
+      // anti-join on BOTH key and partition: the key is scoped to its
+      // partition, so only the exact (key, partition) target row dies
+      val survivors = affected.join(
+        u.select(col(keyCol), col(partCol)), Seq(keyCol, partCol), "left_anti")
       // align column order so unionByName sees identical schemas even if
       // the update frame orders columns differently
-      val survivors = affected.join(u.select(col(keyCol)), Seq(keyCol), "left_anti")
       val merged = survivors.unionByName(u.select(affected.columns.map(col).toIndexedSeq: _*))
-      val tmp = new org.apache.hadoop.fs.Path(hPath.getParent, hPath.getName + "_upsert_tmp")
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new org.apache.hadoop.fs.Path(hPath.getParent,
+        hPath.getName + "_upsert_tmp_" + runId)
       fs.delete(tmp, true)
       merged.write.partitionBy(partCol).parquet(tmp.toString)
-      val aside = new org.apache.hadoop.fs.Path(hPath.getParent, hPath.getName + "_upsert_old")
+      val aside = new org.apache.hadoop.fs.Path(hPath.getParent,
+        hPath.getName + "_upsert_old_" + runId)
       fs.delete(aside, true)
       fs.mkdirs(aside)
       val dirs = fs.listStatus(tmp).filter(st => st.isDirectory && st.getPath.getName.contains("="))

@@ -264,6 +264,57 @@ class SinksSpec extends AnyFunSuite {
     assert(after == Set((1L, "a", "p1"), (1L, "a2", "p2"), (2L, "b", "p2")))
   }
 
+  test("upsert: multi-partition batch — key updated in p2 must not delete its namesake in p1") {
+    import spark.implicits._
+    val path = tmp("upsertxpart")
+    // key 1 exists in BOTH p1 and p2 (partition-scoped keys allow this)
+    val base = Seq((1L, "a-p1", "p1"), (1L, "a-p2", "p2"), (2L, "b", "p1"))
+      .toDF("id", "v", "part")
+    Sinks.upsert(spark, path, base, "id", "part")
+    // one batch touches p1 (key 2) AND p2 (key 1): both partitions are
+    // rewritten, but key 1's p1 row is NOT an update target and must survive
+    val batch = Seq((1L, "A-p2", "p2"), (2L, "B", "p1")).toDF("id", "v", "part")
+    Sinks.upsert(spark, path, batch, "id", "part")
+    val after = spark.read.parquet(path).as[(Long, String, String)].collect().toSet
+    assert(after == Set((1L, "a-p1", "p1"), (1L, "A-p2", "p2"), (2L, "B", "p1")))
+  }
+
+  test("upsert: duplicate (key, partition) rows in one batch are rejected loudly") {
+    import spark.implicits._
+    val path = tmp("upsertdup")
+    Sinks.upsert(spark, path, Seq((1L, "a", "p1")).toDF("id", "v", "part"), "id", "part")
+    val dupBatch = Seq((1L, "x", "p1"), (1L, "y", "p1")).toDF("id", "v", "part")
+    intercept[IllegalArgumentException] {
+      Sinks.upsert(spark, path, dupBatch, "id", "part")
+    }
+    // duplicate keys in DIFFERENT partitions are fine (partition-scoped)
+    Sinks.upsert(spark, path,
+      Seq((2L, "x", "p1"), (2L, "y", "p2")).toDF("id", "v", "part"), "id", "part")
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
+  test("upsert: many-partition batch takes the broadcast semi-join prune path") {
+    import spark.implicits._
+    val path = tmp("upsertmany")
+    val base = (1 to 6).map(i => (i.toLong, s"v$i", s"p$i")).toDF("id", "v", "part")
+    Sinks.upsert(spark, path, base, "id", "part")
+    // 4 distinct partitions > isInPruneMax=2 → semi-join prune; p5/p6 untouched
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(p: String): Map[String, Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path, s"part=$p"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val p5Before = partFiles("p5")
+    val batch = (1 to 4).map(i => (i.toLong, s"V$i", s"p$i")).toDF("id", "v", "part")
+    val touched = Sinks.upsert(spark, path, batch, "id", "part", isInPruneMax = 2)
+    assert(touched == 4)
+    val after = spark.read.parquet(path).as[(Long, String, String)].collect().toSet
+    assert(after == ((1 to 4).map(i => (i.toLong, s"V$i", s"p$i")).toSet ++
+      Set((5L, "v5", "p5"), (6L, "v6", "p6"))))
+    assert(partFiles("p5") == p5Before, "unpruned partition must keep its exact files")
+  }
+
   test("streaming upsert: epochs merge into the table, untouched partitions preserved") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
