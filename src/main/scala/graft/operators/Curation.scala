@@ -820,22 +820,32 @@ object Curation {
     * quality priority (longer documents first, doc_id tie-break) and
     * keep the top [[SourceCap]].
     *
-    * Scale shape: one exchange on the source key, then a per-group
-    * rank — and because only the rank ≤ cap decision is needed, the
-    * window never materializes beyond its sort. A pathologically hot
-    * domain concentrates its own rows in one partition; that is the
-    * AQE-skew-split case PlanSpec proves, and at the extreme the
-    * production form presorts with a per-partition bounded heap
-    * (the [[graft.functions.TopKAgg]] used by q22/stream_topk) keyed
-    * by source.
+    * Scale shape: a bounded-heap top-k aggregation
+    * ([[graft.functions.TopKIds]], the same kernel as
+    * q22/stream_topk) keyed by source, then a broadcast join-back of
+    * the one-row-per-source keep lists. The heap combines map-side,
+    * so a pathologically hot domain contributes O(cap) state per
+    * input partition instead of funneling its entire row set through
+    * one task's window sort — the `row_number().over(partitionBy
+    * (source))` form this replaced was the engine's last
+    * skewed-window straggler (AQE skew-split rescues shuffle joins,
+    * not window sorts). The join-back side is `count(distinct
+    * source) × cap` ids — domain-dictionary sized, always
+    * broadcastable. Non-kept rows carry a NULL priority_rank: the
+    * bounded heap legitimately discards ordering beyond the cap, and
+    * a full per-source rank of every row is exactly the
+    * sort-everything cost this operator exists to avoid.
     */
   def curSourceCap(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
-    Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("priority_rank", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("source"), col("n_chars"), col("priority_rank"),
-        (col("priority_rank") <= SourceCap).cast("long").as("kept"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val keep = docs.groupBy(col("source")).agg(
+      graft.functions.TopKIds.topKIds(
+        col("n_chars").cast("double"), col("doc_id"), SourceCap).as("keep_ids"))
+    docs.join(broadcast(keep), Seq("source"))
+      .withColumn("pos", array_position(col("keep_ids"), col("doc_id")))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        when(col("pos") > 0, col("pos")).cast("long").as("priority_rank"),
+        (col("pos") > 0).cast("long").as("kept"))
       .orderBy(col("doc_id"))
   }
 
@@ -874,11 +884,11 @@ object Curation {
   val oracleSql: Map[String, String] = Map(
     "cur_source_cap" ->
       s"""SELECT doc_id, source, n_chars,
-         | CAST(row_number() OVER (PARTITION BY source
-         |   ORDER BY n_chars DESC, doc_id) AS BIGINT) AS priority_rank,
-         | CAST(CASE WHEN row_number() OVER (PARTITION BY source
-         |   ORDER BY n_chars DESC, doc_id) <= $SourceCap THEN 1 ELSE 0 END AS BIGINT) AS kept
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         | CAST(CASE WHEN rn <= $SourceCap THEN rn END AS BIGINT) AS priority_rank,
+         | CAST(CASE WHEN rn <= $SourceCap THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM (SELECT doc_id, source, n_chars, row_number() OVER (PARTITION BY source
+         |   ORDER BY n_chars DESC, doc_id) AS rn FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "cur_decontaminate_fuzzy" ->
       raw"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
            |   generate_series(1, len(string_split(text, ' ')) - 2),

@@ -45,6 +45,16 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("cur_source_cap: bounded-heap aggregate, no per-source window sort") {
+    // a hot domain must never serialize one task's window sort: the
+    // plan is a partial+final TopKIds aggregation plus a broadcast
+    // join-back — no Window node over source anywhere.
+    val p = planOf("cur_source_cap")
+    assert(!p.contains("Window"), s"per-source window sort resurfaced\n$p")
+    assert(p.toLowerCase.contains("topkids"), s"expected the TopKIds heap aggregate\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"keep-list join-back must broadcast\n$p")
+  }
+
   test("dedup jaccard: no cartesian product anywhere") {
     val p = planOf("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
