@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the forked run's stdout for the {"metric"...}
+// JSON line; sbt's default LoggedOutput prefixes every forked line with
+// "[info] ", which has defeated that parse for three rounds
+// (BENCH_r04..r06 "parsed": null). StdoutOutput passes the child's
+// stdout/stderr through unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // The bench driver captures only the tail of sbt's output; suppress the
 // trailing "[success] Total time" line so the bench JSON line stays last
 // and unclipped in that window.
