@@ -34,6 +34,23 @@ object Verify {
     // the gate for real — exact brute-force ground truth + rank/hit
     // aggregation over these candidates — instead of timing a
     // constant-probe SELECT that does none of the gate's work.
+    // ANN top-k oracle inputs: the candidate (query, neighbor) pairs
+    // each approximate top-k ranked — the oracle SQL recomputes cosine
+    // and the rank/cut over these pairs from the embeddings table, so
+    // the dump carries NO scores, only the (deterministic,
+    // recall-gated) candidate generation DuckDB cannot express.
+    Seq(
+      ("ann_lsh_topk", () => graft.operators.Similarity.lshCandidates(spark, sfDir)),
+      ("ann_ivf_topk", () => graft.operators.Similarity.ivfCandidates(spark, sfDir)),
+      ("ann_pq_topk", () => graft.operators.Similarity.pqCandidates(spark, sfDir)),
+    ).filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, gen) =>
+        try gen().select("query_id", "neighbor_id").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/${name}_pairs")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] ${name}_pairs dump failed: ${e.getMessage}")
+        }
+      }
     if (only.isEmpty) {
       import graft.operators.Similarity
       Seq(
@@ -68,9 +85,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {{OUT}} in an oracle → this run's output dir (the dumped-input
+    // oracles read their candidate parquet from there).
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{OUT}}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -222,8 +222,9 @@ object Similarity {
     * per table is the sign pattern of its hyperplane dots. Candidates
     * = pairs sharing a bucket in ANY table (bucket-equality join,
     * union over tables), then exact cosine top-k within the candidate
-    * set. Approximate result set ⇒ rows-only driver check for the
-    * top-k itself; [[annLshRecall]] is the oracle-gated quality row.
+    * set. Full hash oracle via [[candTopkOracle]] (DuckDB recomputes
+    * cosine + ranking over the dumped candidate pairs);
+    * [[annLshRecall]] is the oracle-gated quality row.
     */
   def annLshTopk(s: SparkSession, d: String): DataFrame =
     topkOf(lshCandidates(s, d))
@@ -311,8 +312,8 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN over the [[kmeansCentroids]] quantizer.
-    * Approximate result set ⇒ rows-only driver check; [[annIvfRecall]]
-    * is the oracle-gated quality row.
+    * Full hash oracle via [[candTopkOracle]]; [[annIvfRecall]] is the
+    * oracle-gated quality row.
     */
   def annIvfTopk(s: SparkSession, d: String): DataFrame =
     topkOf(ivfCandidates(s, d))
@@ -692,7 +693,7 @@ object Similarity {
   val PqRecallBar = 0.6 // min macro-recall@5 vs exact
   val PqPruneBar = 0.15 // max per-query candidate fraction (R/n at test SFs)
 
-  /** PQ ANN top-k (approximate result set ⇒ rows-only driver check;
+  /** PQ ANN top-k (full hash oracle via [[candTopkOracle]];
     * [[annPqRecall]] is the oracle-gated quality row).
     */
   def annPqTopk(s: SparkSession, d: String): DataFrame =
@@ -788,6 +789,32 @@ object Similarity {
        | list_transform(generate_series(1, 64), i -> $a.v[i] * $b.v[i])),
        | (acc, x) -> acc + x)""".stripMargin
 
+  /** Full hash oracle for the three approximate top-k rows: the
+    * candidate GENERATION (hyperplane hashing / quantizer probing /
+    * ADC) is not SQL-expressible, but it is deterministic and its
+    * quality is certified by the oracle-gated recall rows — so
+    * [[graft.Verify]] dumps each top-k's candidate (query, neighbor)
+    * pairs to parquet and DuckDB re-does everything downstream FOR
+    * REAL: exact cosine from the embeddings table (never trusting the
+    * dumped scores) and the rank/cut window. Any drift in the dot
+    * product, rounding, tie-break, or ranking hash-mismatches. The
+    * `{{OUT}}` placeholder is resolved by Verify to its output dir.
+    */
+  private def candTopkOracle(name: String) =
+    s"""$cosineCte,
+       |cand AS (SELECT DISTINCT query_id, neighbor_id
+       |  FROM read_parquet('{{OUT}}/${name}_pairs/*.parquet')),
+       |c AS (SELECT cand.query_id, cand.neighbor_id,
+       |  round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) AS cosine
+       | FROM cand JOIN n a ON a.vec_id = cand.query_id
+       |           JOIN n b ON b.vec_id = cand.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       | FROM c)
+       |SELECT query_id, rank, neighbor_id, cosine FROM r
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   /** The recall rows' oracle: 10 queries, both flags 1. DuckDB cannot
     * re-run the (non-SQL) LSH/quantizer, but it doesn't need to — the
     * gate is that the deterministic Spark-side measurement clears the
@@ -817,6 +844,9 @@ object Similarity {
     "ann_lsh_recall" -> recallOracle,
     "ann_ivf_recall" -> recallOracle,
     "ann_pq_recall" -> recallOracle,
+    "ann_lsh_topk" -> candTopkOracle("ann_lsh_topk"),
+    "ann_ivf_topk" -> candTopkOracle("ann_ivf_topk"),
+    "ann_pq_topk" -> candTopkOracle("ann_pq_topk"),
     // the int8 quantization is exact double arithmetic on both
     // engines: scale, the quantized-value checksums and the
     // reconstruction cosine are all recomputed for real by DuckDB.
