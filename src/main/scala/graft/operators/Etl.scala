@@ -138,7 +138,7 @@ object Etl {
     * a per-key array.
     */
   def etlQaExtract(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    firstQa(Tables.events(s, d)
       .select(col("user_id"),
         struct(
           col("event_id"),
@@ -146,7 +146,22 @@ object Etl {
             .otherwise("user").as("role"),
           concat_ws("#", col("event_type"), col("event_id")).as("content")).as("m"))
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(col("m"))).as("msgs"))
+      .agg(sort_array(collect_list(col("m"))).as("msgs")))
+      .select(col("user_id"), col("user_question"), col("assistant_response"))
+      .orderBy(col("user_id"))
+
+  /** The first-QA extraction kernel shared by [[etlQaExtract]] and
+    * [[etlPagedQa]]: expects a `msgs` column of
+    * `array<struct<…, role, content>>` in conversation order; adds
+    * `user_question` / `assistant_response` per the reference
+    * semantics (leading assistant greeting dropped, first user
+    * message is the question, the contiguous assistant run after it
+    * concatenates — take-while via `aggregate` with a (parts, stop)
+    * state struct; both empty when absent). Drops the working
+    * columns.
+    */
+  private[graft] def firstQa(df: DataFrame): DataFrame =
+    df
       .withColumn("msgs", expr(
         "CASE WHEN size(msgs) > 0 AND msgs[0].role = 'assistant' " +
           "THEN slice(msgs, 2, size(msgs)) ELSE msgs END"))
@@ -162,8 +177,45 @@ object Etl {
           |    THEN named_struct('parts', acc.parts, 'stop', true)
           |    ELSE named_struct('parts', concat(acc.parts, array(m.content)), 'stop', false) END,
           |  acc -> array_join(acc.parts, ' '))""".stripMargin))
-      .select(col("user_id"), col("user_question"), col("assistant_response"))
-      .orderBy(col("user_id"))
+      .drop("msgs", "fu")
+
+  /** Chats served by [[etlPagedQa]]'s stub API. */
+  val PagedNumChats = 9
+
+  /** QA extraction fed through the PAGINATED SOURCE — the reference
+    * pipeline end-to-end (extract_chat_qa_tsv.py: page through the
+    * chat directory, page through each chat's sessions, extract the
+    * first QA pair per session): the bounded chat directory pages on
+    * the driver, each chat's session stream pages inside the
+    * distributed [[graft.sources.PagedSource.readPaged]] kernel
+    * (small page sizes so BOTH loops genuinely take multiple pages),
+    * records parse schema-on-read, and the [[firstQa]] kernel — the
+    * same one [[etlQaExtract]] runs on the events table — produces
+    * the QA columns. The stub's records are a pure function of
+    * (chat, session), so the DuckDB oracle regenerates the expected
+    * output in closed form — the full ingest→parse→extract path is
+    * hash-gated.
+    */
+  def etlPagedQa(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val client = new graft.sources.PagedSource.StubPageClient(PagedNumChats)
+    val chatIdRe = """"chat_id":"([^"]+)"""".r
+    val chatIds = graft.sources.PagedSource
+      .fetchAllPages(client, "chats", pageSize = 4)
+      .flatMap(r => chatIdRe.findFirstMatchIn(r).map(_.group(1)))
+    val schema = StructType(Seq(
+      StructField("chat_id", StringType),
+      StructField("session_id", StringType),
+      StructField("messages", ArrayType(StructType(Seq(
+        StructField("role", StringType),
+        StructField("content", StringType)))))))
+    val sessions = graft.sources.PagedSource.readPaged(
+      s, chatIds.map(id => s"chats/$id/sessions"), client, schema, pageSize = 2)
+    firstQa(sessions.withColumnRenamed("messages", "msgs"))
+      .select(col("chat_id"), col("session_id"),
+        col("user_question"), col("assistant_response"))
+      .orderBy(col("chat_id"), col("session_id"))
+  }
 
   /** safe_text (extract_chat_qa_tsv.py:34-40): tab/CR/LF → single
     * space, then trim. The query injects whitespace first so the
@@ -451,6 +503,7 @@ object Etl {
     "etl_active_features" -> etlActiveFeatures _,
     "etl_flag_summary" -> etlFlagSummary _,
     "etl_qa_extract" -> etlQaExtract _,
+    "etl_paged_qa" -> etlPagedQa _,
     "etl_sanitize_text" -> etlSanitizeText _,
     "etl_ref_chunks" -> etlRefChunks _,
     "etl_judge_json_parse" -> etlJudgeJsonParse _,
@@ -595,6 +648,23 @@ object Etl {
         |FROM (SELECT DISTINCT user_id FROM events) u
         |LEFT JOIN q USING (user_id) LEFT JOIN resp USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // closed-form replay of the stub API: chat i has (i % 5) + 1
+    // sessions, session j's message shape is case (i + j) % 4 — the
+    // oracle derives the expected QA output per case, independently of
+    // the engine's page loop / JSON parse / array extraction.
+    "etl_paged_qa" ->
+      s"""WITH chats AS (SELECT CAST(i AS INT) AS i
+         |  FROM generate_series(0, ${PagedNumChats - 1}) t(i)),
+         |s AS (SELECT i, CAST(unnest(generate_series(1, (i % 5) + 1)) AS INT) AS j
+         |  FROM chats),
+         |c AS (SELECT i, j, (i + j) % 4 AS cse FROM s)
+         |SELECT 'chat_' || i AS chat_id,
+         | 's-' || i || '-' || j AS session_id,
+         | CASE WHEN cse = 2 THEN '' ELSE 'q-' || i || '-' || j END AS user_question,
+         | CASE WHEN cse = 0 THEN 'a-' || i || '-' || j || '-1 a-' || i || '-' || j || '-2'
+         |      WHEN cse = 1 THEN 'a-' || i || '-' || j || '-1'
+         |      ELSE '' END AS assistant_response
+         |FROM c ORDER BY chat_id, session_id""".stripMargin,
     "etl_sanitize_text" ->
       """SELECT doc_id,
         | trim(replace(replace(replace(
