@@ -515,14 +515,21 @@ object Relational {
       .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"),
+      .agg(
+        // grouping() — not coalesce — marks the subtotal rows: a
+        // genuine NULL (or a literal 'ALL' value) in the data can
+        // never collide with a subtotal/grand-total row.
+        grouping(col("l_returnflag")).cast("long").as("g_rflag"),
+        grouping(col("l_linestatus")).cast("long").as("g_lstatus"),
+        count(lit(1)).as("n"),
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(avg(col("l_extendedprice")), 2).as("avg_price"))
       .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("g_rflag"), col("g_lstatus"),
+        when(col("g_rflag") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rflag"),
+        when(col("g_lstatus") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("lstatus"),
         col("n"), col("sum_qty"), col("avg_price"))
-      .orderBy(col("rflag"), col("lstatus"))
+      .orderBy(col("g_rflag"), col("g_lstatus"), col("rflag"), col("lstatus"))
 
   /** Ordered-funnel staging — for each user, how far through the
     * view → click → purchase funnel they progressed with the steps in
@@ -616,14 +623,16 @@ object Relational {
         |LEFT JOIN t3 ON u.user_id = t3.user_id
         |ORDER BY u.user_id""".stripMargin,
     "q30_grouping_sets" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
-        | coalesce(l_linestatus, 'ALL') AS lstatus,
+      """SELECT CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rflag,
+        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_lstatus,
+        | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
         | CAST(count(*) AS BIGINT) AS n,
         | round(sum(l_quantity), 2) AS sum_qty,
         | round(avg(l_extendedprice), 2) AS avg_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY rflag, lstatus""".stripMargin,
+        |ORDER BY g_rflag, g_lstatus, rflag, lstatus""".stripMargin,
     "q29_correlated" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)

@@ -232,9 +232,14 @@ class TextCurationSpec extends AnyFunSuite {
   test("source cap: per-source kept = min(cap, size), ranks contiguous, priority respected") {
     val rows = Curation.curSourceCap(spark, sf).collect()
     rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
-      val ranks = rs.map(_.getAs[Long]("priority_rank")).sorted
-      assert(ranks.toSeq == (1L to rs.length).toSeq)
       val kept = rs.filter(_.getAs[Long]("kept") == 1L)
+      // kept rows carry contiguous ranks 1..min(cap, n); non-kept rows
+      // carry NULL — the bounded heap discards ordering beyond the cap
+      val ranks = kept.map(_.getAs[Long]("priority_rank")).sorted
+      assert(ranks.toSeq == (1L to kept.length).toSeq)
+      rs.filter(_.getAs[Long]("kept") == 0L).foreach { r =>
+        assert(r.isNullAt(r.fieldIndex("priority_rank")))
+      }
       assert(kept.length == math.min(Curation.SourceCap, rs.length))
       // every kept doc outranks (longer-or-equal n_chars) every dropped doc
       val dropped = rs.filter(_.getAs[Long]("kept") == 0L)

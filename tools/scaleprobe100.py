@@ -104,6 +104,19 @@ queries), emb_quantize_int8 1.5s, mm 0.3-0.6s, stream family
 honest model of a longer crawl), stream_interval_join is 1.1s and
 q21 2.9s at 100x — confirming the superlinear 10x-probe entries for
 those two were replica-stacking geometry, not plan defects.
+
+ROUND-7 additions (warm 2nd run at 100x vs sf0.1 warm, 48g heap):
+
+- q29_correlated     0.46s ->  3.5s  (~7.6x)  # decorrelated agg+join
+- q30_grouping_sets  0.40s -> 12.9s  (~32x)   # Expand x3 over 100x fact
+- q31_funnel         0.74s ->  2.8s  (~3.7x)  # user-keyed first-touch aggs
+- cur_source_cap     0.30s ->  0.7s  (~2.3x)  # bounded-heap TopKIds path
+                                              # (replaced the per-source
+                                              # window rank this round)
+
+All sublinear at 100x data, no spills, no stragglers — cur_source_cap
+in particular confirms the TopKIds re-plan: per-source state is O(cap)
+per task regardless of domain skew.
 """
 import os
 
