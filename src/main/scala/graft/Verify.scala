@@ -43,6 +43,7 @@ object Verify {
       ("ann_lsh_topk", () => graft.operators.Similarity.lshCandidates(spark, sfDir)),
       ("ann_ivf_topk", () => graft.operators.Similarity.ivfCandidates(spark, sfDir)),
       ("ann_pq_topk", () => graft.operators.Similarity.pqCandidates(spark, sfDir)),
+      ("ann_incremental_topk", () => graft.operators.Similarity.incrementalCandidates(spark, sfDir)),
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, gen) =>
         try gen().select("query_id", "neighbor_id").coalesce(1)

@@ -265,12 +265,12 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(String, String), Seq[Seq[Double]]]
 
   private[graft] def kmeansCentroids(s: SparkSession, d: String): Seq[Seq[Double]] =
-    centroidCache.getOrElseUpdate((s.sparkContext.applicationId, d), fitCentroids(s, d))
+    centroidCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      fitCentroidsOn(withNorm(s, d)))
 
-  private def fitCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
-    val e = withNorm(s, d)
-    var cents: Seq[Seq[Double]] = e.filter(col("vec_id") < NumCells)
-      .orderBy(col("vec_id")).select(col("v")).collect()
+  private def fitCentroidsOn(e: DataFrame): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = e
+      .orderBy(col("vec_id")).select(col("v")).limit(NumCells).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 1 to KmeansIters) {
       val means = e
@@ -317,6 +317,59 @@ object Similarity {
     */
   def annIvfTopk(s: SparkSession, d: String): DataFrame =
     topkOf(ivfCandidates(s, d))
+
+  /** Quantizer fitted on the BASE corpus only (vec_id % 20 ≠ 0) —
+    * the index that existed before the incremental shard arrived.
+    * Cached like [[kmeansCentroids]]: one fit per dataset.
+    */
+  private[graft] def baseCentroids(s: SparkSession, d: String): Seq[Seq[Double]] =
+    centroidCache.getOrElseUpdate((s.sparkContext.applicationId, d + "#base"),
+      fitCentroidsOn(withNorm(s, d).filter(pmod(col("vec_id"), lit(20)) =!= 0)))
+
+  /** Candidates for [[annIvfIncrementalTopk]]: every NEW-shard vector
+    * (vec_id % 20 = 0, the same holdout convention as the dedup
+    * family's incremental shard) probes its [[NumProbe]] nearest
+    * cells OF THE FITTED BASE INDEX and meets only the base-corpus
+    * vectors in those cells.
+    */
+  private[graft] def incrementalCandidates(s: SparkSession, d: String): DataFrame = {
+    val cents = baseCentroids(s, d)
+    val e = withNorm(s, d).withColumn("sims", centroidSims(cents))
+    val cells = e.filter(pmod(col("vec_id"), lit(20)) =!= 0)
+      .withColumn("cell", (-array_max(col("sims")).getField("negcell")).cast("int"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("v").as("vb"), col("nrm").as("nrmb"))
+    val probes = e.filter(pmod(col("vec_id"), lit(20)) === 0)
+      .withColumn("cell", explode(expr(
+        s"transform(slice(reverse(array_sort(sims)), 1, $NumProbe), e -> cast(-e.negcell AS int))")))
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("v").as("va"), col("nrm").as("nrma"))
+    probes.join(cells, Seq("cell"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Incremental ANN ingestion — the search-on-ingest shape of a
+    * production vector index (the ANN mirror of dedup_incremental /
+    * dedup_incremental_minhash): a NEW shard of vectors arrives, the
+    * quantizer fitted on the EXISTING corpus is NOT refit (re-running
+    * Lloyd's per shard would re-shuffle the whole index; production
+    * IVF indexes refresh their coarse quantizer rarely and offline),
+    * each new vector is assigned to its nearest fitted cells and
+    * searched against only the base vectors in those cells — top-k
+    * per new vector. At 100 TB the arriving shard is the only data
+    * that moves: cell assignment is a map-side argmax against the
+    * broadcast centroid matrix, and the cell-equality join touches
+    * the base corpus's matching cells only (cell-partitioned layout ⇒
+    * partition pruning). Full hash oracle via [[candTopkOracle]] —
+    * DuckDB recomputes cosine + ranking over the dumped candidate
+    * pairs; the shard convention (vec_id % 20) is the dedup family's
+    * holdout split, so queries and corpus are disjoint by
+    * construction.
+    */
+  def annIvfIncrementalTopk(s: SparkSession, d: String): DataFrame =
+    topkOf(incrementalCandidates(s, d))
 
   /** Every vector with its nearest-centroid cell (map-side argmax over
     * the [[kmeansCentroids]] quantizer — no join, no shuffle).
@@ -772,6 +825,7 @@ object Similarity {
     "ann_lsh_recall" -> annLshRecall _,
     "ann_ivf_topk" -> annIvfTopk _,
     "ann_ivf_recall" -> annIvfRecall _,
+    "ann_incremental_topk" -> annIvfIncrementalTopk _,
     "ann_pq_topk" -> annPqTopk _,
     "ann_pq_recall" -> annPqRecall _,
     "emb_quantize_int8" -> embQuantizeInt8 _)
@@ -847,6 +901,7 @@ object Similarity {
     "ann_lsh_topk" -> candTopkOracle("ann_lsh_topk"),
     "ann_ivf_topk" -> candTopkOracle("ann_ivf_topk"),
     "ann_pq_topk" -> candTopkOracle("ann_pq_topk"),
+    "ann_incremental_topk" -> candTopkOracle("ann_incremental_topk"),
     // the int8 quantization is exact double arithmetic on both
     // engines: scale, the quantized-value checksums and the
     // reconstruction cosine are all recomputed for real by DuckDB.

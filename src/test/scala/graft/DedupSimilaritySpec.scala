@@ -289,4 +289,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("recall_ok") == 1L, "within-cell recall under bar")
     assert(r(0).getAs[Long]("work_ok") == 1L, "cell scan cost over bar")
   }
+
+  test("incremental ANN: shard searches base only, no refit, cells genuinely prune") {
+    val rows = Similarity.annIvfIncrementalTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // queries come from the arriving shard, neighbors from the base corpus
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") % 20 == 0, "query outside the shard split")
+      assert(r.getAs[Long]("neighbor_id") % 20 != 0, "neighbor from the unindexed shard")
+    }
+    // per-query ranks contiguous from 1
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rs.length))
+    }
+    // the probed-cell join must prune: candidates well under shard x base
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val nShard = e.filter(col("vec_id") % 20 === 0).count()
+    val nBase = e.count() - nShard
+    val nCand = Similarity.incrementalCandidates(spark, sf).count()
+    assert(nCand < nShard * nBase * 0.7,
+      s"no pruning: $nCand candidates for $nShard x $nBase")
+    // search used the base-fitted quantizer, not a full-corpus refit
+    assert(Similarity.baseCentroids(spark, sf) != Similarity.kmeansCentroids(spark, sf))
+  }
 }
