@@ -318,30 +318,143 @@ object Similarity {
   def annIvfTopk(s: SparkSession, d: String): DataFrame =
     topkOf(ivfCandidates(s, d))
 
-  /** Quantizer fitted on the BASE corpus only (vec_id % 20 ≠ 0) —
-    * the index that existed before the incremental shard arrived.
-    * Cached like [[kmeansCentroids]]: one fit per dataset.
+  /** Cell count for a corpus of `n` vectors on the SCALED-k path:
+    * k ≈ √n keeps the expected cell size at √n, so a probe touches
+    * `nprobe·√n` vectors instead of `nprobe·n/k_fixed` — the
+    * difference between O(q·√n) and O(q·n) total search work. The
+    * fixed [[NumCells]] geometry of [[annIvfTopk]] is kept there for
+    * its 10-query benchmark shape; the incremental path's queries
+    * scale WITH the corpus (a shard is a fraction of it), so fixed k
+    * would be quadratic — measured: the 100× probe with k = 8 ran
+    * minutes-long on ~700M candidate pairs before this re-plan.
     */
-  private[graft] def baseCentroids(s: SparkSession, d: String): Seq[Seq[Double]] =
+  private def scaledCells(n: Long): Int =
+    math.max(NumCells, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Per-vector nearest-cell assignment against a broadcast centroid
+    * matrix as a typed `mapPartitions` KERNEL — at k ≈ √n centroids a
+    * literal-expression argmax ([[centroidSims]]) would blow past the
+    * janino/JIT method limits exactly as [[pqAssign]] documents, so
+    * assignment is plain JIT'd JVM code: same sequential double
+    * arithmetic, ties toward the smaller cell, bit-identical to the
+    * expression form. Emits (vec_id, cell, v, nrm).
+    */
+  private def assignCellsKernel(s: SparkSession, e: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val cn = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    e.select(col("vec_id"), col("v"), col("nrm")).as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        it.map { case (id, vSeq, nrm) =>
+          val v = vSeq.toArray
+          var bestK = 0
+          var best = Double.NegativeInfinity
+          var k = 0
+          while (k < cents.length) {
+            var dp = 0.0
+            var i = 0
+            while (i < 64) { dp += v(i) * cents(k)(i); i += 1 }
+            val sim = dp / nrm / cn(k)
+            if (sim > best) { best = sim; bestK = k }
+            k += 1
+          }
+          (id, bestK, vSeq, nrm)
+        }
+      }.toDF("vec_id", "cell", "v", "nrm")
+  }
+
+  /** Top-`nprobe` cells per query vector (desc sim, ties toward the
+    * smaller cell) — same kernel discipline as [[assignCellsKernel]];
+    * one output row per (vector, probed cell).
+    */
+  private def probeCellsKernel(s: SparkSession, e: DataFrame,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    import s.implicits._
+    val cn = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    e.select(col("vec_id"), col("v"), col("nrm")).as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, vSeq, nrm) =>
+          val v = vSeq.toArray
+          val sims = new Array[Double](cents.length)
+          var k = 0
+          while (k < cents.length) {
+            var dp = 0.0
+            var i = 0
+            while (i < 64) { dp += v(i) * cents(k)(i); i += 1 }
+            sims(k) = dp / nrm / cn(k)
+            k += 1
+          }
+          val chosen = new Array[Int](math.min(nprobe, cents.length))
+          var p = 0
+          while (p < chosen.length) {
+            var bestK = -1
+            var best = Double.NegativeInfinity
+            var c = 0
+            while (c < sims.length) {
+              var taken = false
+              var q = 0
+              while (q < p) { if (chosen(q) == c) taken = true; q += 1 }
+              if (!taken && sims(c) > best) { best = sims(c); bestK = c }
+              c += 1
+            }
+            chosen(p) = bestK
+            p += 1
+          }
+          chosen.iterator.map(c => (id, c, vSeq, nrm))
+        }
+      }.toDF("vec_id", "cell", "v", "nrm")
+  }
+
+  /** Spherical k-means fit at an arbitrary k via the kernel
+    * assignment — [[fitCentroidsOn]]'s exact recipe (seed = first k
+    * vectors, [[KmeansIters]] Lloyd's rounds, empty cells keep their
+    * centroid) with the assignment step swapped for
+    * [[assignCellsKernel]] so k ≈ √n fits don't hit expression-size
+    * limits. Collected state is the k × 64 centroid matrix only.
+    */
+  private def fitCentroidsKernelOn(s: SparkSession, e: DataFrame, k: Int): Seq[Seq[Double]] = {
+    var cents: Array[Array[Double]] = e
+      .orderBy(col("vec_id")).select(col("v")).limit(k).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to KmeansIters) {
+      val means = assignCellsKernel(s, e, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      cents = Array.tabulate(cents.length) { c =>
+        if (means.contains((c, 0))) Array.tabulate(64)(p => means((c, p)))
+        else cents(c)
+      }
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** Scaled-k quantizer fitted on the BASE corpus only (vec_id % 20
+    * ≠ 0) — the index that existed before the incremental shard
+    * arrived. Cached like [[kmeansCentroids]]: one fit per dataset.
+    */
+  private[graft] def baseCentroids(s: SparkSession, d: String): Seq[Seq[Double]] = {
+    val base = withNorm(s, d).filter(pmod(col("vec_id"), lit(20)) =!= 0)
     centroidCache.getOrElseUpdate((s.sparkContext.applicationId, d + "#base"),
-      fitCentroidsOn(withNorm(s, d).filter(pmod(col("vec_id"), lit(20)) =!= 0)))
+      fitCentroidsKernelOn(s, base, scaledCells(base.count())))
+  }
 
   /** Candidates for [[annIvfIncrementalTopk]]: every NEW-shard vector
     * (vec_id % 20 = 0, the same holdout convention as the dedup
     * family's incremental shard) probes its [[NumProbe]] nearest
     * cells OF THE FITTED BASE INDEX and meets only the base-corpus
-    * vectors in those cells.
+    * vectors in those cells. With k ≈ √n cells the candidate volume
+    * is O(shard · nprobe · √n) — linear-ish in corpus growth, not
+    * the quadratic fixed-k shape.
     */
   private[graft] def incrementalCandidates(s: SparkSession, d: String): DataFrame = {
-    val cents = baseCentroids(s, d)
-    val e = withNorm(s, d).withColumn("sims", centroidSims(cents))
-    val cells = e.filter(pmod(col("vec_id"), lit(20)) =!= 0)
-      .withColumn("cell", (-array_max(col("sims")).getField("negcell")).cast("int"))
+    val cents = baseCentroids(s, d).map(_.toArray).toArray
+    val e = withNorm(s, d)
+    val cells = assignCellsKernel(s, e.filter(pmod(col("vec_id"), lit(20)) =!= 0), cents)
       .select(col("vec_id").as("neighbor_id"), col("cell"),
         col("v").as("vb"), col("nrm").as("nrmb"))
-    val probes = e.filter(pmod(col("vec_id"), lit(20)) === 0)
-      .withColumn("cell", explode(expr(
-        s"transform(slice(reverse(array_sort(sims)), 1, $NumProbe), e -> cast(-e.negcell AS int))")))
+    val probes = probeCellsKernel(s, e.filter(pmod(col("vec_id"), lit(20)) === 0),
+        cents, NumProbe)
       .select(col("vec_id").as("query_id"), col("cell"),
         col("v").as("va"), col("nrm").as("nrma"))
     probes.join(cells, Seq("cell"))
@@ -358,10 +471,16 @@ object Similarity {
     * IVF indexes refresh their coarse quantizer rarely and offline),
     * each new vector is assigned to its nearest fitted cells and
     * searched against only the base vectors in those cells — top-k
-    * per new vector. At 100 TB the arriving shard is the only data
-    * that moves: cell assignment is a map-side argmax against the
-    * broadcast centroid matrix, and the cell-equality join touches
-    * the base corpus's matching cells only (cell-partitioned layout ⇒
+    * per new vector. Unlike the 10-query [[annIvfTopk]] benchmark,
+    * the shard's query count scales WITH the corpus, so this path
+    * uses the scaled-k quantizer (k ≈ √n, [[scaledCells]]) and the
+    * janino-safe kernel assignment. At 100 TB the arriving shard is
+    * the only data that moves: cell assignment is a map-side kernel
+    * against the broadcast centroid matrix (O(n·k·d) flops — at
+    * billion-vector scale production indexes accelerate THIS step
+    * with an ANN over the centroids themselves; the data movement
+    * shape is unchanged), and the cell-equality join touches the
+    * base corpus's matching cells only (cell-partitioned layout ⇒
     * partition pruning). Full hash oracle via [[candTopkOracle]] —
     * DuckDB recomputes cosine + ranking over the dumped candidate
     * pairs; the shard convention (vec_id % 20) is the dedup family's

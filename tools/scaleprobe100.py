@@ -117,6 +117,21 @@ ROUND-7 additions (warm 2nd run at 100x vs sf0.1 warm, 48g heap):
 All sublinear at 100x data, no spills, no stragglers — cur_source_cap
 in particular confirms the TopKIds re-plan: per-source state is O(cap)
 per task regardless of domain skew.
+
+- etl_paged_qa         0.28s ->  0.2s  (constant: stub API size is
+                                        fixed; the page-loop plumbing
+                                        itself is corpus-independent)
+- ann_incremental_topk 1.47s -> 23.2s  (~16x warm; first run 381s is
+                                        the ONE-TIME scaled-k index
+                                        fit, k=437 over 190k base
+                                        vectors — amortized like
+                                        ann_pq's codebook fit)
+
+ann_incremental_topk is the round-7 re-plan datapoint: with the fixed
+k=8 geometry the same probe ran >10 minutes on ~700M candidate pairs
+(shard x 3/8 of base = quadratic); with k = sqrt(n) cells and the
+janino-safe kernel assignment, candidates are O(shard * nprobe *
+sqrt(n)) and the 100x run completes in 23s warm.
 """
 import os
 
