@@ -98,6 +98,31 @@ object PagedSource {
       .select(col("endpoint") +: schema.fieldNames.map(f => col(s"rec.$f").as(f)): _*)
   }
 
+  /** Client decorator enforcing a minimum gap between successive page
+    * fetches FROM ONE TASK — the aggregate-rate knob for a fleet:
+    * `executors × slots × (1000/minGapMs)` requests/sec against the
+    * API, tuned the same way [[graft.functions.ModelHook.ThrottledClient]]
+    * throttles model calls (the reference sleeps between successive
+    * HTTP calls, extract_chat_qa_tsv.py:66). State is per deserialized
+    * copy, i.e. per task — exactly the per-slot semantics the
+    * aggregate formula needs. `clock`/`sleep` injectable for
+    * deterministic tests.
+    */
+  final class ThrottledPageClient(
+      inner: PageClient,
+      minGapMs: Long,
+      clock: () => Long = () => System.currentTimeMillis(),
+      sleep: Long => Unit = Thread.sleep) extends PageClient {
+    require(minGapMs >= 0, s"minGapMs must be non-negative, got $minGapMs")
+    private var nextAllowed = Long.MinValue
+    override def fetchPage(endpoint: String, page: Int, pageSize: Int): Seq[String] = {
+      val now = clock()
+      if (now < nextAllowed) sleep(nextAllowed - now)
+      nextAllowed = clock() + minGapMs
+      inner.fetchPage(endpoint, page, pageSize)
+    }
+  }
+
   /** Deterministic stand-in for the paginated chat API. Serves the
     * reference's two endpoint shapes:
     *

@@ -67,6 +67,21 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("MaxPages") || e.getMessage.contains("pages"))
   }
 
+  test("throttled client: pages from one task respect the minimum gap") {
+    var now = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val inner = new PagedSource.StubPageClient(9)
+    val throttled = new PagedSource.ThrottledPageClient(inner, minGapMs = 100,
+      clock = () => now, sleep = ms => { sleeps += ms; now += ms })
+    val recs = PagedSource.fetchAllPages(throttled, "chats", pageSize = 4)
+    assert(recs.length == 9)
+    // 4 fetches (3 pages + the empty terminator); the first is free,
+    // each later one waits out the remaining gap
+    assert(sleeps.length == 3 && sleeps.forall(_ == 100))
+    // results pass through unchanged
+    assert(recs == PagedSource.fetchAllPages(inner, "chats", pageSize = 4))
+  }
+
   test("stub API rejects unknown endpoints") {
     val client = new PagedSource.StubPageClient(3)
     intercept[IllegalArgumentException] {

@@ -55,6 +55,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"keep-list join-back must broadcast\n$p")
   }
 
+  test("ann_incremental: kernel assignment in plan, no cartesian, no corpus broadcast") {
+    val p = planOf("ann_incremental_topk")
+    assert(p.contains("MapPartitions"), s"expected the kernel cell assignment\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup jaccard: no cartesian product anywhere") {
     val p = planOf("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
