@@ -849,7 +849,91 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Hash-feature buckets for [[curDsir]] (production DSIR uses ~10k;
+    * 256 keeps the weight table readable while exercising identical
+    * plumbing — the bucket table stays broadcast-sized either way).
+    */
+  val DsirBuckets = 256
+  /** Additive smoothing for the bucket probabilities. */
+  val DsirAlpha = 0.5
+  /** Documents selected (top importance weights). */
+  val DsirKeep = 100
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): score every raw document by how much more likely
+    * its hashed-n-gram features are under a TARGET distribution (a
+    * small high-quality exemplar set — here the doc_id % 10 == 0
+    * subset, standing in for "looks like Wikipedia") than under the
+    * RAW-corpus distribution, then keep the top-weighted documents.
+    * Features are word bigrams hashed into [[DsirBuckets]] buckets
+    * (md5-derived so both engines compute the identical bucket);
+    * log-weight = Σ_grams (ln p_target[bucket] − ln p_source[bucket])
+    * with [[DsirAlpha]] additive smoothing. The paper resamples with
+    * Gumbel noise; the deterministic engine form is top-[[DsirKeep]]
+    * by (weight, doc_id) — swapping in noisy scores changes a column,
+    * not the plan.
+    *
+    * Scale shape: feature hashing is pure map-side projection; the
+    * only corpus-sized exchange is the (doc_id, bucket) count
+    * aggregation (map-side partials, high-cardinality key). Both
+    * distribution estimates collapse to [[DsirBuckets]]-row
+    * aggregates that BROADCAST back as the weight table — exactly how
+    * a trained importance model's parameters ship to executors — and
+    * the final selection is the bounded-heap [[graft.functions.TopKIds]]
+    * global top-k (O(k) state per partition, no global sort; same
+    * kernel as [[curSourceCap]]).
+    */
+  def curDsir(s: SparkSession, d: String): DataFrame = {
+    val b = DsirBuckets
+    val alpha = DsirAlpha
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val grams = docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN cast(array() AS array<string>)
+          |ELSE transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          |END""".stripMargin)).as("g"))
+      .withColumn("m", md5(col("g")))
+      .withColumn("bucket", expr(
+        """(locate(substr(m, 1, 1), '0123456789abcdef') - 1) * 16
+          | + (locate(substr(m, 2, 1), '0123456789abcdef') - 1)""".stripMargin))
+      .select(col("doc_id"), col("bucket"))
+    val cnts = grams.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val src = grams.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("double").as("sc"))
+    val tgt = grams.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .groupBy(col("bucket")).agg(count(lit(1)).cast("double").as("tc"))
+    val totals = grams.agg(
+      count(lit(1)).cast("double").as("stot"),
+      sum(when(pmod(col("doc_id"), lit(10)) === 0, 1L).otherwise(0L))
+        .cast("double").as("ttot"))
+    val weights = src.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("tc"), lit(0.0)) + alpha) / (col("ttot") + alpha * b))
+          - log((col("sc") + alpha) / (col("stot") + alpha * b))).as("lw"))
+    val docw = cnts.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_grams"),
+        round(sum(col("c") * col("lw")), 6).as("logw"))
+    val scored = docs.select(col("doc_id")).join(docw, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("logw"), lit(0.0)).as("logw"))
+    val keep = scored.agg(graft.functions.TopKIds.topKIds(
+      col("logw"), col("doc_id"), DsirKeep).as("keep_ids"))
+    scored.crossJoin(broadcast(keep))
+      .withColumn("pos", array_position(col("keep_ids"), col("doc_id")))
+      .select(col("doc_id"), col("n_grams"), col("logw"),
+        when(col("pos") > 0, col("pos")).cast("long").as("sel_rank"),
+        (col("pos") > 0).cast("long").as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_dsir" -> curDsir _,
     "cur_source_cap" -> curSourceCap _,
     "cur_decontaminate_fuzzy" -> curDecontaminateFuzzy _,
     "cur_quality_weights" -> curQualityWeights _,
@@ -882,6 +966,34 @@ object Curation {
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cur_dsir" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+         |   ELSE list_transform(generate_series(1, len(toks) - 1),
+         |     i -> toks[i] || ' ' || toks[i + 1]) END) AS g FROM t),
+         |b AS (SELECT doc_id,
+         |   (strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+         |   + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) AS bucket FROM g),
+         |cnts AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY 1, 2),
+         |src AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS sc FROM b GROUP BY 1),
+         |tgt AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS tc FROM b
+         |   WHERE doc_id % 10 = 0 GROUP BY 1),
+         |tot AS (SELECT CAST((SELECT count(*) FROM b) AS DOUBLE) AS stot,
+         |   CAST((SELECT count(*) FROM b WHERE doc_id % 10 = 0) AS DOUBLE) AS ttot),
+         |w AS (SELECT bucket,
+         |   ln((coalesce(tc, 0) + $DsirAlpha) / (ttot + $DsirAlpha * $DsirBuckets))
+         |   - ln((sc + $DsirAlpha) / (stot + $DsirAlpha * $DsirBuckets)) AS lw
+         |  FROM src LEFT JOIN tgt USING (bucket), tot),
+         |docw AS (SELECT cnts.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |   round(sum(c * lw), 6) AS logw FROM cnts JOIN w USING (bucket) GROUP BY 1),
+         |scored AS (SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+         |   coalesce(logw, 0.0) AS logw FROM documents d LEFT JOIN docw USING (doc_id)),
+         |r AS (SELECT doc_id, n_grams, logw,
+         |   row_number() OVER (ORDER BY logw DESC, doc_id) AS rn FROM scored)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, logw,
+         | CAST(CASE WHEN rn <= $DsirKeep THEN rn END AS BIGINT) AS sel_rank,
+         | CAST(CASE WHEN rn <= $DsirKeep THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM r ORDER BY doc_id""".stripMargin,
     "cur_source_cap" ->
       s"""SELECT doc_id, source, n_chars,
          | CAST(CASE WHEN rn <= $SourceCap THEN rn END AS BIGINT) AS priority_rank,

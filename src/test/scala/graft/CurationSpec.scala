@@ -217,4 +217,32 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dsir: selects exactly the top-K by (logw, doc_id); no window in plan") {
+    val df = Curation.curDsir(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val k = math.min(Curation.DsirKeep, rows.length)
+    val sel = rows.filter(_.getAs[Long]("selected") == 1L)
+    assert(sel.length == k)
+    // sel_rank is a permutation of 1..k matching the (logw desc, id asc) order
+    assert(sel.map(_.getAs[Long]("sel_rank")).sorted.toSeq == (1L to k).toSeq)
+    val byRank = sel.sortBy(_.getAs[Long]("sel_rank"))
+      .map(r => (r.getAs[Double]("logw"), r.getAs[Long]("doc_id")))
+    assert(byRank.sameElements(byRank.sortBy { case (w, id) => (-w, id) }))
+    // nothing unselected outranks the selection boundary
+    val cut = byRank.last
+    rows.filter(_.getAs[Long]("selected") == 0L).foreach { r =>
+      val key = (-r.getAs[Double]("logw"), r.getAs[Long]("doc_id"))
+      assert(key._1 > -cut._1 || (key._1 == -cut._1 && key._2 > cut._2))
+    }
+    // exemplar docs resemble the target distribution more than the rest
+    val (t, o) = rows.partition(_.getAs[Long]("doc_id") % 10 == 0)
+    def mean(a: Array[org.apache.spark.sql.Row]) =
+      a.map(_.getAs[Double]("logw")).sum / a.length
+    assert(mean(t) > mean(o), "target subset should carry higher importance weight")
+    // bounded-heap selection, not a global window sort
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "dsir selection must use the bounded-heap top-k, not a window rank")
+  }
 }
