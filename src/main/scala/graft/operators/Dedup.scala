@@ -622,15 +622,24 @@ object Dedup {
     * join fan-out, so skew cost is linear in the block's count, and
     * AQE skew-split handles the residue (PlanSpec).
     */
-  def dedupParagraph(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, block_idx, block): each consecutive [[ParaBlockTokens]]-token
+    * block of every document — the shared "paragraph" extraction for
+    * [[dedupParagraph]] and [[TextAnalysis.textBoilerplate]]. Pure
+    * map-side posexplode.
+    */
+  private[graft] def paraBlocks(s: SparkSession, d: String): DataFrame = {
     val b = ParaBlockTokens
-    val blocks = Tables.documents(s, d)
+    Tables.documents(s, d)
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(1, cast(ceil(size(toks) / ${b}.0) as int)), i -> concat_ws(' ', slice(toks, (i - 1) * $b + 1, $b)))"))
           .as(Seq("idx0", "block")))
       .select(col("doc_id"), (col("idx0") + 1).as("block_idx"), col("block"))
+  }
+
+  def dedupParagraph(s: SparkSession, d: String): DataFrame = {
+    val blocks = paraBlocks(s, d)
     val ranked = blocks.withColumn("rn",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("block")).orderBy(col("doc_id"), col("block_idx"))))

@@ -402,7 +402,56 @@ object TextAnalysis {
           - lit(FleschSyll) * (col("n_syll").cast("double") / col("n_words")), 4)
           .as("flesch"))
 
+  /** A block is boilerplate once it appears in this many DISTINCT
+    * documents (trafilatura/RefinedWeb-style pipelines use 2–10 over
+    * much larger windows; the semantics don't change with the bar).
+    */
+  val BoilerMinDf = 3
+
+  /** Cross-document boilerplate removal — the RefinedWeb/trafilatura
+    * "drop lines repeated across many pages" pass (nav bars, cookie
+    * banners, footers). Distinct from [[Dedup.dedupParagraph]]'s
+    * keep-FIRST semantics: here a block whose document frequency
+    * reaches [[BoilerMinDf]] is dropped from EVERY document including
+    * the first — boilerplate has no canonical owner. Blocks are the
+    * shared [[Dedup.paraBlocks]] fixed-token stand-in (real data:
+    * newline-split lines; only the splitter changes). Per doc we emit
+    * block counts, the boilerplate fraction, and an md5 over the
+    * kept-blocks-in-order concatenation so the oracle certifies the
+    * cleaned reconstruction, not just counts.
+    *
+    * Scale shape: block extraction is map-side; the df estimate is
+    * one hash aggregation keyed by xxhash64(block) — 8-byte shuffle
+    * keys, the same posting-list discipline the dedup family uses —
+    * with a partial-aggregating distinct-doc count. The flagged set
+    * (df ≥ bar) is then LEFT-joined back on the hash key; boilerplate
+    * dictionaries are tiny in practice but the join is a key-equality
+    * shuffle join either way — never a broadcast assumption on an
+    * unbounded side. One more doc_id aggregation reassembles the
+    * documents.
+    */
+  def textBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val withBh = Dedup.paraBlocks(s, d).withColumn("bh", xxhash64(col("block")))
+    val flagged = withBh.groupBy(col("bh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerMinDf)
+    withBh.join(flagged, Seq("bh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("n_boiler_blocks"),
+        array_sort(collect_list(when(col("df").isNull,
+          struct(col("block_idx"), col("block"))))).as("kept"))
+      .select(col("doc_id"), col("n_blocks"), col("n_boiler_blocks"),
+        round(col("n_boiler_blocks").cast("double") / col("n_blocks"), 6)
+          .as("boiler_frac"),
+        when(size(col("kept")) === 0, lit(null).cast("string"))
+          .otherwise(md5(concat_ws(" ", expr("transform(kept, x -> x.block)"))))
+          .as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> textBoilerplate _,
     "text_readability" -> textReadability _,
     "text_bm25_topk" -> textBm25Topk _,
     "text_entropy" -> textEntropy _,
@@ -422,6 +471,22 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_boilerplate" ->
+      raw"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           |blk0 AS (SELECT doc_id, unnest(list_transform(
+           |   generate_series(1, CAST(ceil(len(l) / ${Dedup.ParaBlockTokens}.0) AS BIGINT)),
+           |   i -> {'block_idx': i,
+           |         'block': array_to_string(l[(i - 1) * ${Dedup.ParaBlockTokens} + 1 : i * ${Dedup.ParaBlockTokens}], ' ')})) AS u
+           | FROM t),
+           |blk AS (SELECT doc_id, u.block_idx AS block_idx, u.block AS block FROM blk0),
+           |df AS (SELECT block, count(DISTINCT doc_id) AS df FROM blk GROUP BY 1
+           |       HAVING count(DISTINCT doc_id) >= $BoilerMinDf)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+           | CAST(sum(CASE WHEN df IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_blocks,
+           | round(CAST(sum(CASE WHEN df IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS boiler_frac,
+           | md5(string_agg(CASE WHEN df IS NULL THEN blk.block END, ' ' ORDER BY block_idx)) AS kept_md5
+           |FROM blk LEFT JOIN df USING (block)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_readability" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |m AS (SELECT doc_id,

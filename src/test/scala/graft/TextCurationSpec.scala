@@ -248,4 +248,38 @@ class TextCurationSpec extends AnyFunSuite {
           dropped.map(_.getAs[Long]("n_chars")).max)
     }
   }
+
+  test("boilerplate: dropped blocks are exactly those with df >= bar, in every doc") {
+    import graft.operators.Dedup
+    val rows = TextAnalysis.textBoilerplate(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (nb, nboil) = (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_boiler_blocks"))
+      assert(nb >= 1 && nboil >= 0 && nboil <= nb)
+      val f = r.getAs[Double]("boiler_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert((r.getAs[String]("kept_md5") == null) == (nboil == nb))
+    }
+    // recompute the flagged dictionary from raw blocks and cross-check
+    // the per-doc boilerplate counts — unlike keep-first dedup, EVERY
+    // instance of a flagged block counts, including the first.
+    val b = Dedup.ParaBlockTokens
+    val blocks = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, cast(ceil(size(toks) / ${b}.0) as int)), i -> concat_ws(' ', slice(toks, (i - 1) * $b + 1, $b)))"))
+        .as("block")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("block")))
+    val df = blocks.distinct.groupBy(_._2).view.mapValues(_.length).toMap
+    val flagged = df.filter(_._2 >= TextAnalysis.BoilerMinDf).keySet
+    assert(flagged.nonEmpty, "corpus should contain boilerplate at the bar")
+    val expected = blocks.groupBy(_._1).view
+      .mapValues(_.count(p => flagged.contains(p._2))).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_boiler_blocks") == expected(id).toLong, s"doc $id")
+    }
+    assert(rows.map(_.getAs[Long]("n_boiler_blocks")).sum > 0)
+  }
 }
