@@ -933,7 +933,92 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RRF smoothing constant (Cormack et al. 2009's k=60). */
+  val RrfK = 60
+  /** Per-modality list depth fused by [[annHybridRrf]]. */
+  val RrfDepth = 20
+
+  /** Hybrid lexical+dense retrieval with Reciprocal Rank Fusion — the
+    * standard two-tower data-selection/retrieval shape: each query
+    * document is ranked against the corpus twice (Okapi BM25 over its
+    * token set; exact cosine over its embedding), the two
+    * top-[[RrfDepth]] lists are fused by RRF
+    * (Σ 1/([[RrfK]] + rank)), and the top-[[TopK]] fused results
+    * emerge. Documents found by only one modality still score — that
+    * asymmetric coverage is RRF's point.
+    *
+    * Scale shape: the lexical side is [[TextAnalysis.textBm25Topk]]'s
+    * discipline — corpus postings are semi-joined against the
+    * (bounded, broadcast) query term set BEFORE the tf shuffle, so
+    * only query-term hits are exchanged; df/avgdl are
+    * dimension-sized broadcast aggregates. The dense side is the
+    * broadcast-query scan of [[annBruteforceTopk]] (swap in the IVF
+    * candidate stream for the 100 TB path — the fusion is rank-based
+    * and doesn't care where candidates came from). The fusion itself
+    * joins two ≤ queries×[[RrfDepth]]-row lists — trivially bounded.
+    * Ranks are taken on rounded scores with doc_id tie-breaks, so
+    * every rank (and therefore every RRF score) is deterministic.
+    */
+  def annHybridRrf(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val nDocs = Tables.parquetRowCount(s, d, "documents").toDouble
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+    val qTerms = docs.filter(col("doc_id") < NumQueryVecs)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(col("toks"))).as("term"))
+    val qTermSet = qTerms.select(col("term")).distinct()
+    val tf = docs
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(qTermSet), Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTab = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val avgdl = docs.agg(avg(size(col("toks"))).as("avgdl"))
+    val bm = tf.join(broadcast(qTerms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfTab), Seq("term"))
+      .crossJoin(broadcast(avgdl))
+      .withColumn("contrib",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("tf") * (lit(TA.Bm25K1) + 1.0) /
+          (col("tf") + lit(TA.Bm25K1) *
+            (lit(1.0) - lit(TA.Bm25B) + lit(TA.Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("bm25").desc, col("doc_id"))
+    val lex = bm.withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter(col("lex_rank") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val e = withNorm(s, d)
+    val q = e.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("nrma"))
+    val nb = e.select(col("vec_id").as("doc_id"), col("v").as("vb"), col("nrm").as("nrmb"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))
+    val dense = broadcast(q).join(nb, col("query_id") =!= col("doc_id"))
+      .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
+      .withColumn("emb_rank", row_number().over(wd).cast("long"))
+      .filter(col("emb_rank") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("emb_rank"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf_raw").desc, col("doc_id"))
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_raw",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("emb_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf_raw"), 6).as("rrf"), col("lex_rank"), col("emb_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hybrid_rrf" -> annHybridRrf _,
     "ann_range_search" -> annRangeSearch _,
     "ann_filtered_topk" -> annFilteredTopk _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
@@ -999,6 +1084,53 @@ object Similarity {
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ann_hybrid_rrf" -> {
+      import graft.operators.{TextAnalysis => TA}
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+         |       FROM docs WHERE doc_id < $NumQueryVecs),
+         |tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, term,
+         |   CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM docs)
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2, 3),
+         |dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |  FROM tf GROUP BY 1),
+         |ad AS (SELECT avg(len(toks)) AS avgdl FROM docs),
+         |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM docs),
+         |bm AS (SELECT qt.query_id, tf.doc_id,
+         |   round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * tf * (${TA.Bm25K1} + 1.0)
+         |     / (tf + ${TA.Bm25K1} * (1.0 - ${TA.Bm25B} + ${TA.Bm25B} * dl / avgdl))), 6) AS bm25
+         |  FROM tf JOIN qt USING (term) JOIN dfx USING (term), ad, cnt
+         |  WHERE tf.doc_id <> qt.query_id GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS lex_rank
+         |  FROM bm QUALIFY lex_rank <= $RrfDepth),
+         |nv AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |    (acc, x) -> acc + x)) AS nrm
+         | FROM embeddings),
+         |den AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         |   round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) AS cosine
+         |  FROM nv a JOIN nv b ON a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id),
+         |dens AS (SELECT query_id, doc_id,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS emb_rank
+         |  FROM den QUALIFY emb_rank <= $RrfDepth),
+         |f AS (SELECT coalesce(lex.query_id, dens.query_id) AS query_id,
+         |   coalesce(lex.doc_id, dens.doc_id) AS doc_id,
+         |   lex.lex_rank AS lex_rank, dens.emb_rank AS emb_rank,
+         |   coalesce(1.0 / ($RrfK + lex.lex_rank), 0.0)
+         |    + coalesce(1.0 / ($RrfK + dens.emb_rank), 0.0) AS rrf_raw
+         |  FROM lex FULL OUTER JOIN dens
+         |   ON lex.query_id = dens.query_id AND lex.doc_id = dens.doc_id),
+         |r AS (SELECT query_id, doc_id, rrf_raw, lex_rank, emb_rank,
+         |   CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY rrf_raw DESC, doc_id) AS BIGINT) AS rank FROM f)
+         |SELECT query_id, rank, doc_id, round(rrf_raw, 6) AS rrf,
+         | CAST(lex_rank AS BIGINT) AS lex_rank, CAST(emb_rank AS BIGINT) AS emb_rank
+         |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
     "ann_range_search" ->
       s"""$cosineCte
          |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

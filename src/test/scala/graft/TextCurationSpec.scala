@@ -282,4 +282,37 @@ class TextCurationSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getAs[Long]("n_boiler_blocks")).sum > 0)
   }
+
+  test("hybrid rrf: fused ranks consistent with modality ranks and bruteforce") {
+    val rows = Similarity.annHybridRrf(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == Similarity.NumQueryVecs)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to Similarity.TopK).toSeq)
+      // rrf recomputable from the (nullable) modality ranks
+      rs.foreach { r =>
+        val lr = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+        val er = Option(r.getAs[java.lang.Long]("emb_rank")).map(_.toLong)
+        assert(lr.nonEmpty || er.nonEmpty)
+        val exp = lr.map(x => 1.0 / (Similarity.RrfK + x)).getOrElse(0.0) +
+          er.map(x => 1.0 / (Similarity.RrfK + x)).getOrElse(0.0)
+        val rounded = BigDecimal(exp)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("rrf") == rounded)
+      }
+      // fused score non-increasing in fused rank
+      val sorted = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("rrf"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    // the dense ranks agree with the exact bruteforce top-k where visible
+    val bf = Similarity.annBruteforceTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    rows.foreach { r =>
+      Option(r.getAs[java.lang.Long]("emb_rank")).map(_.toLong)
+        .filter(_ <= Similarity.TopK).foreach { er =>
+          assert(bf((r.getAs[Long]("query_id"), er)) == r.getAs[Long]("doc_id"))
+        }
+    }
+  }
 }
