@@ -932,7 +932,39 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster dedup with KEEP-BEST survivor selection — the
+    * quality-aware refinement of [[Dedup.dedupClusters]]' keep-min-id
+    * convention: within each connected component of the near-dup
+    * graph, keep the highest-quality member (longest document,
+    * doc_id tie-break) — what production dedup actually ships, since
+    * the first-crawled copy of a page is often the truncated one.
+    *
+    * Scale shape: the component labels come from the pointer-doubling
+    * propagation (O(log diameter) shuffle-join rounds); on top of
+    * that, ONE hash aggregation keyed by cluster_rep computes each
+    * cluster's argmax as `max(struct(quality, -doc_id))` — a plain
+    * partial-aggregating max, no per-cluster sort — and one
+    * key-equality join carries the survivor id back to members.
+    * Nothing here assumes clusters fit anywhere: both exchanges key
+    * on cluster_rep, and a giant cluster costs one combiner cell.
+    */
+  def curDedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val clusters = Dedup.dedupClusters(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val j = clusters.join(docs, Seq("doc_id"))
+    val best = j.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("n_chars").as("q"), (-col("doc_id")).as("negid"))).as("b"))
+      .select(col("cluster_rep"), col("cluster_size"),
+        (-col("b.negid")).as("keep_id"))
+    j.join(best, Seq("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        col("keep_id"), (col("doc_id") === col("keep_id")).cast("long").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_dedup_keep_best" -> curDedupKeepBest _,
     "cur_dsir" -> curDsir _,
     "cur_source_cap" -> curSourceCap _,
     "cur_decontaminate_fuzzy" -> curDecontaminateFuzzy _,
@@ -966,6 +998,18 @@ object Curation {
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // clusterLabelCte concatenated, not inside stripMargin (its `||`
+    // operators start lines — see the dedup_clusters oracle note).
+    "cur_dedup_keep_best" -> (Dedup.clusterLabelCte + ",\n" +
+      """lab AS (SELECT d.doc_id, coalesce(rep.cluster_rep, d.doc_id) AS cluster_rep,
+        |   d.n_chars FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id),
+        |best AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size,
+        |   (list(doc_id ORDER BY n_chars DESC, doc_id))[1] AS keep_id
+        |  FROM lab GROUP BY 1)
+        |SELECT lab.doc_id, lab.cluster_rep, cluster_size, keep_id,
+        | CAST(CASE WHEN lab.doc_id = keep_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM lab JOIN best USING (cluster_rep)
+        |ORDER BY lab.doc_id""".stripMargin),
     "cur_dsir" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []

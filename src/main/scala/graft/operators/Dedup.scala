@@ -705,6 +705,32 @@ object Dedup {
          |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Recursive-CTE connected-component labels over the exact-Jaccard
+    * pair graph (the [[dedupClusters]] oracle's prefix; shared with
+    * [[Curation.curDedupKeepBest]]'s oracle). Ends with `rep(doc_id,
+    * cluster_rep)` — docs in no pair are absent and label themselves.
+    */
+  private[graft] val clusterLabelCte =
+    raw"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, len(string_split(text, ' ')) - 2),
+         |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         |        || ' ' || string_split(text, ' ')[i+2])) AS sh FROM documents),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM t),
+         |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+         |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT doc_a, doc_b
+         |       FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         |       WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |          UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+         |        FROM reach GROUP BY src)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_paragraph" ->
       raw"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
@@ -721,29 +747,13 @@ object Dedup {
            | round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac,
            | md5(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY block_idx)) AS kept_md5
            |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "dedup_clusters" ->
-      raw"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_transform(
-           |   generate_series(1, len(string_split(text, ' ')) - 2),
-           |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-           |        || ' ' || string_split(text, ' ')[i+2])) AS sh FROM documents),
-           |sz AS (SELECT doc_id, len(sh) AS n FROM t),
-           |e AS (SELECT doc_id, unnest(sh) AS s FROM t),
-           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-           |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-           |jp AS (SELECT doc_a, doc_b
-           |       FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-           |       WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= 0.5),
-           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
-           |          UNION ALL SELECT doc_b, doc_a FROM jp),
-           |reach(src, dst) AS (
-           |  SELECT src, dst FROM edges
-           |  UNION
-           |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
-           |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
-           |        FROM reach GROUP BY src)
-           |SELECT d.doc_id, coalesce(rep.cluster_rep, d.doc_id) AS cluster_rep
-           |FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
-           |ORDER BY d.doc_id""".stripMargin,
+    // NB: clusterLabelCte is concatenated, not interpolated into a
+    // stripMargin literal — its `||` concat operators start lines and
+    // stripMargin would eat one pipe.
+    "dedup_clusters" -> (clusterLabelCte + "\n" +
+      """SELECT d.doc_id, coalesce(rep.cluster_rep, d.doc_id) AS cluster_rep
+        |FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     "dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_key,
         | min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs

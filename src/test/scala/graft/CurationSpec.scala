@@ -218,6 +218,26 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-best: one survivor per cluster, the longest member, sizes exact") {
+    val rows = Curation.curDedupKeepBest(spark, sf).collect()
+    val chars = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    assert(rows.length == chars.size)
+    val clusters = rows.groupBy(_.getAs[Long]("cluster_rep"))
+    assert(clusters.exists(_._2.length > 1), "corpus should contain a real cluster")
+    clusters.foreach { case (rep, ms) =>
+      val ids = ms.map(_.getAs[Long]("doc_id"))
+      assert(rep == ids.min, "representative is the min member id")
+      ms.foreach(r => assert(r.getAs[Long]("cluster_size") == ms.length.toLong))
+      val kept = ms.filter(_.getAs[Long]("kept") == 1L)
+      assert(kept.length == 1)
+      val expected = ids.map(i => (i, chars(i))).minBy { case (i, c) => (-c, i) }._1
+      assert(kept.head.getAs[Long]("doc_id") == expected)
+      ms.foreach(r => assert(r.getAs[Long]("keep_id") == expected))
+    }
+  }
+
   test("dsir: selects exactly the top-K by (logw, doc_id); no window in plan") {
     val df = Curation.curDsir(spark, sf)
     val rows = df.collect()
