@@ -43,6 +43,7 @@ object Verify {
       ("ann_lsh_topk", () => graft.operators.Similarity.lshCandidates(spark, sfDir)),
       ("ann_ivf_topk", () => graft.operators.Similarity.ivfCandidates(spark, sfDir)),
       ("ann_pq_topk", () => graft.operators.Similarity.pqCandidates(spark, sfDir)),
+      ("ann_ivfpq_topk", () => graft.operators.Similarity.ivfpqCandidates(spark, sfDir)),
       ("ann_incremental_topk", () => graft.operators.Similarity.incrementalCandidates(spark, sfDir)),
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, gen) =>
@@ -58,6 +59,7 @@ object Verify {
         ("ann_lsh_recall", Similarity.lshCandidates(spark, sfDir)),
         ("ann_ivf_recall", Similarity.ivfCandidates(spark, sfDir)),
         ("ann_pq_recall", Similarity.pqCandidates(spark, sfDir)),
+        ("ann_ivfpq_recall", Similarity.ivfpqCandidates(spark, sfDir)),
       ).foreach { case (name, cand) =>
         try cand.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/${name}_cand")
@@ -69,6 +71,7 @@ object Verify {
         ("ann_lsh_recall", Similarity.LshRecallBar, Similarity.LshPruneBar),
         ("ann_ivf_recall", Similarity.IvfRecallBar, Similarity.IvfPruneBar),
         ("ann_pq_recall", Similarity.PqRecallBar, Similarity.PqPruneBar),
+        ("ann_ivfpq_recall", Similarity.IvfPqRecallBar, Similarity.IvfPqPruneBar),
       ).map { case (n, r, p) =>
         s""""$n": {"recall_bar": $r, "prune_bar": $p, "topk": ${Similarity.TopK}}"""
       }.mkString("{", ",", "}")

