@@ -344,4 +344,55 @@ class SinksSpec extends AnyFunSuite {
     assert(after == Set((1L, "A1", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p3")))
     assert(partFiles("p2") == p2Before, "partition p2 untouched by the second epoch")
   }
+
+  test("versioned table: snapshots time-travel, untouched partitions share files, vacuum retires") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val path = tmp("versioned")
+    // v0
+    val v0 = Versioned.upsert(spark, path,
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2")).toDF("id", "v", "part"),
+      "id", "part")
+    assert(v0 == 0)
+    // v1: update key 2 in p1; p2 untouched
+    val v1 = Versioned.upsert(spark, path,
+      Seq((2L, "B", "p1")).toDF("id", "v", "part"), "id", "part")
+    assert(v1 == 1)
+    // v2: insert key 4 into p2; p1 untouched
+    val v2 = Versioned.upsert(spark, path,
+      Seq((4L, "d", "p2")).toDF("id", "v", "part"), "id", "part")
+    assert(v2 == 2)
+    def snap(v: Int) = Versioned.snapshot(spark, path, v)
+      .select(col("id"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet
+    assert(snap(0) == Set((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2")))
+    assert(snap(1) == Set((1L, "a", "p1"), (2L, "B", "p1"), (3L, "c", "p2")))
+    assert(snap(2) == Set((1L, "a", "p1"), (2L, "B", "p1"), (3L, "c", "p2"), (4L, "d", "p2")))
+    // latest == v2
+    assert(Versioned.snapshot(spark, path)
+      .as[(Long, String, String)].collect().toSet == snap(2))
+    // file-level CoW: v1 carried p2's files forward unchanged, and
+    // v2 carried v1's p1 files forward unchanged
+    def files(v: Int) = Versioned.manifestFiles(spark, path, v)
+    assert(files(0).filter(_.startsWith("part=p2")).toSet ==
+      files(1).filter(_.startsWith("part=p2")).toSet)
+    assert(files(1).filter(_.startsWith("part=p1")).toSet ==
+      files(2).filter(_.startsWith("part=p1")).toSet)
+    // old generations remain readable until vacuumed
+    val deleted = Versioned.vacuum(spark, path, keepVersions = 1)
+    assert(deleted > 0)
+    assert(Versioned.versions(spark, path) == Seq(2))
+    assert(Versioned.snapshot(spark, path)
+      .as[(Long, String, String)].collect().toSet == snap(2))
+    intercept[IllegalArgumentException] { Versioned.snapshot(spark, path, 0) }
+    // contracts shared with Sinks.upsert
+    intercept[IllegalArgumentException] {
+      Versioned.upsert(spark, path,
+        Seq((9L, "x", null.asInstanceOf[String])).toDF("id", "v", "part"), "id", "part")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.upsert(spark, path,
+        Seq((9L, "x", "p1"), (9L, "y", "p1")).toDF("id", "v", "part"), "id", "part")
+    }
+  }
 }
