@@ -132,13 +132,78 @@ object Multimodal {
         length(col("resized")).cast("long").as("resized_len"),
         md5(col("resized")).as("resized_md5"))
 
+  /** Media dedup — the two-stage binary dedup a multimodal pipeline
+    * runs before any model sees a pixel: (1) EXACT content dedup by
+    * blob md5 (identical files — the bulk of image duplication on the
+    * web — keep-min-id); (2) PERCEPTUAL grouping by a pHash-style
+    * signature: one bit per [[FeatureBins]] histogram bin, set iff the
+    * bin holds more than the mean 1/[[FeatureBins]] of the bytes —
+    * re-encoded or lightly-edited copies that hash differently
+    * byte-wise still collide here. With a real codec the signature
+    * comes from a DCT over decoded pixels; the bit-vector plumbing,
+    * bucket grouping, and integer threshold rule are identical.
+    *
+    * Scale shape: both keys are computed map-side (the histogram via
+    * [[FeatureBins]] codegen'd filters over one char-code array — the
+    * integer count·bins > n rule avoids FP entirely); then two hash
+    * aggregations (md5 groups, signature buckets) and their bounded
+    * join-backs. Signature buckets are the candidate sets a verifier
+    * would re-rank — exactly the LSH-band discipline of the text
+    * dedup family, never an all-pairs scan.
+    */
+  def mmDedup(s: SparkSession, d: String): DataFrame = {
+    val b = FeatureBins
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .withColumn("content_md5", md5(col("blob")))
+      .withColumn("codes", expr(s"transform(split(cast(blob AS string), ''), c -> ascii(c) % $b)"))
+      .withColumn("sig", (0 until b).map(i =>
+          when(expr(s"size(filter(codes, x -> x = $i)) * $b") > length(col("blob")),
+            lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _))
+      .select(col("doc_id"), length(col("blob")).cast("long").as("n_bytes"),
+        col("content_md5"), col("sig"))
+    val exact = media.groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val buckets = media.groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_sig_mates"))
+    media.join(exact, Seq("content_md5"))
+      .join(buckets, Seq("sig"))
+      .select(col("doc_id"), col("n_bytes"), col("content_md5"),
+        col("keep_id"), col("n_copies"), col("sig"), col("n_sig_mates"),
+        (col("doc_id") === col("keep_id")).cast("long").as("exact_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup" -> mmDedup _,
     "mm_metadata" -> mmMetadata _,
     "mm_feature_extract" -> mmFeatureExtract _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_resize" -> mmResize _)
 
   val oracleSql: Map[String, String] = Map(
+    // Integer threshold rule (count·bins > n) keeps the signature FP-free
+    // on both engines; md5 over the pure-ASCII blob equals md5(text).
+    "mm_dedup" ->
+      s"""WITH i AS (SELECT doc_id, strlen(text) AS n, text,
+         |  unnest(generate_series(1, strlen(text))) AS i FROM documents),
+         |c AS (SELECT doc_id, max(n) AS n, bin, count(*) AS cnt FROM
+         |  (SELECT doc_id, n, (ord(substring(text, CAST(i AS INT), 1)) % $FeatureBins) AS bin FROM i)
+         | GROUP BY doc_id, bin),
+         |sg AS (SELECT doc_id, max(n) AS n,
+         |  sum(CASE WHEN cnt * $FeatureBins > n THEN CAST(1 AS BIGINT) << bin ELSE 0 END) AS sig
+         | FROM c GROUP BY doc_id),
+         |m AS (SELECT d.doc_id, sg.n, md5(d.text) AS content_md5, sg.sig
+         | FROM documents d JOIN sg ON sg.doc_id = d.doc_id),
+         |ex AS (SELECT content_md5, min(doc_id) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies FROM m GROUP BY 1),
+         |bu AS (SELECT sig, CAST(count(*) AS BIGINT) AS n_sig_mates FROM m GROUP BY 1)
+         |SELECT m.doc_id, CAST(m.n AS BIGINT) AS n_bytes, m.content_md5,
+         | keep_id, n_copies, CAST(m.sig AS BIGINT) AS sig, n_sig_mates,
+         | CAST(CASE WHEN m.doc_id = keep_id THEN 1 ELSE 0 END AS BIGINT) AS exact_keep
+         |FROM m JOIN ex USING (content_md5) JOIN bu USING (sig)
+         |ORDER BY m.doc_id""".stripMargin,
     // The stub decoder is a byte-histogram over the (pure-ASCII) blob,
     // so DuckDB can replicate it exactly: per-char code point % 16,
     // bin counts / n. f_sum is the full normalized histogram's sum —
