@@ -963,7 +963,45 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // CCNet bucket thresholds on the rounded cross-entropy. In
+  // production these are the tercile cuts of a trained LM's
+  // perplexity on a reference corpus (frozen constants shipped with
+  // the pipeline); these values are this corpus' stable terciles —
+  // measured 4.905/4.911 at every test SF.
+  val CcnetHeadBar = 4.905
+  val CcnetMiddleBar = 4.911
+
+  /** CCNet perplexity bucketing (Wenzek et al. 2020): split the
+    * corpus into head / middle / tail by LM cross-entropy — the
+    * canonical "perplexity filter" that keeps fluent text and
+    * discards noise, applied as fixed thresholds against
+    * [[TextAnalysis.textLmScore]]'s xent signal. `keep` follows the
+    * usual CCNet policy of dropping only the tail.
+    *
+    * Scale shape: xent is the lm_score pipeline (broadcast frequency
+    * table, per-doc aggregation); bucketing is a pure map-side CASE
+    * against plan-literal thresholds, and the per-bucket census
+    * joins back as a broadcast 3-row table. Swapping in a real LM's
+    * scores changes the xent column's producer, nothing downstream.
+    */
+  def curCcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.textLmScore(s, d)
+      .select(col("doc_id"), col("n_toks"), col("xent"))
+      .withColumn("bucket",
+        when(col("xent") < CcnetHeadBar, "head")
+          .when(col("xent") < CcnetMiddleBar, "middle")
+          .otherwise("tail"))
+    val census = scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_docs"), sum(col("n_toks")).as("bucket_tokens"))
+    scored.join(broadcast(census), Seq("bucket"))
+      .select(col("doc_id"), col("xent"), col("bucket"),
+        col("bucket_docs"), col("bucket_tokens"),
+        (col("bucket") =!= "tail").cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_ccnet_buckets" -> curCcnetBuckets _,
     "cur_dedup_keep_best" -> curDedupKeepBest _,
     "cur_dsir" -> curDsir _,
     "cur_source_cap" -> curSourceCap _,
@@ -998,6 +1036,22 @@ object Curation {
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cur_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+         |x AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |   round(log2(max(n)) - avg(log2(c)), 6) AS xent
+         |  FROM toks JOIN freq USING (tok), tot GROUP BY doc_id),
+         |b AS (SELECT doc_id, n_toks, xent,
+         |   CASE WHEN xent < $CcnetHeadBar THEN 'head'
+         |        WHEN xent < $CcnetMiddleBar THEN 'middle'
+         |        ELSE 'tail' END AS bucket FROM x),
+         |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_docs,
+         |   CAST(sum(n_toks) AS BIGINT) AS bucket_tokens FROM b GROUP BY 1)
+         |SELECT doc_id, xent, b.bucket, bucket_docs, bucket_tokens,
+         | CAST(CASE WHEN b.bucket <> 'tail' THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM b JOIN c USING (bucket) ORDER BY doc_id""".stripMargin,
     // clusterLabelCte concatenated, not inside stripMargin (its `||`
     // operators start lines — see the dedup_clusters oracle note).
     "cur_dedup_keep_best" -> (Dedup.clusterLabelCte + ",\n" +

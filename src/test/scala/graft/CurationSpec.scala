@@ -218,6 +218,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("ccnet buckets: thresholds split the corpus, census exact, tail dropped") {
+    val rows = Curation.curCcnetBuckets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    assert(byBucket.size >= 2, "thresholds must actually split this corpus")
+    rows.foreach { r =>
+      val x = r.getAs[Double]("xent")
+      val b = r.getAs[String]("bucket")
+      val expected =
+        if (x < Curation.CcnetHeadBar) "head"
+        else if (x < Curation.CcnetMiddleBar) "middle"
+        else "tail"
+      assert(b == expected)
+      assert((r.getAs[Long]("keep") == 1L) == (b != "tail"))
+      assert(r.getAs[Long]("bucket_docs") == byBucket(b).length.toLong)
+    }
+  }
+
   test("keep-best: one survivor per cluster, the longest member, sizes exact") {
     val rows = Curation.curDedupKeepBest(spark, sf).collect()
     val chars = sources.Tables.documents(spark, sf)
