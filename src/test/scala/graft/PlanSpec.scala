@@ -170,11 +170,14 @@ class PlanSpec extends AnyFunSuite {
     // the gate crosses.
     val allowNestedLoop =
       Set("ann_bruteforce_topk", "ann_range_search", "ann_lsh_recall", "ann_ivf_recall",
-        "ann_pq_recall", "dedup_semantic_gate", "q24_revenue_share",
+        "ann_pq_recall", "ann_ivfpq_recall", "dedup_semantic_gate", "q24_revenue_share",
         "cur_tfidf_topterms", "text_lm_score", "text_pmi_bigrams",
         // scalar avgdl aggregate broadcast onto the term stream —
         // the same share-of-total shape as the LM/PMI rows above
-        "text_bm25_topk")
+        "text_bm25_topk",
+        // scalar/bounded broadcasts: hybrid's avgdl total, DSIR's
+        // gram totals + one-row keep-list, ccnet's inherited LM totals
+        "ann_hybrid_rrf", "cur_dsir", "cur_ccnet_buckets")
     SparkEntry.queries.keys.filterNot(allowNestedLoop).foreach { q =>
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
