@@ -143,26 +143,39 @@ object Multimodal {
     * comes from a DCT over decoded pixels; the bit-vector plumbing,
     * bucket grouping, and integer threshold rule are identical.
     *
-    * Scale shape: both keys are computed map-side (the histogram via
-    * [[FeatureBins]] codegen'd filters over one char-code array — the
-    * integer count·bins > n rule avoids FP entirely); then two hash
-    * aggregations (md5 groups, signature buckets) and their bounded
-    * join-backs. Signature buckets are the candidate sets a verifier
-    * would re-rank — exactly the LSH-band discipline of the text
-    * dedup family, never an all-pairs scan.
+    * Scale shape: both keys come out of ONE typed per-partition
+    * kernel pass over the bytes (md5 digest + histogram; the
+    * 16-filters-over-a-char-array HOF form this replaced ran
+    * interpreted — lambdas never enter codegen — and benched 9× the
+    * oracle; the integer count·bins > n rule avoids FP entirely);
+    * then two hash aggregations (md5 groups, signature buckets) and
+    * their bounded join-backs. Signature buckets are the candidate
+    * sets a verifier would re-rank — exactly the LSH-band discipline
+    * of the text dedup family, never an all-pairs scan.
     */
   def mmDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val b = FeatureBins
     val media = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
-      .withColumn("content_md5", md5(col("blob")))
-      .withColumn("codes", expr(s"transform(split(cast(blob AS string), ''), c -> ascii(c) % $b)"))
-      .withColumn("sig", (0 until b).map(i =>
-          when(expr(s"size(filter(codes, x -> x = $i)) * $b") > length(col("blob")),
-            lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ + _))
-      .select(col("doc_id"), length(col("blob")).cast("long").as("n_bytes"),
-        col("content_md5"), col("sig"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { m =>
+          val counts = new Array[Long](b)
+          var i = 0
+          while (i < m.blob.length) { counts((m.blob(i) & 0xff) % b) += 1; i += 1 }
+          var sig = 0L
+          var k = 0
+          while (k < b) {
+            if (counts(k) * b > m.blob.length) sig |= (1L << k)
+            k += 1
+          }
+          digest.reset()
+          val hex = digest.digest(m.blob).map(x => f"$x%02x").mkString
+          (m.doc_id, m.blob.length.toLong, hex, sig)
+        }
+      }.toDF("doc_id", "n_bytes", "content_md5", "sig")
     val exact = media.groupBy(col("content_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     val buckets = media.groupBy(col("sig"))
