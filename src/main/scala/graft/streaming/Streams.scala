@@ -354,6 +354,27 @@ object Streams {
       }
       .start()
 
+  /** Streaming sink into the manifest-log VERSIONED table: each epoch
+    * commits one [[graft.sources.Versioned]] version, so the stream's
+    * history is time-travelable — `snapshot(v)` reproduces the table
+    * exactly as epoch v left it (the audit/replay posture CDC
+    * pipelines buy from Delta/Hudi). Same foreachBatch + AvailableNow
+    * discipline as [[upsertSink]]; the atomic manifest rename is the
+    * per-epoch commit point, so a crash mid-epoch leaves the previous
+    * version intact and readable.
+    */
+  def versionedSink(updates: DataFrame, path: String, keyCol: String,
+      partCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Versioned.upsert(batch.sparkSession, path, batch, keyCol, partCol)
+        ()
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> streamWindowedAgg _,
     "stream_session_state" -> sessionizeBatch _,

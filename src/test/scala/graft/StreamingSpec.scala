@@ -295,4 +295,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSet == Set(1L, 2L, 3L),
       s"expected exactly docs 1,2,3 once each, got ${ids.toSeq}")
   }
+
+  test("versioned sink: one commit per epoch, each epoch time-travelable") {
+    import graft.sources.Versioned
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-vsink").toString
+    val path = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    val stream = MemoryStream[(Long, String, String)]
+
+    stream.addData((1L, "a", "p1"), (2L, "b", "p2"))
+    Streams.versionedSink(stream.toDF().toDF("id", "v", "part"),
+      path, "id", "part", ckpt).awaitTermination()
+    stream.addData((1L, "A", "p1"), (3L, "c", "p2"))
+    Streams.versionedSink(stream.toDF().toDF("id", "v", "part"),
+      path, "id", "part", ckpt).awaitTermination()
+
+    assert(Versioned.versions(spark, path) == Seq(0, 1))
+    def snap(v: Int) = {
+      import spark.implicits._
+      Versioned.snapshot(spark, path, v)
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("part"))
+        .as[(Long, String, String)].collect().toSet
+    }
+    assert(snap(0) == Set((1L, "a", "p1"), (2L, "b", "p2")))
+    assert(snap(1) == Set((1L, "A", "p1"), (2L, "b", "p2"), (3L, "c", "p2")))
+    // a restart with nothing queued commits nothing
+    Streams.versionedSink(stream.toDF().toDF("id", "v", "part"),
+      path, "id", "part", ckpt).awaitTermination()
+    assert(Versioned.versions(spark, path) == Seq(0, 1))
+  }
 }
