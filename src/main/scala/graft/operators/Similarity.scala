@@ -1043,11 +1043,18 @@ object Similarity {
     val qTerms = docs.filter(col("doc_id") < NumQueryVecs)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(col("toks"))).as("term"))
-    val qTermSet = qTerms.select(col("term")).distinct()
+    // the union of the queries' vocabularies is bounded query-side
+    // state (q docs × their distinct terms) — collect it once and
+    // filter INSIDE the token array, so non-query-term tokens are
+    // never exploded into rows at all (textBm25Topk's discipline; the
+    // post-explode semi-join this replaces materialized every corpus
+    // token first).
+    val qTermList = qTerms.select(col("term")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val inList = qTermList.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
     val tf = docs
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-        explode(col("toks")).as("term"))
-      .join(broadcast(qTermSet), Seq("term"))
+        explode(expr(s"filter(toks, t -> t IN ($inList))")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfTab = tf.groupBy(col("term"))
