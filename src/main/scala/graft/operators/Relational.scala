@@ -566,8 +566,323 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Product-analytics + sketch family (q32-q38).
+  // ------------------------------------------------------------------
+
+  /** Weekly cohort retention matrix: users grouped by the week of
+    * their first event, counted again in every later week they were
+    * active — the standard product-analytics retention triangle.
+    * Weeks are integer offsets from the corpus epoch (2024-01-01) so
+    * the bucketing is pure integer arithmetic, identical across
+    * engines. Shape at 100 TB: both the cohort aggregate and the
+    * distinct-activity set are keyed on user_id (one co-partitioned
+    * exchange each, map-side partials), and the final aggregate lands
+    * on the tiny (cohort_week, week_offset) dimension — no window
+    * over the event stream anywhere.
+    */
+  def q32Retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.distinct()
+      .join(cohort, Seq("user_id"))
+      .select(col("user_id"),
+        expr("datediff(cohort_day, DATE'2024-01-01') DIV 7").as("cohort_week"),
+        expr("datediff(day, cohort_day) DIV 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Market-basket co-occurrence: the top part pairs bought together
+    * in one order. The pair generator is a self-join on the order key
+    * — co-partitioned sort-merge, with the pair blow-up bounded by the
+    * per-order line count (≤ ~10 in TPC-H-shaped data), so the join
+    * output is a small constant factor of the fact table, never
+    * all-pairs over parts. The top-k is TakeOrderedAndProject (per-
+    * partition heaps + driver merge of k rows), not a global sort.
+    */
+  def q33MarketBasket(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    li.select(col("ok"), col("pk").as("part_a"))
+      .join(li.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** Daily-revenue z-score outliers. The variance is computed from
+    * EXACT integer-cents moments (count / sum / sum-of-squares as
+    * DECIMAL(38,0) — overflow-proof at any SF) so both engines feed
+    * bit-identical inputs into the final IEEE double ops; every
+    * double step after that (cast, subtract, divide, sqrt) is
+    * correctly rounded, so the z-scores match bitwise with no
+    * stddev_samp implementation-order dependence. The global moments
+    * live on the DAY-level aggregate (a bounded dimension), computed
+    * with an empty-frame window rather than a scalar cross join.
+    */
+  def q34Anomaly(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy()
+    Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cents").cast("decimal(38,0)")).over(w))
+      .withColumn("q", sum(col("cents").cast("decimal(38,0)") * col("cents")).over(w))
+      .withColumn("num",
+        (col("n").cast("decimal(38,0)") * col("cents") - col("s")).cast("double"))
+      .withColumn("variance",
+        (col("n").cast("decimal(38,0)") * col("q") - col("s") * col("s")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double"))
+      .withColumn("z", col("num") / (col("n").cast("double") * sqrt(col("variance"))))
+      .filter(abs(col("z")) > 1.5)
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("z"), 3).as("z"))
+      .orderBy(col("day"))
+  }
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent preceding view/click. One pass: a per-user running
+    * `last(..., ignoreNulls)` window carries the latest touch forward
+    * to every event, so no purchase×touch join ever materializes.
+    * The window partitions by user_id with a unique (ts, event_id)
+    * order — per-user history is bounded, so at 100 TB this is many
+    * small sorted runs, not a global sort. Values aggregate in exact
+    * cents, removing float-summation-order sensitivity.
+    */
+  def q35Attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("touch",
+        last(when(col("event_type").isin("view", "click"), col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("touch_type", coalesce(col("touch"), lit("none")))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(round(col("value") * 100, 0).cast("long")) / 100.0, 2)
+          .as("attributed_value"))
+      .orderBy(col("touch_type"))
+  }
+
+  /** Fixed-width value histogram over order totals: bins are integer
+    * cents DIV a constant width, so bin assignment is exact on both
+    * engines (no float boundary at the bin edges). Pure one-pass
+    * map-side-partial aggregation on a bounded bin dimension — the
+    * cheapest possible profile shape at any scale.
+    */
+  def q36Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("bin", expr("cents DIV 2500000"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("cents")) / 100.0, 2).as("min_price"),
+        round(max(col("cents")) / 100.0, 2).as("max_price"),
+        round(sum(col("cents")) / 100.0, 2).as("sum_price"))
+      .select(col("bin"), (col("bin") * 25000).as("bin_lo"), col("n"),
+        col("min_price"), col("max_price"), col("sum_price"))
+      .orderBy(col("bin"))
+
+  /** PageRank (3 fixed iterations, d=0.85) over the part co-purchase
+    * graph — the canonical iterative join-aggregate computation on
+    * Spark. All rank mass is integer (scale 1e12) with floor division
+    * at every step, so the iteration is exact and engine-portable (no
+    * float summation order anywhere). Each iteration is one
+    * src-partitioned join (edges ⨝ ranks ⨝ degrees) and one dst-keyed
+    * hash aggregation — the same exchange reused, with the edge list
+    * and degree table persisted once across iterations. Nodes are the
+    * parts with at least one co-purchase edge; the graph is symmetric
+    * so every node keeps receiving mass. The per-node seed and the
+    * teleport base are driver-side scalars from a bounded aggregate
+    * (node count), embedded as plan literals.
+    */
+  def q37Pagerank(s: SparkSession, d: String): DataFrame = {
+    val Scale = 1000000000000L
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.select(col("ok"), col("pk").as("src"))
+      .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val n = deg.count()
+    val base = 15L * Scale / (100L * n)
+    var ranks = deg.select(col("src").as("node"), lit(Scale / n).as("rank"))
+    for (_ <- 1 to 3) {
+      ranks = e.join(ranks, col("src") === col("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("rank DIV deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_mass"))
+        .select(col("dst").as("node"),
+          expr(s"CAST($base AS BIGINT) + (85 * in_mass) DIV 100").as("rank"))
+    }
+    ranks.orderBy(col("rank").desc, col("node")).limit(20)
+      .select(col("node").as("part"), col("rank"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch, the mergeable
+    * bottom-k estimator behind theta sketches: keep the k smallest
+    * 48-bit hash values and estimate n ≈ (k−1)·2^48 / h_(k). The
+    * bottom-k heap is the [[graft.functions.TopKIds]] bounded
+    * aggregate (O(k) state, map-side partials, reducer heap merge) so
+    * the sketch AND the exact distinct count come out of ONE pass over
+    * the distinct-hash set — no global sort, no scalar cross join.
+    * Hashes are md5-prefix integers, identical across engines; the
+    * estimator is pure integer floor division, so the estimate matches
+    * the oracle bit-for-bit.
+    */
+  def q38KmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val K = 256
+    val Dom = 281474976710656L // 16^12 = 2^48
+    Tables.orders(s, d)
+      .select(conv(substring(md5(col("o_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+      .agg(
+        count(lit(1)).as("true_distinct"),
+        graft.functions.TopKIds.topKIds(-col("h").cast("double"), col("h"), K).as("mins"))
+      .select(col("true_distinct"),
+        expr(s"CAST((${K - 1} * CAST($Dom AS BIGINT)) DIV element_at(mins, $K) AS BIGINT)")
+          .as("est_distinct"))
+      .select(
+        lit(K.toLong).as("k"),
+        col("est_distinct"),
+        col("true_distinct"),
+        round((col("est_distinct") - col("true_distinct")).cast("double") /
+          col("true_distinct").cast("double") * 100.0, 2).as("err_pct"))
+  }
+
+  /** CDC log compaction (last-write-wins): the event stream read as a
+    * change log keyed by user_id — `error` events are tombstones,
+    * everything else an upsert. The final state is one hash
+    * aggregation: `max(struct(ts, event_id, …))` picks each key's
+    * latest record with a unique (ts, event_id) order — the arg-max
+    * shape, no per-key window sort, map-side partials — then
+    * tombstoned keys drop. This is exactly how a log-compacted table
+    * (Kafka compaction / CDC merge) materializes at 100 TB: one
+    * key-partitioned exchange regardless of how many versions each
+    * key has.
+    */
+  def q39CdcApply(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+        .as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"),
+        col("last.event_type").as("last_type"),
+        round(col("last.value"), 2).as("last_value"),
+        date_format(col("last.ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy(col("user_id"))
+
+  /** SCD type-2 interval construction: per user, collapse consecutive
+    * repeats of the same event_type and emit [valid_from, valid_to)
+    * validity intervals with the open current row capped at a
+    * sentinel. Two window passes over the SAME per-user
+    * (ts, event_id) sort — Catalyst reuses one sort for both the lag
+    * (change detection) and the lead (interval close), so the cost is
+    * a single user-partitioned sort of bounded per-user history, the
+    * canonical dimension-history build.
+    */
+  def q40Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("next_ts", lead(col("ts"), 1).over(w2))
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Peak concurrency per day (sweep line over intervals): each event
+    * opens a 30-minute interval; the peak number of simultaneously
+    * open intervals per day is the classic +1/−1 sweep. The sweep is
+    * DAY-PARTITIONED — each day's running sum is a bounded window, not
+    * one global ordered sort — with midnight-crossing intervals
+    * handled by a per-day carry-in aggregate (intervals already open
+    * at day start), exactly how a distributed sweep shards a timeline
+    * at 100 TB. End points sort before starts at the same instant
+    * (half-open intervals), and ties of equal deltas cannot change any
+    * prefix-sum maximum, so the day peak is order-deterministic.
+    */
+  def q41PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("ts"))
+    val pts = ev.select(col("ts").as("t"), lit(1).as("delta"))
+      .unionAll(ev.select((col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+        lit(-1).as("delta")))
+      .withColumn("day", to_date(col("t")))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = pts
+      .withColumn("running", sum(col("delta")).over(wDay))
+      .groupBy(col("day"))
+      .agg(greatest(lit(0L), max(col("running"))).as("max_run"))
+    val carry = ev
+      .filter(to_date(col("ts")) =!= to_date(col("ts") + expr("INTERVAL 30 MINUTES")))
+      .groupBy(to_date(col("ts") + expr("INTERVAL 30 MINUTES")).as("day"))
+      .agg(count(lit(1)).as("carry"))
+    peaks.join(carry, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("max_run") + coalesce(col("carry"), lit(0L))).as("peak_concurrent"))
+      .orderBy(col("day"))
+  }
+
+  /** Gaps-and-islands: each user's longest streak of consecutive
+    * active days, via the classic dayNumber − row_number island key
+    * (constant within a consecutive run, integer-exact from a fixed
+    * epoch). Every window partitions by user over bounded per-user
+    * activity; the island aggregation is two key-local hash
+    * aggregations — nothing global at any scale.
+    */
+  def q42Streaks(s: SparkSession, d: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val active = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    active
+      .withColumn("island",
+        expr("datediff(day, DATE'2024-01-01')") - row_number().over(wU))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        // longest streak's start day; equal lengths → earliest start
+        date_format(min_by(col("start_day"),
+          struct((lit(0L) - col("len")).as("neg"), col("start_day"))),
+          "yyyy-MM-dd").as("streak_start"))
+      .orderBy(col("user_id"))
+  }
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_peak_concurrency" -> q41PeakConcurrency _,
+    "q42_streaks" -> q42Streaks _,
+    "q39_cdc_apply" -> q39CdcApply _,
+    "q40_scd2" -> q40Scd2 _,
+    "q32_retention" -> q32Retention _,
+    "q33_market_basket" -> q33MarketBasket _,
+    "q34_anomaly" -> q34Anomaly _,
+    "q35_attribution" -> q35Attribution _,
+    "q36_histogram" -> q36Histogram _,
+    "q37_pagerank" -> q37Pagerank _,
+    "q38_kmv_distinct" -> q38KmvDistinct _,
     "q31_funnel" -> q31Funnel _,
     "q30_grouping_sets" -> q30GroupingSets _,
     "q29_correlated" -> q29Correlated _,
@@ -602,6 +917,155 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q41_peak_concurrency" ->
+      """WITH pts AS (
+        |  SELECT ts AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS delta FROM events),
+        |run AS (SELECT CAST(t AS DATE) AS day,
+        |   sum(delta) OVER (PARTITION BY CAST(t AS DATE) ORDER BY t, delta
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM pts),
+        |peaks AS (SELECT day, greatest(0, max(running)) AS max_run
+        |          FROM run GROUP BY day),
+        |carry AS (SELECT CAST(ts + INTERVAL 30 MINUTE AS DATE) AS day,
+        |   CAST(count(*) AS BIGINT) AS carry
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) <> CAST(ts + INTERVAL 30 MINUTE AS DATE)
+        |  GROUP BY 1)
+        |SELECT strftime(p.day, '%Y-%m-%d') AS day,
+        | CAST(p.max_run + coalesce(c.carry, 0) AS BIGINT) AS peak_concurrent
+        |FROM peaks p LEFT JOIN carry c ON p.day = c.day
+        |ORDER BY day""".stripMargin,
+    "q42_streaks" ->
+      """WITH active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |   date_diff('day', DATE '2024-01-01', day)
+        |     - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM active),
+        |st AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+        |       min(day) AS start_day FROM i GROUP BY 1, 2),
+        |r AS (SELECT user_id, len, start_day,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY len DESC, start_day) AS rn,
+        |   sum(len) OVER (PARTITION BY user_id) AS n_active_days,
+        |   max(len) OVER (PARTITION BY user_id) AS longest
+        |  FROM st)
+        |SELECT user_id, CAST(n_active_days AS BIGINT) AS n_active_days,
+        | CAST(longest AS BIGINT) AS longest_streak,
+        | strftime(start_day, '%Y-%m-%d') AS streak_start
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q39_cdc_apply" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_type AS last_type, round(value, 2) AS last_value,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM t WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q40_scd2" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |ch AS (SELECT user_id, ts, event_id, event_type FROM c
+        |       WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS BIGINT) AS version,
+        | event_type AS state,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        | coalesce(strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |     '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to
+        |FROM ch ORDER BY user_id, version""".stripMargin,
+    "q32_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT date_diff('day', DATE '2024-01-01', c.cohort_day) // 7 AS cohort_week,
+        | date_diff('day', c.cohort_day, a.day) // 7 AS week_offset,
+        | CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q33_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q34_anomaly" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   sum(CAST(cents AS HUGEINT)) AS s,
+        |   sum(CAST(cents AS HUGEINT) * cents) AS q FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        | round(cents / 100.0, 2) AS revenue,
+        | round(CAST(CAST(n AS HUGEINT) * cents - s AS DOUBLE) /
+        |   (CAST(n AS DOUBLE) *
+        |    sqrt(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) /
+        |         CAST(n * (n - 1) AS DOUBLE))), 3) AS z
+        |FROM daily, m
+        |WHERE abs(CAST(CAST(n AS HUGEINT) * cents - s AS DOUBLE) /
+        |   (CAST(n AS DOUBLE) *
+        |    sqrt(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) /
+        |         CAST(n * (n - 1) AS DOUBLE)))) > 1.5
+        |ORDER BY day""".stripMargin,
+    "q35_attribution" ->
+      """WITH t AS (SELECT user_id, event_id, ts, event_type, value,
+        |  last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+        | FROM events)
+        |SELECT coalesce(touch, 'none') AS touch_type,
+        | CAST(count(*) AS BIGINT) AS n_purchases,
+        | round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2)
+        |   AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_histogram" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT cents // 2500000 AS bin, (cents // 2500000) * 25000 AS bin_lo,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(min(cents) / 100.0, 2) AS min_price,
+        | round(max(cents) / 100.0, 2) AS max_price,
+        | round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS sum_price
+        |FROM o GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q37_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST((15 * 1000000000000) // (100 * count(*)) AS BIGINT) AS base FROM deg),
+        |r0 AS (SELECT deg.src AS node,
+        |  CAST(1000000000000 // p.n AS BIGINT) AS rank FROM deg, p),
+        |r1 AS (SELECT e.dst AS node,
+        |  CAST(p.base + (85 * sum(r0.rank // deg.deg)) // 100 AS BIGINT) AS rank
+        | FROM e JOIN r0 ON e.src = r0.node JOIN deg ON deg.src = e.src, p
+        | GROUP BY e.dst, p.base),
+        |r2 AS (SELECT e.dst AS node,
+        |  CAST(p.base + (85 * sum(r1.rank // deg.deg)) // 100 AS BIGINT) AS rank
+        | FROM e JOIN r1 ON e.src = r1.node JOIN deg ON deg.src = e.src, p
+        | GROUP BY e.dst, p.base),
+        |r3 AS (SELECT e.dst AS node,
+        |  CAST(p.base + (85 * sum(r2.rank // deg.deg)) // 100 AS BIGINT) AS rank
+        | FROM e JOIN r2 ON e.src = r2.node JOIN deg ON deg.src = e.src, p
+        | GROUP BY e.dst, p.base)
+        |SELECT node AS part, rank FROM r3
+        |ORDER BY rank DESC, part LIMIT 20""".stripMargin,
+    "q38_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT
+        |   CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT)
+        |     AS h FROM orders),
+        |kv AS (SELECT max(h) AS hk FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM h)
+        |SELECT CAST(256 AS BIGINT) AS k,
+        | CAST((255 * 281474976710656) // kv.hk AS BIGINT) AS est_distinct,
+        | st.true_distinct,
+        | round(CAST((255 * 281474976710656) // kv.hk - st.true_distinct AS DOUBLE) /
+        |   CAST(st.true_distinct AS DOUBLE) * 100.0, 2) AS err_pct
+        |FROM kv, st""".stripMargin,
     "q31_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

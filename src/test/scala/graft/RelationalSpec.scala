@@ -140,6 +140,73 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("retention: offset-0 cohort sizes add up to the distinct-user total") {
+    val rows = SparkEntry.queries("q32_retention")(spark, sf).collect()
+    val users = sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val atZero = rows.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(atZero == users, "every user is active in their own cohort week")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cohort_week") >= 0L)
+      assert(r.getAs[Long]("week_offset") >= 0L)
+    }
+  }
+
+  test("market basket: pairs are ordered and bounded by single-part supports") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q33_market_basket")(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val support = sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val (a, b, n) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("n_orders"))
+      assert(a < b)
+      assert(n <= math.min(support(a), support(b)))
+    }
+  }
+
+  test("attribution: purchase counts per touch add up to all purchases") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q35_attribution")(spark, sf).collect()
+    val purchases = sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases)
+    val types = rows.map(_.getAs[String]("touch_type")).toSet
+    assert(types.subsetOf(Set("view", "click", "none")))
+  }
+
+  test("histogram: bin counts partition the orders table") {
+    val rows = SparkEntry.queries("q36_histogram")(spark, sf).collect()
+    val orders = sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == orders)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bin_lo") == r.getAs[Long]("bin") * 25000)
+      assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price"))
+    }
+  }
+
+  test("pagerank: top-20 is rank-sorted with unique parts, positive mass") {
+    val rows = SparkEntry.queries("q37_pagerank")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("part")).distinct.length == 20)
+    val ranks = rows.map(_.getAs[Long]("rank"))
+    assert(ranks.sliding(2).forall(p => p(0) >= p(1)))
+    assert(ranks.forall(_ > 0L))
+  }
+
+  test("kmv sketch: estimate within 20% of the exact distinct count") {
+    val r = SparkEntry.queries("q38_kmv_distinct")(spark, sf).head()
+    val est = r.getAs[Long]("est_distinct")
+    val exact = r.getAs[Long]("true_distinct")
+    // k=256 gives ~1/sqrt(k-2) ≈ 6% relative error; 20% is a loose bar
+    assert(math.abs(est - exact).toDouble / exact < 0.20,
+      s"KMV estimate $est vs exact $exact")
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
