@@ -1000,7 +1000,73 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Temperature-scaled source mixing + weighted sampling.
+  // ------------------------------------------------------------------
+
+  /** Temperature-scaled source sampling (the multilingual/data-mixture
+    * α-temperature rule): sources keep documents at rate
+    * (T_min / T_src)^(1−α) with α = 0.5, flattening the source
+    * distribution toward uniform without fully equalizing it
+    * (contrast [[curMixSources]], which hard-floors every source to
+    * the smallest token budget). Engine-portable determinism: the rate
+    * is sqrt of a ratio of exact token totals — one correctly-rounded
+    * double sqrt — scaled by 2^16 (exact) and floored into an integer
+    * bar compared against a 16-bit md5 slice of the doc id. The rate
+    * table is |sources| rows (broadcast); the corpus itself never
+    * shuffles — the sample is a map-side filter, as at 100 TB.
+    */
+  def curTemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val rates = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("min_tokens",
+        min(col("src_tokens")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .select(col("source"),
+        floor(sqrt(col("min_tokens").cast("double") / col("src_tokens").cast("double"))
+          * 65536.0).cast("long").as("keep_bar"))
+    docs.join(broadcast(rates), "source")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") < col("keep_bar"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("keep_bar"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distributed weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each document draws
+    * u = (h+1)/2^48 from its 48-bit md5 slice and competes on the key
+    * ln(u)/weight (equivalent to u^(1/w)); the global top-100 keys win.
+    * The selection is ONE bounded-heap aggregation
+    * ([[graft.functions.TopKIds]]) with map-side partial merge — the
+    * standard one-pass distributed reservoir for weighted sampling,
+    * no global sort at any scale. Every per-row key is pure
+    * correctly-rounded double arithmetic on exact integers (the only
+    * libm call, ln, can differ by an ulp across engines — far below
+    * the ~1/n spacing of adjacent order statistics, so the selected
+    * set is deterministic). Weights join back over a broadcast of the
+    * 100 winners, never the corpus.
+    */
+  def curWeightedSample(s: SparkSession, d: String): DataFrame = {
+    val Dom = 281474976710656.0 // 2^48, a power of two: division is exact
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        (log((conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("double") + 1.0) / Dom) / col("n_chars").cast("double")).as("k"))
+    val top = keyed
+      .agg(graft.functions.TopKIds.topKIds(col("k"), col("doc_id"), 100).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select((col("pos") + 1).cast("long").as("rank"), col("doc_id"))
+    Tables.documents(s, d)
+      .join(broadcast(top), "doc_id")
+      .select(col("rank"), col("doc_id"), col("n_chars").cast("long").as("weight"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_temperature_mix" -> curTemperatureMix _,
+    "cur_weighted_sample" -> curWeightedSample _,
     "cur_ccnet_buckets" -> curCcnetBuckets _,
     "cur_dedup_keep_best" -> curDedupKeepBest _,
     "cur_dsir" -> curDsir _,
@@ -1036,6 +1102,29 @@ object Curation {
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cur_temperature_mix" ->
+      """WITH docs AS (SELECT doc_id, source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |        FROM docs GROUP BY source),
+        |rates AS (SELECT source,
+        |   CAST(floor(sqrt(CAST((SELECT min(src_tokens) FROM per) AS DOUBLE) /
+        |     CAST(src_tokens AS DOUBLE)) * 65536.0) AS BIGINT) AS keep_bar FROM per)
+        |SELECT doc_id, docs.source, n_tokens, keep_bar
+        |FROM docs JOIN rates ON docs.source = rates.source
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+        |      < keep_bar
+        |ORDER BY doc_id""".stripMargin,
+    "cur_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, n_chars,
+        |   ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+        |       + 1.0) / 281474976710656.0) / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents),
+        |t AS (SELECT doc_id, n_chars,
+        |   row_number() OVER (ORDER BY k DESC, doc_id) AS rank FROM w)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+        | CAST(n_chars AS BIGINT) AS weight
+        |FROM t WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "cur_ccnet_buckets" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
