@@ -657,7 +657,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Prefix-filtered exact-Jaccard join (the AllPairs/PPJoin family):
+    * order every document's shingles by GLOBAL document frequency
+    * ascending (rarest first) and index only the first
+    * n − ⌈t·n⌉ + 1 of them — any pair with Jaccard ≥ t must share at
+    * least one of these prefix tokens, so the candidate set is
+    * provably COMPLETE with no df cap involved, and candidate volume
+    * concentrates on rare tokens where fan-out is inherently small.
+    * This is the third candidate-generation strategy next to the
+    * [[DfCap]] posting lists ([[dedupNgramJaccard]]) and the banded
+    * MinHash ([[dedupMinhashLsh]]): exact like the former, prunes like
+    * the latter. The prefix bound is computed at t = 0.4999 (not 0.5)
+    * in pure integer arithmetic so the ROUNDED ≥ 0.5 verify filter can
+    * never admit a pair the prefix missed, and no float boundary
+    * enters the prefix length. Same pair set as
+    * [[dedupNgramJaccard]] — the oracle is shared. Shapes: one df
+    * count window on the shingle key, one per-doc (bounded) ranking
+    * window, a self-join on PREFIX tokens only, and the sort-merge
+    * array verify — no broadcast, no cartesian, no uncapped hot key
+    * beyond what the data's own rare-token profile admits.
+    */
+  def dedupPrefixFilter(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).as("n"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val pref = ex
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("pos", row_number().over(wDoc))
+      // prefix length n − ⌈0.4999·n⌉ + 1, integer-exact
+      .filter(col("pos") <= col("n") - expr("(4999 * n + 9999) DIV 10000") + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("s"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    verifyExactJaccard(cand, sh)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix_filter" -> dedupPrefixFilter _,
     "dedup_paragraph" -> dedupParagraph _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_exact" -> dedupExact _,
@@ -771,6 +811,8 @@ object Dedup {
         |WHERE k.doc_id % 10 = 0
         |ORDER BY k.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    // provably the same pair set through prefix-filtered candidates
+    "dedup_prefix_filter" -> jaccardOracle,
     "dedup_containment" ->
       raw"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
            |   generate_series(1, len(string_split(text, ' ')) - 2),
