@@ -139,41 +139,69 @@ object Versioned {
     * of earlier versions.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String, partCol: String): Int = {
+      keyCol: String, partCol: String): Int =
+    applyChanges(spark, path, updates, keyCol, partCol, opCol = None)
+
+  /** CDC apply: like [[upsert]], but `opCol` marks each change row as
+    * an upsert or a `delete` tombstone. Deleted keys are removed from
+    * their partition (and only their partition — the same
+    * partition-scoped key contract as upsert); everything else merges
+    * last-write-wins. One version per applied batch, so the CDC
+    * history is time-travelable. The tombstone rows never reach the
+    * data files — they only drive the anti-join.
+    */
+  def applyCdc(spark: SparkSession, path: String, changes: DataFrame,
+      keyCol: String, partCol: String, opCol: String): Int =
+    applyChanges(spark, path, changes, keyCol, partCol, opCol = Some(opCol))
+
+  private def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
+      keyCol: String, partCol: String, opCol: Option[String]): Int = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    val u = updates.persist()
+    val u = changes.persist()
     try {
       require(u.filter(col(partCol).isNull).isEmpty,
         s"versioned upsert: null $partCol in updates")
       require(u.groupBy(col(keyCol), col(partCol)).count()
           .filter(col("count") > 1).isEmpty,
         s"versioned upsert: duplicate ($keyCol, $partCol) rows in the update batch")
+      // rows that insert data: everything, minus delete tombstones
+      val inserts = opCol match {
+        case None => u
+        case Some(c) => u.filter(col(c) =!= "delete").drop(c)
+      }
       val tag = "g" + java.util.UUID.randomUUID().toString.take(8)
       val tmp = new Path(root.getParent, root.getName + "_vtmp_" + tag)
       fs.delete(tmp, true)
       val prev = latestVersion(spark, path)
       val merged = prev match {
-        case None => u
+        case None => inserts
         case Some(v) =>
+          // ALL change keys (upserts AND deletes) claim their partition
           val parts = u.select(col(partCol)).distinct().collect()
             .map(r => s"$partCol=${r.get(0)}").toSet
           // driver-side manifest pruning: only affected partitions' files
           val prevFiles = manifestFiles(spark, path, v)
           val affectedFiles = prevFiles.filter(f => parts.contains(f.split('/').head))
-          if (affectedFiles.isEmpty) u
+          if (affectedFiles.isEmpty) inserts
           else {
             val affected = spark.read.option("basePath", path)
               .parquet(affectedFiles.map(f => s"$path/$f"): _*)
             val survivors = affected.join(
               u.select(col(keyCol), col(partCol)), Seq(keyCol, partCol), "left_anti")
-            survivors.unionByName(u.select(affected.columns.map(col).toIndexedSeq: _*))
+            survivors.unionByName(inserts.select(affected.columns.map(col).toIndexedSeq: _*))
           }
       }
       merged.write.partitionBy(partCol).parquet(tmp.toString)
       val newFiles = moveIn(fs, tmp, root, tag)
       fs.delete(tmp, true)
-      val newParts = newFiles.map(_.split('/').head).toSet
+      // a rewritten-affected partition whose rows ALL vanished (pure
+      // delete batch) produces no new file — it must still drop out of
+      // the carried set, so carry-over excludes every affected partition
+      val changedParts = u.select(col(partCol)).distinct().collect()
+        .map(r => s"$partCol=${r.get(0)}").toSet
+      val newParts = newFiles.map(_.split('/').head).toSet ++
+        (if (prev.isDefined) changedParts else Set.empty[String])
       val carried = prev.map(v =>
         manifestFiles(spark, path, v).filterNot(f => newParts.contains(f.split('/').head)))
         .getOrElse(Seq.empty)

@@ -375,6 +375,28 @@ object Streams {
       }
       .start()
 
+  /** Streaming CDC apply into the versioned table: each epoch's batch
+    * of change rows (upserts + `delete` tombstones in `opCol`) is
+    * merged by [[graft.sources.Versioned.applyCdc]], committing one
+    * time-travelable version per epoch — the Debezium→lakehouse
+    * "apply changes" pattern. Deletes remove the key from its
+    * partition; the atomic manifest rename keeps a crash mid-epoch
+    * from tearing the table, and replaying an epoch converges to the
+    * same state (idempotent merge).
+    */
+  def cdcSink(changes: DataFrame, path: String, keyCol: String,
+      partCol: String, opCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Versioned.applyCdc(
+          batch.sparkSession, path, batch, keyCol, partCol, opCol)
+        ()
+      }
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_agg" -> streamWindowedAgg _,
     "stream_session_state" -> sessionizeBatch _,

@@ -345,6 +345,56 @@ class SinksSpec extends AnyFunSuite {
     assert(partFiles("p2") == p2Before, "partition p2 untouched by the second epoch")
   }
 
+  test("versioned CDC apply: tombstones delete keys, history time-travels, emptied partitions vanish") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val path = tmp("versioned-cdc")
+    val v0 = Versioned.applyCdc(spark, path,
+      Seq[(Long, String, String, String)](
+        (1L, "a", "p1", "upsert"), (2L, "b", "p1", "upsert"), (3L, "c", "p2", "upsert"))
+        .toDF("id", "v", "part", "op"),
+      "id", "part", "op")
+    assert(v0 == 0)
+    // epoch 1: update key 1, tombstone key 2, insert key 4 into a new partition
+    val v1 = Versioned.applyCdc(spark, path,
+      Seq[(Long, String, String, String)](
+        (1L, "A", "p1", "upsert"), (2L, null, "p1", "delete"), (4L, "d", "p3", "upsert"))
+        .toDF("id", "v", "part", "op"),
+      "id", "part", "op")
+    assert(v1 == 1)
+    // epoch 2: tombstone p2's only key — the whole partition must drop
+    val v2 = Versioned.applyCdc(spark, path,
+      Seq[(Long, String, String, String)]((3L, null, "p2", "delete"))
+        .toDF("id", "v", "part", "op"),
+      "id", "part", "op")
+    assert(v2 == 2)
+    def snap(v: Int) = Versioned.snapshot(spark, path, v)
+      .select(col("id"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet
+    assert(snap(0) == Set((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2")))
+    assert(snap(1) == Set((1L, "A", "p1"), (3L, "c", "p2"), (4L, "d", "p3")))
+    assert(snap(2) == Set((1L, "A", "p1"), (4L, "d", "p3")))
+    // tombstones never write data rows, and the emptied partition has
+    // no files at all in the final manifest
+    val files2 = Versioned.manifestFiles(spark, path, 2)
+    assert(!files2.exists(_.startsWith("part=p2")), files2.toString)
+    // deletes are partition-scoped: a delete aimed at p1 must not
+    // touch the same key living in another partition
+    val v3 = Versioned.applyCdc(spark, path,
+      Seq[(Long, String, String, String)](
+        (4L, "d4", "p1", "upsert")).toDF("id", "v", "part", "op"),
+      "id", "part", "op")
+    val v4 = Versioned.applyCdc(spark, path,
+      Seq[(Long, String, String, String)](
+        (4L, null, "p1", "delete")).toDF("id", "v", "part", "op"),
+      "id", "part", "op")
+    assert(v3 == 3 && v4 == 4)
+    assert(Versioned.snapshot(spark, path).select(col("id"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "A", "p1"), (4L, "d", "p3")),
+      "p3's key-4 row must survive a p1-scoped delete of key 4")
+  }
+
   test("versioned table: snapshots time-travel, untouched partitions share files, vacuum retires") {
     import spark.implicits._
     import graft.sources.Versioned

@@ -296,6 +296,34 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly docs 1,2,3 once each, got ${ids.toSeq}")
   }
 
+  test("cdc sink: per-epoch apply with deletes, final state and history correct") {
+    import graft.sources.Versioned
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcsink").toString
+    val path = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    val stream = MemoryStream[(Long, String, String, String)]
+
+    stream.addData((1L, "a", "p1", "upsert"), (2L, "b", "p2", "upsert"))
+    Streams.cdcSink(stream.toDF().toDF("id", "v", "part", "op"),
+      path, "id", "part", "op", ckpt).awaitTermination()
+    stream.addData((1L, "A", "p1", "upsert"), (2L, "x", "p2", "delete"),
+      (3L, "c", "p2", "upsert"))
+    Streams.cdcSink(stream.toDF().toDF("id", "v", "part", "op"),
+      path, "id", "part", "op", ckpt).awaitTermination()
+
+    assert(Versioned.versions(spark, path) == Seq(0, 1))
+    def snap(v: Int) =
+      Versioned.snapshot(spark, path, v)
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("part"))
+        .as[(Long, String, String)].collect().toSet
+    assert(snap(0) == Set((1L, "a", "p1"), (2L, "b", "p2")))
+    assert(snap(1) == Set((1L, "A", "p1"), (3L, "c", "p2")))
+  }
+
   test("versioned sink: one commit per epoch, each epoch time-travelable") {
     import graft.sources.Versioned
     import spark.implicits._
