@@ -870,8 +870,62 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Growth curve: new users per day (first-seen day) and the running
+    * cumulative user count. The first-seen trick turns "distinct users
+    * up to each day" — quadratic if recomputed per day — into one
+    * user-keyed min aggregate plus a running sum over the BOUNDED day
+    * dimension (empty-frame window on ~tens of rows, the
+    * [[q34Anomaly]] pattern), which is how growth dashboards stay
+    * linear at any event volume.
+    */
+  def q43CumulativeUsers(s: SparkSession, d: String): DataFrame = {
+    val wCum = Window.partitionBy().orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(wCum))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  /** Incremental view maintenance (the delta-merge shape): a per-type
+    * (count, sum) aggregate maintained from a BASE partial and a
+    * DELTA partial merged by key, instead of rescanning the union —
+    * at 100 TB the base partial is persisted state and each refresh
+    * costs only the delta scan plus a dimension-sized merge. The
+    * output exposes the base/delta partials alongside the merged
+    * totals so the oracle gates the incremental path itself, not just
+    * the final sums. Sums are exact integer cents (mergeable with no
+    * float order dependence), the merge is a full outer join on the
+    * tiny type dimension.
+    */
+  def q44IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val Cut = "2024-01-25"
+    val ev = Tables.events(s, d).select(col("event_type"), col("ts"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    def part(df: DataFrame, pre: String): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as(s"${pre}_n"), sum(col("cents")).as(s"${pre}_cents"))
+    val base = part(ev.filter(col("ts") < lit(Cut)), "base")
+    val delta = part(ev.filter(col("ts") >= lit(Cut)), "delta")
+    base.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("delta_n"), lit(0L)).as("delta_n"),
+        (coalesce(col("base_n"), lit(0L)) + coalesce(col("delta_n"), lit(0L))).as("total_n"),
+        round((coalesce(col("base_cents"), lit(0L)) + coalesce(col("delta_cents"), lit(0L)))
+          / 100.0, 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_cumulative_users" -> q43CumulativeUsers _,
+    "q44_incremental_agg" -> q44IncrementalAgg _,
     "q41_peak_concurrency" -> q41PeakConcurrency _,
     "q42_streaks" -> q42Streaks _,
     "q39_cdc_apply" -> q39CdcApply _,
@@ -917,6 +971,33 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q43_cumulative_users" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |           FROM events GROUP BY user_id),
+        |n AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |      FROM f GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+        | CAST(sum(new_users) OVER (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_users
+        |FROM n ORDER BY day""".stripMargin,
+    "q44_incremental_agg" ->
+      """WITH ev AS (SELECT event_type, ts,
+        |   CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type, CAST(count(*) AS BIGINT) AS base_n,
+        |   CAST(sum(cents) AS BIGINT) AS base_cents
+        |  FROM ev WHERE ts < TIMESTAMP '2024-01-25' GROUP BY event_type),
+        |d AS (SELECT event_type, CAST(count(*) AS BIGINT) AS delta_n,
+        |   CAST(sum(cents) AS BIGINT) AS delta_cents
+        |  FROM ev WHERE ts >= TIMESTAMP '2024-01-25' GROUP BY event_type)
+        |SELECT coalesce(b.event_type, d.event_type) AS event_type,
+        | coalesce(base_n, 0) AS base_n,
+        | coalesce(delta_n, 0) AS delta_n,
+        | coalesce(base_n, 0) + coalesce(delta_n, 0) AS total_n,
+        | round((coalesce(base_cents, 0) + coalesce(delta_cents, 0)) / 100.0, 2)
+        |   AS total_value
+        |FROM b FULL OUTER JOIN d ON b.event_type = d.event_type
+        |ORDER BY event_type""".stripMargin,
     "q41_peak_concurrency" ->
       """WITH pts AS (
         |  SELECT ts AS t, 1 AS delta FROM events

@@ -86,6 +86,47 @@ object Versioned {
     spark.read.option("basePath", path).parquet(files.map(f => s"$path/$f"): _*)
   }
 
+  /** Snapshot diff — what changed between two commits: one row per
+    * (key, partition) present in either version, classified as
+    * `insert` / `delete` / `update` (payload changed) — `unchanged`
+    * rows are dropped. Payloads compare by md5 of the canonical JSON
+    * of all non-key columns (sorted by name), so the diff needs no
+    * schema knowledge. The join is a full outer on (key, partition) —
+    * at scale both sides PRUNE to the partitions whose file sets
+    * differ between the manifests (identical carried-over files
+    * cannot contain changed rows); file-level CoW makes that pruning
+    * driver-side metadata only, the same trick the merge uses.
+    */
+  def diff(spark: SparkSession, path: String, v1: Int, v2: Int,
+      keyCol: String, partCol: String): DataFrame = {
+    val f1 = manifestFiles(spark, path, v1).toSet
+    val f2 = manifestFiles(spark, path, v2).toSet
+    // partitions whose file lists are identical across versions are
+    // provably unchanged (files are immutable) — prune them up front
+    def parts(fs: Set[String]) = fs.groupBy(_.split('/').head)
+    val (p1, p2) = (parts(f1), parts(f2))
+    val changed = (p1.keySet ++ p2.keySet).filter(p => p1.get(p) != p2.get(p))
+    def side(fs: Set[String]): DataFrame = {
+      val live = fs.filter(f => changed.contains(f.split('/').head)).toSeq.sorted
+      if (live.isEmpty)
+        // preserve schema for the outer join even when nothing changed
+        snapshot(spark, path, v2).limit(0)
+      else spark.read.option("basePath", path).parquet(live.map(f => s"$path/$f"): _*)
+    }
+    def keyed(df: DataFrame, tag: String): DataFrame = {
+      val payload = df.columns.filterNot(c => c == keyCol || c == partCol).sorted
+      df.select(col(keyCol), col(partCol),
+        md5(to_json(struct(payload.map(col).toIndexedSeq: _*))).as(s"h_$tag"))
+    }
+    keyed(side(f1), "a").join(keyed(side(f2), "b"), Seq(keyCol, partCol), "full_outer")
+      .withColumn("change",
+        when(col("h_a").isNull, lit("insert"))
+          .when(col("h_b").isNull, lit("delete"))
+          .when(col("h_a") =!= col("h_b"), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col(keyCol), col(partCol), col("change"))
+  }
+
   /** Atomically commit `files` as the next version; returns it. The
     * tmp-write + rename-without-overwrite makes a racing second
     * writer fail its rename instead of silently clobbering.

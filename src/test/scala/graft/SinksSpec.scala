@@ -393,6 +393,15 @@ class SinksSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect().toSet ==
       Set((1L, "A", "p1"), (4L, "d", "p3")),
       "p3's key-4 row must survive a p1-scoped delete of key 4")
+    // snapshot diff classifies the CDC history per (key, partition)
+    def d(a: Int, b: Int) = Versioned.diff(spark, path, a, b, "id", "part")
+      .as[(Long, String, String)].collect().toSet
+    assert(d(0, 1) == Set((1L, "p1", "update"), (2L, "p1", "delete"),
+      (4L, "p3", "insert")))
+    assert(d(1, 2) == Set((3L, "p2", "delete")))
+    // v2 and v4 hold identical contents (key 4 came and went in p1)
+    assert(d(2, 4) == Set.empty)
+    assert(d(0, 0) == Set.empty)
   }
 
   test("versioned table: snapshots time-travel, untouched partitions share files, vacuum retires") {
