@@ -657,6 +657,18 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Jaccard bar for [[dedupPrefixFilter]]. Prefix filtering is the
+    * HIGH-threshold exact method: the prefix holds n − ⌈t·n⌉ + 1
+    * tokens, so at t = 0.8 only the ~20% rarest tokens of each doc are
+    * indexed and candidate volume stays near the true-pair count. At a
+    * low bar (t = 0.5 — half of every document indexed) the candidate
+    * and verify volume approaches the uncapped all-pairs join: the
+    * first 100× probe of the t = 0.5 form spilled past the box's free
+    * disk, which is WHY the operator carries its own bar instead of
+    * sharing [[JaccardThreshold]].
+    */
+  val PrefixFilterBar = 0.8
+
   /** Prefix-filtered exact-Jaccard join (the AllPairs/PPJoin family):
     * order every document's shingles by GLOBAL document frequency
     * ascending (rarest first) and index only the first
@@ -667,33 +679,49 @@ object Dedup {
     * This is the third candidate-generation strategy next to the
     * [[DfCap]] posting lists ([[dedupNgramJaccard]]) and the banded
     * MinHash ([[dedupMinhashLsh]]): exact like the former, prunes like
-    * the latter. The prefix bound is computed at t = 0.4999 (not 0.5)
-    * in pure integer arithmetic so the ROUNDED ≥ 0.5 verify filter can
-    * never admit a pair the prefix missed, and no float boundary
-    * enters the prefix length. Same pair set as
-    * [[dedupNgramJaccard]] — the oracle is shared. Shapes: one df
-    * count window on the shingle key, one per-doc (bounded) ranking
-    * window, a self-join on PREFIX tokens only, and the sort-merge
-    * array verify — no broadcast, no cartesian, no uncapped hot key
-    * beyond what the data's own rare-token profile admits.
+    * the latter — at its native HIGH threshold (see
+    * [[PrefixFilterBar]]).
+    *
+    * Scale posture, all learned from a failed 100× probe of the naive
+    * form: every shuffled key is the 8-byte xxhash64 of the shingle
+    * (the round-3 jaccard fix — string keys spilled the df window +
+    * prefix join past free disk), the token ORDER for prefixing is
+    * (df, hash) — any globally consistent total order preserves the
+    * completeness proof — and the verify joins hashed LONG arrays
+    * (sort-merge, doc-id keyed), not string arrays. The prefix bound
+    * is ⌈0.7999·n⌉ in pure integer arithmetic so the ROUNDED ≥ 0.8
+    * verify can never admit a pair the prefix missed, and no float
+    * boundary enters the prefix length.
     */
   def dedupPrefixFilter(s: SparkSession, d: String): DataFrame = {
+    // hashed distinct-shingle arrays: 8-byte tokens from here on
     val sh = shingled(s, d)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"), size(col("sh")).as("n"))
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(expr("transform(sh, x -> xxhash64(x))"))).as("hs"))
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"), size(col("hs")).as("n"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     val pref = ex
       .withColumn("df", count(lit(1)).over(wDf))
       .withColumn("pos", row_number().over(wDoc))
-      // prefix length n − ⌈0.4999·n⌉ + 1, integer-exact
-      .filter(col("pos") <= col("n") - expr("(4999 * n + 9999) DIV 10000") + 1)
-      .select(col("doc_id"), col("s"))
-    val cand = pref.select(col("doc_id").as("doc_a"), col("s"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      // prefix length n − ⌈0.7999·n⌉ + 1, integer-exact
+      .filter(col("pos") <= col("n") - expr("(7999 * n + 9999) DIV 10000") + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("h"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    verifyExactJaccard(cand, sh)
+    cand.hint("merge")
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .hint("merge")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")), 4))
+      .filter(col("jaccard") >= PrefixFilterBar)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -708,7 +736,7 @@ object Dedup {
     "dedup_incremental_minhash" -> dedupIncrementalMinhash _,
     "dedup_simhash" -> dedupSimhash _)
 
-  private val jaccardOracle =
+  private def jaccardOracleAt(bar: String) =
     raw"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
          |   generate_series(1, len(string_split(text, ' ')) - 2),
          |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
@@ -720,8 +748,10 @@ object Dedup {
          |SELECT doc_a, doc_b,
          | round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) AS jaccard
          |FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-         |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= 0.5
+         |WHERE round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) >= $bar
          |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val jaccardOracle = jaccardOracleAt("0.5")
 
   /** Exact batch×corpus jaccard: doc_a is always the new-shard doc
     * (doc_id % 10 = 0), doc_b the existing-corpus doc — no a<b
@@ -811,8 +841,9 @@ object Dedup {
         |WHERE k.doc_id % 10 = 0
         |ORDER BY k.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
-    // provably the same pair set through prefix-filtered candidates
-    "dedup_prefix_filter" -> jaccardOracle,
+    // same exact-pair semantics through prefix-filtered candidates,
+    // at the operator's native high bar (see PrefixFilterBar)
+    "dedup_prefix_filter" -> jaccardOracleAt("0.8"),
     "dedup_containment" ->
       raw"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
            |   generate_series(1, len(string_split(text, ' ')) - 2),

@@ -711,6 +711,9 @@ object Relational {
       .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
+      // cache PARTITIONED ON src: every iteration's rank join keys on
+      // src, so the edge exchange happens once, not once per iteration
+      .repartition(col("src"))
       .persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     val n = deg.count()

@@ -145,6 +145,38 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-k most-similar vectors with a DIFFERENT label — the
+    * highest-cosine wrong-class examples that make the strongest
+    * negatives for two-tower/embedding training. Same broadcast-query
+    * exact-scan shape as [[annBruteforceTopk]] (the correctness
+    * baseline; the IVF/PQ candidate generators compose with the label
+    * predicate the same way [[annFilteredTopk]] composes its filter),
+    * with the label inequality applied inside the scan so only
+    * wrong-class pairs are ever scored.
+    */
+  def annHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("va"), col("nrm").as("nrma"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"),
+      col("v").as("vb"), col("nrm").as("nrmb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(n, col("qlabel") =!= col("nlabel"))
+      .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("nlabel").cast("long").as("neighbor_label"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Radius bar for [[annRangeSearch]]. */
   val RangeBar = 0.35
 
@@ -1105,6 +1137,7 @@ object Similarity {
     "ann_ivfpq_recall" -> annIvfpqRecall _,
     "ann_hybrid_rrf" -> annHybridRrf _,
     "ann_range_search" -> annRangeSearch _,
+    "ann_hard_negatives" -> annHardNegatives _,
     "ann_filtered_topk" -> annFilteredTopk _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_semantic" -> dedupSemantic _,
@@ -1296,5 +1329,22 @@ object Similarity {
          |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
          | FROM c)
          |SELECT query_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_hard_negatives" ->
+      s"""WITH n AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |    (acc, x) -> acc + x)) AS nrm
+         | FROM embeddings),
+         |c AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  CAST(b.label AS BIGINT) AS neighbor_label,
+         |  round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) AS cosine
+         | FROM n a JOIN n b ON a.vec_id < 10 AND a.label <> b.label),
+         |r AS (SELECT query_id, neighbor_id, neighbor_label, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         | FROM c)
+         |SELECT query_id, rank, neighbor_id, neighbor_label, cosine FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

@@ -169,7 +169,8 @@ class PlanSpec extends AnyFunSuite {
     // join-free now (literal centroids) but its recall row inherits
     // the gate crosses.
     val allowNestedLoop =
-      Set("ann_bruteforce_topk", "ann_range_search", "ann_lsh_recall", "ann_ivf_recall",
+      Set("ann_bruteforce_topk", "ann_range_search", "ann_hard_negatives",
+        "ann_lsh_recall", "ann_ivf_recall",
         "ann_pq_recall", "ann_ivfpq_recall", "dedup_semantic_gate", "q24_revenue_share",
         "cur_tfidf_topterms", "text_lm_score", "text_pmi_bigrams",
         // scalar avgdl aggregate broadcast onto the term stream —
