@@ -925,8 +925,76 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Trailing-7-day distinct users per day — the sliding-window
+    * distinct count. Exact sliding distinct cannot reuse adjacent
+    * windows (distinct doesn't subtract), so the scalable exact form
+    * is contribute-to-every-window: each (user, active day) explodes
+    * to the ≤7 window ends it participates in, then one distinct +
+    * count per window end — a fixed ×7 linear blow-up instead of a
+    * per-day full recount (which is O(days · corpus) at 100 TB).
+    * All aggregations are key-partitioned hash aggs.
+    */
+  def q45SlidingDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("window_end"))
+      .distinct()
+      .groupBy(col("window_end"))
+      .agg(count(lit(1)).as("distinct_users"))
+      .select(date_format(col("window_end"), "yyyy-MM-dd").as("window_end"),
+        col("distinct_users"))
+      .orderBy(col("window_end"))
+
+  /** KMV sketch SET ALGEBRA — why mergeable sketches matter at scale:
+    * bottom-k sketches of two customer populations (early vs late
+    * order years) are built independently, their UNION sketch is just
+    * the bottom-k of the merged hash sets (one more bounded-heap
+    * aggregation — never a rescan), and the intersection estimate
+    * falls out by inclusion–exclusion. Each estimator is the same
+    * pure-integer (k−1)·2^48 / h_(k) as [[q38KmvDistinct]], so every
+    * estimate AND the exact counts are engine-portable bit-for-bit.
+    * The three sketches come from one tagged aggregation over hashed
+    * key sets; the final single-row combine is a conditional
+    * aggregation over the 3-row sketch frame — no scalar cross join.
+    */
+  def q46SketchSetops(s: SparkSession, d: String): DataFrame = {
+    val K = 256
+    val Dom = 281474976710656L // 2^48
+    def hashes(lo: String, hi: String): DataFrame =
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+        .distinct()
+    val ha = hashes("1995-01-01", "1998-01-01")
+    val hb = hashes("1998-01-01", "2002-01-01")
+    val hu = ha.unionAll(hb).distinct()
+    val tagged = ha.withColumn("tag", lit("a"))
+      .unionAll(hb.withColumn("tag", lit("b")))
+      .unionAll(hu.withColumn("tag", lit("u")))
+    val sk = tagged.groupBy(col("tag"))
+      .agg(count(lit(1)).as("true_n"),
+        graft.functions.TopKIds.topKIds(-col("h").cast("double"), col("h"), K).as("mins"))
+      .select(col("tag"), col("true_n"),
+        expr(s"CAST((${K - 1} * CAST($Dom AS BIGINT)) DIV element_at(mins, $K) AS BIGINT)")
+          .as("est"))
+    def pick(c: String, t: String): Column = max(when(col("tag") === t, col(c)))
+    sk.agg(
+        pick("est", "a").as("est_a"), pick("true_n", "a").as("true_a"),
+        pick("est", "b").as("est_b"), pick("true_n", "b").as("true_b"),
+        pick("est", "u").as("est_union"), pick("true_n", "u").as("true_union"))
+      .select(col("est_a"), col("true_a"), col("est_b"), col("true_b"),
+        col("est_union"), col("true_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersect"),
+        (col("true_a") + col("true_b") - col("true_union")).as("true_intersect"))
+  }
+
   /** queries-map fragment for this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_sliding_distinct" -> q45SlidingDistinct _,
+    "q46_sketch_setops" -> q46SketchSetops _,
     "q43_cumulative_users" -> q43CumulativeUsers _,
     "q44_incremental_agg" -> q44IncrementalAgg _,
     "q41_peak_concurrency" -> q41PeakConcurrency _,
@@ -974,6 +1042,49 @@ object Relational {
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
   val oracleSql: Map[String, String] = Map(
+    "q45_sliding_distinct" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |w AS (SELECT user_id,
+        |   unnest(generate_series(CAST(day AS TIMESTAMP),
+        |     CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS we
+        |  FROM a),
+        |dw AS (SELECT DISTINCT user_id, CAST(we AS DATE) AS window_end FROM w)
+        |SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+        | CAST(count(*) AS BIGINT) AS distinct_users
+        |FROM dw GROUP BY window_end ORDER BY window_end""".stripMargin,
+    "q46_sketch_setops" ->
+      """WITH ha AS (SELECT DISTINCT
+        |   CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |hb AS (SELECT DISTINCT
+        |   CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o_orderdate < TIMESTAMP '2002-01-01'),
+        |hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+        |t AS (SELECT 'a' AS tag, h FROM ha UNION ALL
+        |      SELECT 'b', h FROM hb UNION ALL
+        |      SELECT 'u', h FROM hu),
+        |r AS (SELECT tag, h,
+        |   row_number() OVER (PARTITION BY tag ORDER BY h) AS rn FROM t),
+        |sk AS (SELECT tag, CAST(count(*) AS BIGINT) AS true_n,
+        |   CAST((255 * 281474976710656) //
+        |     max(CASE WHEN rn = 256 THEN h END) AS BIGINT) AS est
+        |  FROM r GROUP BY tag)
+        |SELECT
+        | max(CASE WHEN tag = 'a' THEN est END) AS est_a,
+        | max(CASE WHEN tag = 'a' THEN true_n END) AS true_a,
+        | max(CASE WHEN tag = 'b' THEN est END) AS est_b,
+        | max(CASE WHEN tag = 'b' THEN true_n END) AS true_b,
+        | max(CASE WHEN tag = 'u' THEN est END) AS est_union,
+        | max(CASE WHEN tag = 'u' THEN true_n END) AS true_union,
+        | greatest(0, max(CASE WHEN tag = 'a' THEN est END)
+        |   + max(CASE WHEN tag = 'b' THEN est END)
+        |   - max(CASE WHEN tag = 'u' THEN est END)) AS est_intersect,
+        | max(CASE WHEN tag = 'a' THEN true_n END)
+        |   + max(CASE WHEN tag = 'b' THEN true_n END)
+        |   - max(CASE WHEN tag = 'u' THEN true_n END) AS true_intersect
+        |FROM sk""".stripMargin,
     "q43_cumulative_users" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
         |           FROM events GROUP BY user_id),
