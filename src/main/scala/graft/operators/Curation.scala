@@ -120,6 +120,40 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The eval-side contamination report — the complement of
+    * [[curDecontaminate]]: for each HELD-OUT document, how many
+    * training documents share at least one of its 5-grams. This is
+    * the report the benchmark owner needs (which eval items are
+    * compromised and how broadly), where decontaminate is the report
+    * the training side needs. Same broadcast discipline: the tiny
+    * eval gram set is the build side of an inner join the training
+    * stream passes once; per-eval-doc distinct-train counts aggregate
+    * on the eval key (benchmark-sized), and a final dimension join
+    * restores zero-hit eval docs. The corpus never shuffles.
+    */
+  def curEvalOverlap(s: SparkSession, d: String): DataFrame = {
+    val grams = barrier(s,
+      Tables.documents(s, d)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("g5", expr(FiveGramExpr))
+        .select(col("doc_id"), col("g5")))
+    val ev = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id").as("eval_doc"), explode(col("g5")).as("g"))
+    val tr = grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .select(col("doc_id").as("train_doc"), explode(col("g5")).as("g"))
+    val hits = tr.join(broadcast(ev), Seq("g"))
+      .groupBy(col("eval_doc"))
+      .agg(countDistinct(col("train_doc")).as("n_train_docs"))
+    grams.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id").as("eval_doc"))
+      .join(broadcast(hits), Seq("eval_doc"), "left")
+      .select(col("eval_doc").as("doc_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        when(coalesce(col("n_train_docs"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("compromised"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Decontamination with a SHUFFLED (not broadcast) eval set: the
     * fallback for when the held-out corpus is itself too large to
     * broadcast (e.g. decontaminating against another full training
@@ -1065,6 +1099,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_eval_overlap" -> curEvalOverlap _,
     "cur_temperature_mix" -> curTemperatureMix _,
     "cur_weighted_sample" -> curWeightedSample _,
     "cur_ccnet_buckets" -> curCcnetBuckets _,
@@ -1102,6 +1137,20 @@ object Curation {
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cur_eval_overlap" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, len(string_split(text, ' ')) - 4),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+        |        string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+        |        string_split(text, ' ')[i+4])) AS g5 FROM documents),
+        |ev AS (SELECT doc_id, unnest(g5) AS g FROM t WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, unnest(g5) AS g FROM t WHERE doc_id % 20 <> 0)
+        |SELECT ev.doc_id,
+        | CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+        | CAST(CASE WHEN count(tr.doc_id) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS compromised
+        |FROM ev LEFT JOIN tr ON ev.g = tr.g
+        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
     "cur_temperature_mix" ->
       """WITH docs AS (SELECT doc_id, source,
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

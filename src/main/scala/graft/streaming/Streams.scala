@@ -37,6 +37,31 @@ object Streams {
     windowedAgg(Tables.events(s, d))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** SLIDING 1-hour windows every 30 minutes: each event lands in two
+    * overlapping windows (the moving-average/trend shape tumbling
+    * windows can't express). Streaming state stays bounded — width ⁄
+    * slide = 2 live windows per key within the watermark horizon —
+    * and the sum aggregates exact integer cents so the overlap
+    * duplication introduces no float-order sensitivity.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("value") * 100, 0).cast("long")) / 100.0, 2).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming flavor: 2-hour watermark bounds the live window set. */
+  def slidingAggStream(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Batch entry for the correctness gate. */
+  def streamSlidingAgg(s: SparkSession, d: String): DataFrame =
+    slidingAgg(Tables.events(s, d))
+      .orderBy(col("window_start"), col("event_type"))
+
   // ------------------------------------------------------------------
   // Stateful sessionization (flatMapGroupsWithState).
   // ------------------------------------------------------------------
@@ -398,6 +423,7 @@ object Streams {
       .start()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_windowed_agg" -> streamWindowedAgg _,
     "stream_session_state" -> sessionizeBatch _,
     "stream_dedup" -> streamDedup _,
@@ -407,6 +433,22 @@ object Streams {
     "stream_neardup" -> streamNeardup _)
 
   val oracleSql: Map[String, String] = Map(
+    // each event contributes to exactly two half-hour-aligned windows
+    // (width 1h, slide 30m); Spark's epoch-aligned window start equals
+    // hour truncation plus the half-hour step
+    "stream_sliding_agg" ->
+      """WITH e AS (SELECT event_type,
+        |   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |   date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+        |     THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS w0
+        |  FROM events),
+        |x AS (SELECT event_type, cents, w0 AS ws FROM e
+        |      UNION ALL
+        |      SELECT event_type, cents, w0 - INTERVAL 30 MINUTE FROM e)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(sum(cents) / 100.0, 2) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Same exact pair-set oracle as dedup_incremental_minhash — the
     // stream-shaped plan must agree with the batch pipeline.
     "stream_neardup" -> graft.operators.Dedup.incrementalMinhashOracle,

@@ -35,6 +35,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromStream.toSeq == fromBatch.toSeq)
   }
 
+  test("sliding windows over a real stream match batch, two windows per event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value")).collect()
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    stream.addData(rows.map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3))))
+    val q = Streams.slidingAgg(
+        stream.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.outputMode("complete").format("memory").queryName("slide_all").start()
+    try q.processAllAvailable() finally q.stop()
+    val fromStream = spark.table("slide_all")
+      .orderBy("window_start", "event_type").collect().map(_.toSeq)
+    val fromBatch = Streams.streamSlidingAgg(spark, sf).collect().map(_.toSeq)
+    assert(fromStream.toSeq == fromBatch.toSeq)
+    // overlap invariant: every event is counted in exactly two windows
+    val nFromSliding = fromBatch.map(_(2).asInstanceOf[Long]).sum
+    assert(nFromSliding == 2L * rows.length)
+  }
+
   test("windowed top-k (custom bounded-heap agg) over a real stream matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
