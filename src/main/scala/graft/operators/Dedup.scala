@@ -590,6 +590,51 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** INCREMENTAL connected components — merging a new crawl shard
+    * into an existing cluster state without re-clustering the corpus:
+    * the production recurring-dedup ask, done by GRAPH CONTRACTION.
+    * Prior state is the corpus-only label table (persisted between
+    * runs in production, recomputed here like [[dedupIncremental]]'s
+    * key dictionary). The new shard's edges (batch↔batch and
+    * batch↔corpus pairs) have their corpus endpoints MAPPED THROUGH
+    * the prior labels, so the merge graph's nodes are prior cluster
+    * representatives plus batch docs — a graph the size of the DELTA,
+    * not the corpus. Min-label propagation over that contracted graph
+    * yields the merged representatives (prior reps are already
+    * component minima, so the contracted minimum IS the global
+    * minimum), and the final labels are two dimension joins:
+    * doc → prior rep → merged rep. Cost per refresh: the shard's pair
+    * generation + O(log diameter) rounds over the contracted graph —
+    * the corpus-sized label table is only ever joined, never
+    * re-propagated. Output is identical to [[dedupClusters]]
+    * (oracle shared): contraction is exact, not approximate.
+    */
+  def dedupClustersIncremental(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, d).select(col("doc_a"), col("doc_b")).localCheckpoint()
+    def isBatch(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(c, lit(10)) === 0
+    val oldPairs = pairs.filter(!isBatch(col("doc_a")) && !isBatch(col("doc_b")))
+    val newPairs = pairs.filter(isBatch(col("doc_a")) || isBatch(col("doc_b")))
+    val (oldLabels, _) = clusterPairs(oldPairs)
+    val oldL = oldLabels.localCheckpoint()
+    def mapEnd(df: DataFrame, end: String): DataFrame =
+      df.join(oldL.select(col("doc_id").as(end), col("label").as(s"${end}_l")),
+        Seq(end), "left")
+    val contracted = mapEnd(mapEnd(newPairs, "doc_a"), "doc_b")
+      .select(coalesce(col("doc_a_l"), col("doc_a")).as("doc_a"),
+        coalesce(col("doc_b_l"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct().localCheckpoint()
+    val (merged, _) = clusterPairs(contracted)
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(oldL, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("node"))
+      .join(merged.select(col("doc_id").as("node"), col("label").as("m")),
+        Seq("node"), "left")
+      .select(col("doc_id"), coalesce(col("m"), col("node")).as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Tokens per paragraph block for [[dedupParagraph]]. */
   val ParaBlockTokens = 8
 
@@ -728,6 +773,7 @@ object Dedup {
     "dedup_prefix_filter" -> dedupPrefixFilter _,
     "dedup_paragraph" -> dedupParagraph _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_clusters_incremental" -> dedupClustersIncremental _,
     "dedup_exact" -> dedupExact _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
@@ -821,6 +867,12 @@ object Dedup {
     // stripMargin literal — its `||` concat operators start lines and
     // stripMargin would eat one pipe.
     "dedup_clusters" -> (clusterLabelCte + "\n" +
+      """SELECT d.doc_id, coalesce(rep.cluster_rep, d.doc_id) AS cluster_rep
+        |FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+    // contraction is exact: the incremental merge must reproduce the
+    // full recompute bit-for-bit, so the oracle is shared verbatim
+    "dedup_clusters_incremental" -> (clusterLabelCte + "\n" +
       """SELECT d.doc_id, coalesce(rep.cluster_rep, d.doc_id) AS cluster_rep
         |FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin),
