@@ -753,7 +753,12 @@ object Dedup {
       // prefix length n − ⌈0.7999·n⌉ + 1, integer-exact
       .filter(col("pos") <= col("n") - expr("(7999 * n + 9999) DIV 10000") + 1)
       .select(col("doc_id"), col("h"))
+    // merge, never broadcast: the prefix index is ~20% of the corpus
+    // index and grows with it — at test SFs the planner would happily
+    // broadcast it, which is exactly the shape that cannot ship
+    // (PlanSpec pins this)
     val cand = pref.select(col("doc_id").as("doc_a"), col("h"))
+      .hint("merge")
       .join(pref.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()

@@ -55,6 +55,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"keep-list join-back must broadcast\n$p")
   }
 
+  test("round-7 analytics family: scale-posture plan shapes") {
+    // q39 CDC compaction: arg-max hash aggregation, never a per-key
+    // window sort over the change log
+    val cdc = planOf("q39_cdc_apply")
+    assert(!cdc.contains("Window"), s"q39 grew a window sort\n$cdc")
+    // weighted sampling + KMV sketch: bounded-heap aggregate, no
+    // global sort of the corpus (TakeOrdered of k rows is fine)
+    Seq("cur_weighted_sample", "q38_kmv_distinct").foreach { q =>
+      val p = planOf(q)
+      assert(p.toLowerCase.contains("topkids"), s"$q lost the heap aggregate\n$p")
+      assert(!p.contains("Window"), s"$q sorts globally via a window\n$p")
+    }
+    // retention / funnel-family aggregates: no window over the raw
+    // event stream (per-user and dimension aggs only)
+    Seq("q32_retention", "q43_cumulative_users", "q45_sliding_distinct").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested loop\n$p")
+    }
+    // market basket: the pair top-k must be TakeOrdered (per-partition
+    // heaps), not a global sort
+    assert(planOf("q33_market_basket").contains("TakeOrderedAndProject"))
+  }
+
+  test("dedup_prefix_filter: hashed 8-byte keys, no broadcast, no cartesian") {
+    val p = planOf("dedup_prefix_filter")
+    assert(p.contains("xxhash64"), s"prefix filter must shuffle hashed keys\n$p")
+    assert(!p.contains("BroadcastExchange"), s"corpus-sized side broadcast\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("cur_eval_overlap: eval side broadcast, corpus never shuffles for candidates") {
+    val p = planOf("cur_eval_overlap")
+    assert(p.contains("BroadcastHashJoin"), s"eval gram set must broadcast\n$p")
+  }
+
   test("ann_incremental: kernel assignment in plan, no cartesian, no corpus broadcast") {
     val p = planOf("ann_incremental_topk")
     assert(p.contains("MapPartitions"), s"expected the kernel cell assignment\n$p")

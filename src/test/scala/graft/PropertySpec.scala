@@ -59,6 +59,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filter pair set equals an independent brute-force jaccard sweep") {
+    // completeness is the whole point of prefix filtering: on a
+    // generated corpus dense with near-dups (mutated copies of a few
+    // base texts over a tiny vocabulary — lots of boundary-jaccard
+    // pairs), the engine's prefix-filtered output must equal a pure-
+    // Scala all-pairs recomputation with the same shingle + rounding
+    // semantics. A missed prefix candidate shows up here as a missing
+    // pair.
+    val r = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def baseText() =
+      Vector.fill(12 + r.nextInt(8))(vocab(r.nextInt(vocab.size))).mkString(" ")
+    val bases = Vector.fill(8)(baseText())
+    val texts = (0 until 40).map { _ =>
+      val b = bases(r.nextInt(bases.size)).split(" ").toVector
+      val m =
+        if (r.nextBoolean()) b.updated(r.nextInt(b.size), vocab(r.nextInt(vocab.size)))
+        else b
+      m.mkString(" ")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppjoin").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.Dedup.dedupPrefixFilter(spark, dir)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else (0 to toks.length - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    }
+    val sh = texts.zipWithIndex.map { case (t, i) => i.toLong -> shingles(t) }.toMap
+    val want = (for {
+      a <- sh.keys
+      b <- sh.keys
+      if a < b
+      inter = (sh(a) & sh(b)).size
+      if inter > 0
+      j = BigDecimal(inter.toDouble / (sh(a).size + sh(b).size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= graft.operators.Dedup.PrefixFilterBar
+    } yield (a, b)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   test("bag fingerprint is order-insensitive") {
     samples(Gen.listOfN(6, wordGen), 10).foreach { words =>
       val t1 = words.mkString(" ")
