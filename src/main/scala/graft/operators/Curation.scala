@@ -1098,7 +1098,34 @@ object Curation {
       .orderBy(col("rank"))
   }
 
+  /** Differentially-private count release (Laplace mechanism, ε=1):
+    * per-source document counts published with inverse-CDF Laplace
+    * noise — the aggregate-release pattern corpus reports use when
+    * membership is sensitive. The noise draw is DETERMINISTIC
+    * (inverse CDF on a 48-bit md5 uniform per source, the engine's
+    * seeded-randomness convention) so the release is reproducible and
+    * hash-gated; ln on a well-separated uniform keeps the 3-decimal
+    * rounding away from any cross-engine ulp boundary. One bounded
+    * dimension aggregate plus a map — nothing corpus-sized moves.
+    * (A production ε budget ledger sits above this; the mechanism is
+    * the engine-level part.)
+    */
+  def curDpCount(s: SparkSession, d: String): DataFrame = {
+    val Dom = 281474976710656.0 // 2^48
+    Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        (conv(substring(md5(col("source")), 1, 12), 16, 10).cast("double") + 0.5) / Dom)
+      .withColumn("noise",
+        when(col("u") < 0.5, log(col("u") * 2.0))
+          .otherwise(-log((lit(1.0) - col("u")) * 2.0)))
+      .select(col("source"), lit(1.0).as("epsilon"),
+        round(col("n") + col("noise"), 3).as("noised_count"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_dp_count" -> curDpCount _,
     "cur_eval_overlap" -> curEvalOverlap _,
     "cur_temperature_mix" -> curTemperatureMix _,
     "cur_weighted_sample" -> curWeightedSample _,
@@ -1137,6 +1164,17 @@ object Curation {
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cur_dp_count" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+        |           GROUP BY source),
+        |u AS (SELECT source, n,
+        |   (CAST('0x' || substring(md5(source), 1, 12) AS BIGINT) + 0.5)
+        |     / 281474976710656.0 AS u
+        |  FROM c)
+        |SELECT source, 1.0 AS epsilon,
+        | round(n + CASE WHEN u < 0.5 THEN ln(u * 2.0)
+        |                ELSE -ln((1.0 - u) * 2.0) END, 3) AS noised_count
+        |FROM u ORDER BY source""".stripMargin,
     "cur_eval_overlap" ->
       """WITH t AS (SELECT doc_id, list_distinct(list_transform(
         |   generate_series(1, len(string_split(text, ' ')) - 4),

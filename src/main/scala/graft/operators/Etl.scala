@@ -493,7 +493,34 @@ object Etl {
       .orderBy(col("doc_id"))
   }
 
+  /** Dead-letter routing for schema-on-read ingestion: every record
+    * either parses into the typed columns or lands in the DLQ with a
+    * reason — never a dropped row, never a failed job (the
+    * badRecordsPath/PERMISSIVE contract every production ingest
+    * needs). Corruption is injected deterministically (every 7th
+    * record loses its closing brace) so the routing itself is
+    * hash-gated; the parse-or-null probe is `get_json_object` (pure
+    * map-side, one pass). At 100 TB this is a scan-shaped kernel with
+    * no shuffle at all — the DLQ split is a predicate, not a job.
+    */
+  def etlDlqRoute(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        when(pmod(col("event_id"), lit(7)) === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+          .otherwise(col("props")).as("raw"))
+      .withColumn("k", get_json_object(col("raw"), "$.k").cast("long"))
+      .select(col("event_id"),
+        when(col("k").isNotNull, lit("ok")).otherwise(lit("dlq")).as("status"),
+        col("k"),
+        when(col("k").isNull, lit("unparseable_json"))
+          .otherwise(lit(null).cast("string")).as("err"),
+        when(col("k").isNull, col("raw"))
+          .otherwise(lit(null).cast("string")).as("dlq_payload"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dlq_route" -> etlDlqRoute _,
     "etl_model_summarize" -> etlModelSummarize _,
     "etl_model_judge" -> etlModelJudge _,
     "etl_sse_parse" -> etlSseParse _,
@@ -533,6 +560,21 @@ object Etl {
        |FROM documents)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "etl_dlq_route" ->
+      """WITH r AS (SELECT event_id,
+        |   CASE WHEN event_id % 7 = 0
+        |        THEN substring(props, 1, length(props) - 1)
+        |        ELSE props END AS raw
+        |  FROM events),
+        |p AS (SELECT event_id, raw,
+        |   CASE WHEN json_valid(raw)
+        |        THEN TRY_CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k
+        |  FROM r)
+        |SELECT event_id,
+        | CASE WHEN k IS NOT NULL THEN 'ok' ELSE 'dlq' END AS status, k,
+        | CASE WHEN k IS NULL THEN 'unparseable_json' END AS err,
+        | CASE WHEN k IS NULL THEN raw END AS dlq_payload
+        |FROM p ORDER BY event_id""".stripMargin,
     // byte-exact replica of ModelHook.StubClient over the same prompts;
     // the stub never fails, so every row carries (status = 200,
     // err = NULL) — the error columns are exercised by ModelHookSpec's

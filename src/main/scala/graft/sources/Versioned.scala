@@ -250,6 +250,42 @@ object Versioned {
     } finally u.unpersist()
   }
 
+  /** OPTIMIZE: rewrite every partition holding more than `maxFiles`
+    * data files into compacted files, committed as a NEW version —
+    * contents identical, history untouched (earlier versions keep
+    * reading the small files until [[vacuum]] retires them). This is
+    * the table-format compaction loop (Delta OPTIMIZE / Iceberg
+    * rewrite_data_files) on the same commit protocol as the merge:
+    * partitions already at or under the bound are carried over in the
+    * manifest only — no IO for them at any scale — and the rewrite
+    * repartitions on the partition column so each compacted hive
+    * partition lands as one file. Returns the committed version (the
+    * current one if nothing needed compacting).
+    */
+  def compact(spark: SparkSession, path: String, partCol: String,
+      maxFiles: Int = 1): Int = {
+    require(maxFiles >= 1, "maxFiles must be at least 1")
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val v = latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"versioned table $path has no commits"))
+    val files = manifestFiles(spark, path, v)
+    val byPart = files.groupBy(_.split('/').head)
+    val toCompact = byPart.filter(_._2.size > maxFiles)
+    if (toCompact.isEmpty) return v
+    val tag = "c" + java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(root.getParent, root.getName + "_vtmp_" + tag)
+    fs.delete(tmp, true)
+    val affected = spark.read.option("basePath", path)
+      .parquet(toCompact.values.flatten.map(f => s"$path/$f").toSeq: _*)
+    affected.repartition(col(partCol)).write.partitionBy(partCol).parquet(tmp.toString)
+    val newFiles = moveIn(fs, tmp, root, tag)
+    fs.delete(tmp, true)
+    val compacted = toCompact.keySet
+    val carried = files.filterNot(f => compacted.contains(f.split('/').head))
+    commit(fs, root, carried ++ newFiles)
+  }
+
   /** Retire all but the last `keepVersions` manifests and delete the
     * data files only they referenced; returns the number of files
     * deleted. Snapshot reads of retired versions fail from then on —

@@ -404,6 +404,36 @@ class SinksSpec extends AnyFunSuite {
     assert(d(0, 0) == Set.empty)
   }
 
+  test("versioned compact: fewer files, identical contents, history intact") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val path = tmp("versioned-compact")
+    // 4-way repartitioned writes leave several files per partition
+    val v0 = Versioned.upsert(spark, path,
+      (1L to 40L).map(i => (i, s"v$i", s"p${i % 2}")).toDF("id", "v", "part")
+        .repartition(4),
+      "id", "part")
+    val before = Versioned.manifestFiles(spark, path, v0)
+    assert(before.count(_.startsWith("part=p0")) > 1, before.toString)
+    val beforeRows = Versioned.snapshot(spark, path)
+      .select(col("id"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet
+    val v1 = Versioned.compact(spark, path, "part")
+    assert(v1 == v0 + 1)
+    val after = Versioned.manifestFiles(spark, path, v1)
+    assert(after.count(_.startsWith("part=p0")) == 1, after.toString)
+    assert(after.count(_.startsWith("part=p1")) == 1, after.toString)
+    assert(Versioned.snapshot(spark, path)
+      .select(col("id"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet == beforeRows)
+    // pre-compaction version still readable with its original files
+    assert(Versioned.snapshot(spark, path, v0)
+      .select(col("id"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet == beforeRows)
+    // idempotent: nothing left to compact → no new version
+    assert(Versioned.compact(spark, path, "part") == v1)
+  }
+
   test("versioned table: snapshots time-travel, untouched partitions share files, vacuum retires") {
     import spark.implicits._
     import graft.sources.Versioned
