@@ -1124,7 +1124,38 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** k-anonymity suppression (k=5) over the quasi-identifier tuple
+    * (lang, source, length bucket): documents whose QI group holds
+    * fewer than k members are released with their quasi-identifiers
+    * SUPPRESSED (nulled), so no released row is attributable to fewer
+    * than k candidates — the record-level privacy complement of
+    * [[curDpCount]]'s aggregate release. Group sizes are one hash
+    * aggregation on the bounded QI dimension broadcast back onto the
+    * corpus; the length bucket is integer arithmetic (no float
+    * boundary).
+    */
+  def curKAnon(s: SparkSession, d: String): DataFrame = {
+    val K = 5
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars DIV 100").as("len_bucket"))
+    val groups = docs.groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("group_n"))
+    docs.join(broadcast(groups), Seq("lang", "source", "len_bucket"))
+      .select(col("doc_id"),
+        when(col("group_n") >= K, col("lang")).otherwise(lit(null).cast("string"))
+          .as("lang"),
+        when(col("group_n") >= K, col("source")).otherwise(lit(null).cast("string"))
+          .as("source"),
+        when(col("group_n") >= K, col("len_bucket")).otherwise(lit(null).cast("long"))
+          .as("len_bucket"),
+        col("group_n"),
+        (col("group_n") >= K).cast("long").as("released"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_k_anon" -> curKAnon _,
     "cur_dp_count" -> curDpCount _,
     "cur_eval_overlap" -> curEvalOverlap _,
     "cur_temperature_mix" -> curTemperatureMix _,
@@ -1164,6 +1195,20 @@ object Curation {
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "cur_k_anon" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars // 100 AS len_bucket
+        |           FROM documents),
+        |g AS (SELECT lang, source, len_bucket, CAST(count(*) AS BIGINT) AS group_n
+        |      FROM d GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        | CASE WHEN group_n >= 5 THEN d.lang END AS lang,
+        | CASE WHEN group_n >= 5 THEN d.source END AS source,
+        | CASE WHEN group_n >= 5 THEN d.len_bucket END AS len_bucket,
+        | group_n, CAST(CASE WHEN group_n >= 5 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS released
+        |FROM d JOIN g ON d.lang = g.lang AND d.source = g.source
+        |  AND d.len_bucket = g.len_bucket
+        |ORDER BY doc_id""".stripMargin,
     "cur_dp_count" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
         |           GROUP BY source),
