@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry of DISTRIBUTED model/eval state (localCheckpoint-backed
+  * DataFrames cached across queries) that must survive Bench's
+  * per-query storage sweep.
+  *
+  * Why it exists: Bench frees each query's cached/checkpointed blocks
+  * once its timing is taken — on the 8 GiB bench heap, two passes of
+  * 141 queries' never-unpersisted checkpoint blocks stack up to
+  * storage-eviction churn that inflated late-alphabet rows 1.5-3x
+  * in-suite vs solo. But a localCheckpoint's lineage is truncated, so
+  * an unpersisted one can NEVER be recomputed — any cross-query cache
+  * holding one (the eval-gram bloom sketch, the exact-pair set) would
+  * crash its next consumer. Those caches therefore checkpoint through
+  * [[checkpointed]], which records the created blocks under an owner
+  * key; [[sweep]] unpersists everything else.
+  */
+object StateRegistry {
+  private val owned = scala.collection.mutable.Map.empty[String, Set[Int]]
+
+  /** localCheckpoint `df` and protect the resulting blocks under
+    * `owner` until [[release]]d.
+    */
+  def checkpointed(owner: String, df: DataFrame): DataFrame = synchronized {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val ck = df.localCheckpoint()
+    val added = sc.getPersistentRDDs.keySet.toSet -- before
+    owned(owner) = owned.getOrElse(owner, Set.empty) ++ added
+    ck
+  }
+
+  /** Unprotect and unpersist everything `owner` registered. Call when
+    * the owning cache is cleared — the blocks are unreachable the
+    * moment the cached DataFrame reference is dropped.
+    */
+  def release(spark: SparkSession, owner: String): Unit = synchronized {
+    val ids = owned.remove(owner).getOrElse(Set.empty)
+    val live = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(false)))
+  }
+
+  /** Unpersist every persistent RDD not protected by a registered
+    * owner: per-query cleanup between bench timings. BLOCKING — the
+    * removal work must land between timings, not run asynchronously
+    * into the next query's measurement (async removal measurably
+    * taxed every checkpoint-heavy query by 0.2-0.9s at sf0.1).
+    */
+  def sweep(spark: SparkSession): Unit = synchronized {
+    val keep = owned.values.flatten.toSet
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keep.contains(id)) rdd.unpersist(true)
+    }
+  }
+}

@@ -53,6 +53,19 @@ object Verify {
           System.err.println(s"[verify] ${name}_pairs dump failed: ${e.getMessage}")
         }
       }
+    // dedup_semantic oracle input: the quantizer's cell assignment.
+    // DuckDB recomputes the ENTIRE semantic-dedup output from it for
+    // real — within-cell pair join, exact cosines from the embeddings
+    // table, threshold, min-rep argmin — so any drift in the join
+    // logic, dot product, rounding, or keep rule hash-mismatches.
+    if (only.forall(_.contains("dedup_semantic"))) {
+      try graft.operators.Similarity.cellAssigned(spark, sfDir)
+        .select("vec_id", "cell").coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/dedup_semantic_cells")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dedup_semantic_cells dump failed: ${e.getMessage}")
+      }
+    }
     if (only.isEmpty) {
       import graft.operators.Similarity
       Seq(

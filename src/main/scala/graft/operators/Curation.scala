@@ -144,7 +144,12 @@ object Curation {
     val hits = tr.join(broadcast(ev), Seq("g"))
       .groupBy(col("eval_doc"))
       .agg(countDistinct(col("train_doc")).as("n_train_docs"))
+    // size(g5) > 0: an eval doc with <5 tokens has no 5-gram surface
+    // to overlap on and is out of scope for the report — and the
+    // unnest-based oracle drops such docs before its LEFT JOIN, so
+    // restoring them here would diverge on any corpus containing one.
     grams.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .filter(size(col("g5")) > 0)
       .select(col("doc_id").as("eval_doc"))
       .join(broadcast(hits), Seq("eval_doc"), "left")
       .select(col("eval_doc").as("doc_id"),
@@ -241,7 +246,9 @@ object Curation {
         .withColumn("g5", expr(FiveGramExpr))
         .select(explode(col("g5")).as("g")).distinct()
         .agg(BloomSketch.bloomAgg(xxhash64(col("g")), BloomEstItems, BloomNumBits).as("bf"))
-        .localCheckpoint()
+        // registered checkpoint: shared model state must survive
+        // Bench's per-query storage sweep (see graft.StateRegistry)
+        .transform(df => graft.StateRegistry.checkpointed("evalGramBloom", df))
     })
   }
 
@@ -1098,17 +1105,21 @@ object Curation {
       .orderBy(col("rank"))
   }
 
-  /** Differentially-private count release (Laplace mechanism, ε=1):
-    * per-source document counts published with inverse-CDF Laplace
-    * noise — the aggregate-release pattern corpus reports use when
-    * membership is sensitive. The noise draw is DETERMINISTIC
+  /** Laplace-mechanism count release — SIMULATION, not a privacy
+    * guarantee: per-source document counts published with inverse-CDF
+    * Laplace noise at the ε=1 scale, exercising exactly the transform
+    * a DP aggregate release runs. The noise draw is DETERMINISTIC
     * (inverse CDF on a 48-bit md5 uniform per source, the engine's
     * seeded-randomness convention) so the release is reproducible and
-    * hash-gated; ln on a well-separated uniform keeps the 3-decimal
+    * hash-gated — and therefore provides NO differential privacy:
+    * anyone can recompute md5(source) from the released row and
+    * subtract the noise. The output labels the scale `sim_epsilon` to
+    * make the synthetic nature explicit; a production deployment
+    * swaps the md5 uniform for a draw seeded by a secret key (or a
+    * true RNG plus an ε budget ledger) without touching the plan
+    * shape. ln on a well-separated uniform keeps the 3-decimal
     * rounding away from any cross-engine ulp boundary. One bounded
     * dimension aggregate plus a map — nothing corpus-sized moves.
-    * (A production ε budget ledger sits above this; the mechanism is
-    * the engine-level part.)
     */
   def curDpCount(s: SparkSession, d: String): DataFrame = {
     val Dom = 281474976710656.0 // 2^48
@@ -1119,7 +1130,7 @@ object Curation {
       .withColumn("noise",
         when(col("u") < 0.5, log(col("u") * 2.0))
           .otherwise(-log((lit(1.0) - col("u")) * 2.0)))
-      .select(col("source"), lit(1.0).as("epsilon"),
+      .select(col("source"), lit(1.0).as("sim_epsilon"),
         round(col("n") + col("noise"), 3).as("noised_count"))
       .orderBy(col("source"))
   }
@@ -1132,13 +1143,20 @@ object Curation {
     * [[curDpCount]]'s aggregate release. Group sizes are one hash
     * aggregation on the bounded QI dimension broadcast back onto the
     * corpus; the length bucket is integer arithmetic (no float
-    * boundary).
+    * boundary). NULL quasi-identifiers are coalesced to sentinel
+    * values BEFORE grouping: nulls never equi-join, so without the
+    * sentinel a null-QI record would vanish from the release
+    * entirely instead of flowing through the k-threshold
+    * suppression path — every input row must come out either
+    * released or suppressed.
     */
   def curKAnon(s: SparkSession, d: String): DataFrame = {
     val K = 5
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        expr("n_chars DIV 100").as("len_bucket"))
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit("__null__")).as("lang"),
+        coalesce(col("source"), lit("__null__")).as("source"),
+        coalesce(expr("n_chars DIV 100"), lit(-1L)).as("len_bucket"))
     val groups = docs.groupBy(col("lang"), col("source"), col("len_bucket"))
       .agg(count(lit(1)).as("group_n"))
     docs.join(broadcast(groups), Seq("lang", "source", "len_bucket"))
@@ -1196,7 +1214,9 @@ object Curation {
 
   val oracleSql: Map[String, String] = Map(
     "cur_k_anon" ->
-      """WITH d AS (SELECT doc_id, lang, source, n_chars // 100 AS len_bucket
+      """WITH d AS (SELECT doc_id, COALESCE(lang, '__null__') AS lang,
+        |           COALESCE(source, '__null__') AS source,
+        |           COALESCE(n_chars // 100, -1) AS len_bucket
         |           FROM documents),
         |g AS (SELECT lang, source, len_bucket, CAST(count(*) AS BIGINT) AS group_n
         |      FROM d GROUP BY 1, 2, 3)
@@ -1216,7 +1236,7 @@ object Curation {
         |   (CAST('0x' || substring(md5(source), 1, 12) AS BIGINT) + 0.5)
         |     / 281474976710656.0 AS u
         |  FROM c)
-        |SELECT source, 1.0 AS epsilon,
+        |SELECT source, 1.0 AS sim_epsilon,
         | round(n + CASE WHEN u < 0.5 THEN ln(u * 2.0)
         |                ELSE -ln((1.0 - u) * 2.0) END, 3) AS noised_count
         |FROM u ORDER BY source""".stripMargin,

@@ -545,9 +545,12 @@ object Similarity {
     * fixed k here mirrors the fixed IVF geometry and is gated by
     * [[dedupSemanticGate]]. Sort-merge join: both sides are the
     * corpus, a hash build is resident and a broadcast is corpus-sized.
-    * Quantizer cells are a fitted model, not SQL — so the result set
-    * is rows-only checked and the GATE row is the oracle-gated
-    * quality contract, same split as the ANN top-k/recall pairs.
+    * Quantizer cells are a fitted model, not SQL — so Verify dumps
+    * the cell assignment and the oracle recomputes the whole output
+    * from it FOR REAL (within-cell join, exact cosines, threshold,
+    * min-rep), while the GATE row separately certifies the
+    * quantizer's recall/work quality — same split as the ANN
+    * top-k/recall pairs.
     */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     val e = cellAssigned(s, d).localCheckpoint()
@@ -609,7 +612,8 @@ object Similarity {
 
   private def exactPairsFor(s: SparkSession, d: String): DataFrame =
     exactPairCache.getOrElseUpdate((s.sparkContext.applicationId, d),
-      dedupEmbeddingCosine(s, d).select(col("vec_a"), col("vec_b")).localCheckpoint())
+      graft.StateRegistry.checkpointed("exactPairs",
+        dedupEmbeddingCosine(s, d).select(col("vec_a"), col("vec_b"))))
 
   def dedupSemanticGate(s: SparkSession, d: String): DataFrame = {
     val cells = cellAssigned(s, d).select(col("vec_id"), col("cell")).localCheckpoint()
@@ -666,8 +670,23 @@ object Similarity {
     * truth is computed once per dataset, not once per index).
     */
   private[graft] def resetEvalCaches(): Unit = {
-    exactPairCache.clear()
+    dropDistributedEvalState()
     groundTruthCache.clear()
+  }
+
+  /** Drop only the DISTRIBUTED eval state (the checkpointed
+    * exact-pair DataFrame), releasing its registered blocks (see
+    * [[graft.StateRegistry]]). Bench calls this after every query:
+    * exactPairsFor has exactly one caller per pass
+    * (dedup_semantic_gate), so clearing it between queries costs zero
+    * recomputation and keeps the pair-sized blocks out of storage.
+    * Driver-side model/eval maps (ground truth, centroids, codebooks)
+    * are untouched — they hold no executor storage.
+    */
+  private[graft] def dropDistributedEvalState(): Unit = {
+    exactPairCache.values.headOption.foreach(df =>
+      graft.StateRegistry.release(df.sparkSession, "exactPairs"))
+    exactPairCache.clear()
   }
 
   private def groundTruth(s: SparkSession, d: String): Map[Long, Seq[Long]] =
@@ -1256,6 +1275,25 @@ object Similarity {
          |FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
          |WHERE round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) >= $RangeBar
          |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin,
+    // Full hash oracle via the dumped cell assignment (see
+    // graft.Verify): DuckDB re-forms the within-cell pair space
+    // itself, recomputes every cosine from the embeddings table, and
+    // re-derives keep/rep_id — the candidate-dump discipline of the
+    // ANN top-k oracles applied to the whole dedup output.
+    "dedup_semantic" ->
+      s"""$cosineCte,
+         |cells AS (SELECT vec_id, cell
+         |  FROM read_parquet('{{OUT}}/dedup_semantic_cells/*.parquet')),
+         |p AS (SELECT ca.vec_id AS ida, cb.vec_id AS idb,
+         |  round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) AS cosine
+         | FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+         | JOIN n a ON a.vec_id = ca.vec_id JOIN n b ON b.vec_id = cb.vec_id),
+         |drops AS (SELECT idb AS vec_id, min(ida) AS rep_id FROM p
+         | WHERE cosine >= $CosineThreshold GROUP BY idb)
+         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+         | CAST(CASE WHEN drops.rep_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         | drops.rep_id
+         |FROM cells c LEFT JOIN drops USING (vec_id) ORDER BY c.vec_id""".stripMargin,
     // n_exact_pairs is recomputed for real by DuckDB; the two flags
     // assert the deterministic Spark-side measurement clears the bars.
     "dedup_semantic_gate" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -450,7 +451,84 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Subword vocabulary size per gram length for [[textBpeTokens]]. */
+  val BpeVocabPerLen = 16
+  /** Longest subword the greedy matcher tries. */
+  val BpeMaxLen = 4
+
+  /** BPE-style subword tokenization, UDF-free and fully oracle-gated.
+    * FIT: a deterministic subword vocabulary — the
+    * top-[[BpeVocabPerLen]] most frequent character n-grams of each
+    * length 2..[[BpeMaxLen]] over all word occurrences (count desc,
+    * gram asc tie-break) — the deterministic, SQL-reproducible
+    * stand-in for learned BPE merges. APPLY: greedy
+    * longest-match-first segmentation of every word (the WordPiece
+    * decode rule), reporting per-document word and subword counts.
+    *
+    * Scale shape: segmentation runs once per DISTINCT word — the
+    * dictionary, not the corpus — and joins back onto per-doc word
+    * counts; a subword vocab is small by construction (real BPE
+    * merges are 32k-100k entries), so it rides as a broadcast-sized
+    * literal exactly like the IVF centroids (bounded model state, the
+    * same driver-collect convention), and the corpus is touched by
+    * nothing but the word explode and two hash aggregations. The
+    * greedy scan is one `aggregate` HOF carrying a (pos, n) struct —
+    * no UDF, no per-character shuffle, O(len · vocab) per distinct
+    * word.
+    */
+  def textBpeTokens(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    // distinct-word occurrence table: dictionary-sized; checkpointed
+    // because the gram fit and the tokenize step both read it
+    val occ = ex.groupBy(col("w")).agg(count(lit(1)).as("occ")).localCheckpoint()
+    val grams = (2 to BpeMaxLen).map { l =>
+      occ.filter(length(col("w")) >= l)
+        .select(lit(l).as("l"),
+          explode(expr(
+            s"transform(sequence(1, length(w) - ${l - 1}), i -> substring(w, i, $l))")).as("gm"),
+          col("occ"))
+    }.reduce(_ unionByName _)
+    val topGrams = grams.groupBy(col("l"), col("gm")).agg(sum(col("occ")).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("l")).orderBy(col("cnt").desc, col("gm"))))
+      .filter(col("rk") <= BpeVocabPerLen)
+    val vocab: Map[Int, Seq[String]] = topGrams.select(col("l"), col("gm")).collect()
+      .groupBy(_.getInt(0)).map { case (l, rows) => l -> rows.map(_.getString(1)).toSeq }
+    val v = (2 to BpeMaxLen)
+      .map(l => l -> typedLit(vocab.getOrElse(l, Seq.empty[String]))).toMap
+    val w = col("w")
+    val nsub = aggregate(
+      sequence(lit(1), length(w)),
+      struct(lit(1).as("pos"), lit(0).as("n")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val n = acc.getField("n")
+        def hit(l: Int) = array_contains(v(l), w.substr(pos, lit(l)))
+        def adv(l: Int) = struct((pos + l).as("pos"), (n + 1).as("n"))
+        when(pos > length(w), acc)
+          .when(hit(4), adv(4))
+          .when(hit(3), adv(3))
+          .when(hit(2), adv(2))
+          .otherwise(adv(1))
+      },
+      acc => acc.getField("n").cast("long"))
+    val tok = occ.select(col("w"), nsub.as("nsub"))
+    val per = ex.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val res = per.join(broadcast(tok), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), sum(col("c") * col("nsub")).as("n_subwords"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(res, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_tokens" -> textBpeTokens _,
     "text_boilerplate" -> textBoilerplate _,
     "text_readability" -> textReadability _,
     "text_bm25_topk" -> textBm25Topk _,
@@ -582,6 +660,51 @@ object TextAnalysis {
         |SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
         |FROM t GROUP BY ngram
         |ORDER BY doc_freq DESC, ngram LIMIT 50""".stripMargin,
+    // full fit+apply recompute: DuckDB re-derives the same top-16
+    // gram vocab (integer counts, total order) and re-runs the greedy
+    // longest-match via list_reduce with a (pos, n) struct — the
+    // list_prepend carries the initial accumulator, and a NULL vocab
+    // level (impossible here, but type-safe) simply never matches.
+    "text_bpe_tokens" ->
+      s"""WITH wx AS (SELECT doc_id, w FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''),
+         |occ AS (SELECT w, count(*) AS occ FROM wx GROUP BY w),
+         |g AS (
+         |  SELECT 2 AS l, unnest(list_transform(generate_series(1, strlen(w) - 1),
+         |    i -> substring(w, i, 2))) AS gm, occ FROM occ WHERE strlen(w) >= 2
+         |  UNION ALL
+         |  SELECT 3 AS l, unnest(list_transform(generate_series(1, strlen(w) - 2),
+         |    i -> substring(w, i, 3))) AS gm, occ FROM occ WHERE strlen(w) >= 3
+         |  UNION ALL
+         |  SELECT 4 AS l, unnest(list_transform(generate_series(1, strlen(w) - 3),
+         |    i -> substring(w, i, 4))) AS gm, occ FROM occ WHERE strlen(w) >= 4),
+         |gc AS (SELECT l, gm, sum(occ) AS cnt FROM g GROUP BY 1, 2),
+         |top AS (SELECT l, gm FROM (SELECT l, gm,
+         |    row_number() OVER (PARTITION BY l ORDER BY cnt DESC, gm) AS rk FROM gc)
+         |  WHERE rk <= $BpeVocabPerLen),
+         |v AS (SELECT list(gm) FILTER (WHERE l = 2) AS v2,
+         |             list(gm) FILTER (WHERE l = 3) AS v3,
+         |             list(gm) FILTER (WHERE l = 4) AS v4 FROM top),
+         |tok AS (SELECT w, struct_extract(list_reduce(
+         |    list_prepend({'pos': 1, 'n': 0},
+         |      list_transform(generate_series(1, strlen(w)), i -> {'pos': 0, 'n': 0})),
+         |    (acc, x) -> CASE
+         |      WHEN acc.pos > strlen(w) THEN acc
+         |      WHEN list_contains(v4, substring(w, acc.pos, 4))
+         |        THEN {'pos': acc.pos + 4, 'n': acc.n + 1}
+         |      WHEN list_contains(v3, substring(w, acc.pos, 3))
+         |        THEN {'pos': acc.pos + 3, 'n': acc.n + 1}
+         |      WHEN list_contains(v2, substring(w, acc.pos, 2))
+         |        THEN {'pos': acc.pos + 2, 'n': acc.n + 1}
+         |      ELSE {'pos': acc.pos + 1, 'n': acc.n + 1} END), 'n') AS nsub
+         |  FROM occ, v),
+         |per AS (SELECT doc_id, w, count(*) AS c FROM wx GROUP BY 1, 2),
+         |res AS (SELECT doc_id, sum(c) AS n_words, sum(c * nsub) AS n_subwords
+         |        FROM per JOIN tok USING (w) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+         | CAST(coalesce(n_subwords, 0) AS BIGINT) AS n_subwords
+         |FROM documents d LEFT JOIN res USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "text_token_count" ->
       raw"""SELECT doc_id,
            | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

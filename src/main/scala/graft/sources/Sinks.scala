@@ -256,6 +256,68 @@ object Sinks {
     *
     * Returns the number of partitions rewritten (or created).
     */
+  /** Per-record text-file sink with idempotent resume: one `<id>.txt`
+    * per input row — the reference converter's actual output contract
+    * (convert_json_to_text.py:150 `save_text_file`, one text file per
+    * input JSON, named by the input's stem) — plus the skip-existing
+    * resume its directory loop implies: records whose output file
+    * already exists are NOT rewritten, so a re-run after a partial
+    * failure finishes only the remaining records.
+    *
+    * Scale shape: ONE driver-side directory listing (the same listing
+    * any resume check needs) feeds a distributed anti-join — records
+    * are never enumerated on the driver — and the files are written
+    * from `foreachPartition` through the Hadoop FileSystem API, so
+    * output parallelism is the DataFrame's partitioning and the sink
+    * works against any Hadoop-supported store. A million-file output
+    * directory is an anti-pattern at 100 TB (use partitioned text or
+    * parquet); this sink exists for the reference's per-record
+    * contract, typically after a LIMIT or per-batch selection.
+    *
+    * Rows with a NULL id or text are dropped (counted in neither
+    * total), matching the reference's skip-on-failure accounting.
+    * Returns (written, skipped).
+    */
+  def writeTextPerRecord(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String, dir: String): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val existing = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".txt")).map(_.stripSuffix(".txt"))
+    import spark.implicits._
+    val rows = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("string").as("id"), col(textCol).cast("string").as("text"))
+    require(rows.groupBy(col("id")).count().filter(col("count") > 1).isEmpty,
+      s"writeTextPerRecord: duplicate $idCol values — one file per record requires unique ids")
+    val todo = (if (existing.isEmpty) rows
+      else rows.join(existing.toDF("id"), Seq("id"), "left_anti"))
+      .as[(String, String)].persist()
+    try {
+      val total = rows.count()
+      val nTodo = todo.count()
+      val dirStr = root.toString
+      todo.foreachPartition { (it: Iterator[(String, String)]) =>
+        if (it.hasNext) {
+          // executor-side FS handle; default conf resolves the same
+          // scheme for local/HDFS deployments. No client-side .crc
+          // sidecars: the output contract is EXACTLY one <id>.txt per
+          // record (a ChecksumFileSystem would shadow every file).
+          val p = new org.apache.hadoop.fs.Path(dirStr)
+          val efs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          efs.setWriteChecksum(false)
+          it.foreach { case (id, text) =>
+            val out = efs.create(new org.apache.hadoop.fs.Path(p, s"$id.txt"), true)
+            try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+        }
+      }
+      (nTodo, total - nTodo)
+    } finally todo.unpersist()
+  }
+
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, partCol: String,
       // above this many distinct partition values the prune switches

@@ -206,6 +206,16 @@ object Versioned {
       require(u.groupBy(col(keyCol), col(partCol)).count()
           .filter(col("count") > 1).isEmpty,
         s"versioned upsert: duplicate ($keyCol, $partCol) rows in the update batch")
+      // Reject malformed CDC input up front: `=!= "delete"` is NULL
+      // for a NULL op, so an unchecked junk/null op row would be
+      // excluded from inserts yet still claim its (key, partition) in
+      // the anti-join — silently deleting the existing row. Same
+      // guard discipline as the null-partition and duplicate-key
+      // requires above.
+      opCol.foreach { c =>
+        require(u.filter(col(c).isNull || !col(c).isin("upsert", "delete")).isEmpty,
+          s"versioned cdc: $c must be 'upsert' or 'delete' (non-null) for every row")
+      }
       // rows that insert data: everything, minus delete tombstones
       val inserts = opCol match {
         case None => u

@@ -297,6 +297,43 @@ object Streams {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every purchase is
+    * emitted, with null click columns when no click of the same user
+    * preceded it within the hour — the attribution-with-misses shape.
+    * In streaming, Spark holds an unmatched purchase in state until
+    * BOTH watermarks pass its join window and only then emits the
+    * null-padded row (a purchase can't be declared click-less while a
+    * matching late click could still arrive); the event-time range
+    * condition plus the two watermarks bound the state exactly as in
+    * the inner form. StreamingSpec drives this on MemoryStreams and
+    * proves the delayed null emission; the batch analog below is the
+    * oracle-gated row.
+    */
+  def clickToPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_outer")
+  }
+
+  /** Batch analog of the left-outer interval join for the gate. */
+  def streamIntervalJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val out = clickToPurchaseLeftJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+    out.select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("click_id").isNotNull.cast("long").as("matched"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   // ------------------------------------------------------------------
   // Windowed top-k (custom bounded-heap aggregate in streaming).
   // ------------------------------------------------------------------
@@ -429,6 +466,7 @@ object Streams {
     "stream_dedup" -> streamDedup _,
     "stream_topk" -> streamTopK _,
     "stream_interval_join" -> streamIntervalJoin _,
+    "stream_interval_join_outer" -> streamIntervalJoinOuter _,
     "stream_decontaminate" -> streamDecontaminate _,
     "stream_neardup" -> streamNeardup _)
 
@@ -469,6 +507,16 @@ object Streams {
         | ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // purchase-side filter in WHERE (an ON-clause predicate would not
+    // restrict the preserved side of a LEFT JOIN)
+    "stream_interval_join_outer" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        | CAST(CASE WHEN c.event_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched
+        |FROM events p LEFT JOIN events c
+        | ON c.event_type = 'click' AND p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
         |ORDER BY purchase_id, click_id""".stripMargin,
     "stream_windowed_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -105,6 +105,49 @@ class PropertySpec extends AnyFunSuite {
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
 
+  test("adversarial hot-shingle skew: DfCap bounds fan-out, result stays exact") {
+    import graft.operators.Dedup
+    // One pathological boilerplate shingle shared by EVERY document —
+    // df = 2222 ≈ 111x DfCap (the hot-key skew a crawl's site-chrome
+    // produces at 100 TB). Without the cap the inverted-index
+    // self-join would emit ~2.5M candidate pairs from that key alone;
+    // with it, candidates come only from the planted sub-cap
+    // shingles, and the hot shingle still counts toward each pair's
+    // EXACT intersection through the hot-path arrays.
+    val hot = "HOT HOT HOT"
+    val fillers = (0 until 2178).map(i =>
+      (i.toLong, (hot.split(" ").toVector ++ (0 until 9).map(k => s"u${i}_$k")).mkString(" ")))
+    // 22 planted near-dup pairs: b = a with the LAST token changed →
+    // 9 of 10 shingles shared, jaccard 9/11 ≈ 0.8182 ≥ the 0.5 bar
+    val planted = (0 until 22).flatMap { k =>
+      val a = 3000L + 2 * k
+      val toksA = hot.split(" ").toVector ++ (0 until 9).map(j => s"p${k}_$j")
+      val toksB = toksA.updated(toksA.size - 1, s"q$k")
+      Seq((a, toksA.mkString(" ")), (a + 1, toksB.mkString(" ")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    (fillers ++ planted)
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // structural bound: the capped index (the self-join's input) holds
+    // NO key above DfCap — per-key fan-out ≤ DfCap² regardless of the
+    // hot key's frequency — and the hot shingle itself is absent
+    val capped = Dedup.cappedIndex(Dedup.shingledEx(spark, dir))
+    val maxDf = capped.groupBy(col("s")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxDf <= Dedup.DfCap, s"capped index leaked a df=$maxDf key")
+    assert(capped.filter(col("s") === hot).isEmpty, "hot shingle reached the join input")
+    // exactness: precisely the planted pairs, with the hot shingle
+    // included in every intersection (filler pairs share ONLY the hot
+    // shingle → jaccard 1/19 < 0.5, provably excluded)
+    val got = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val j = BigDecimal(9.0 / 11.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (0 until 22).map(k => (3000L + 2 * k, 3000L + 2 * k + 1, j)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   test("bag fingerprint is order-insensitive") {
     samples(Gen.listOfN(6, wordGen), 10).foreach { words =>
       val t1 = words.mkString(" ")

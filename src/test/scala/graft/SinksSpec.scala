@@ -483,5 +483,47 @@ class SinksSpec extends AnyFunSuite {
       Versioned.upsert(spark, path,
         Seq((9L, "x", "p1"), (9L, "y", "p1")).toDF("id", "v", "part"), "id", "part")
     }
+    // malformed CDC ops (null or junk) are rejected, not treated as
+    // deletes: `op =!= "delete"` is NULL for a NULL op, so without the
+    // guard the row would silently remove its existing key
+    intercept[IllegalArgumentException] {
+      Versioned.applyCdc(spark, path,
+        Seq((1L, "z", "p1", null.asInstanceOf[String])).toDF("id", "v", "part", "op"),
+        "id", "part", "op")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.applyCdc(spark, path,
+        Seq((1L, "z", "p1", "tombstone")).toDF("id", "v", "part", "op"),
+        "id", "part", "op")
+    }
+  }
+
+  test("per-record text sink writes one file per row and resumes idempotently") {
+    import spark.implicits._
+    val dir = tmp("txtsink")
+    val df1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val (w1, s1) = Sinks.writeTextPerRecord(spark, df1, "doc_id", "text", dir)
+    assert((w1, s1) == (3L, 0L))
+    val root = new java.io.File(dir)
+    assert(root.listFiles().map(_.getName).toSet == Set("1.txt", "2.txt", "3.txt"))
+    assert(Files.readString(root.toPath.resolve("2.txt")) == "beta")
+    // resume: existing records are skipped (contents NOT rewritten),
+    // new records are written — the reference converter's
+    // skip-existing re-run semantics
+    Files.writeString(root.toPath.resolve("2.txt"), "edited-by-hand")
+    val df2 = Seq((2L, "beta"), (3L, "gamma"), (4L, "delta")).toDF("doc_id", "text")
+    val (w2, s2) = Sinks.writeTextPerRecord(spark, df2, "doc_id", "text", dir)
+    assert((w2, s2) == (1L, 2L))
+    assert(Files.readString(root.toPath.resolve("2.txt")) == "edited-by-hand")
+    assert(Files.readString(root.toPath.resolve("4.txt")) == "delta")
+    // null ids/texts drop from both counts; duplicate ids are rejected
+    val (w3, s3) = Sinks.writeTextPerRecord(spark,
+      Seq((Some(5L), Some("eps")), (None, Some("x")), (Some(6L), None))
+        .toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert((w3, s3) == (1L, 0L))
+    intercept[IllegalArgumentException] {
+      Sinks.writeTextPerRecord(spark,
+        Seq((7L, "a"), (7L, "b")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    }
   }
 }

@@ -263,6 +263,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("left-outer interval join holds unmatched purchases until the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clickStream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val purchaseStream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type")
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val base = 1700000000000L
+    // user 1: purchase with a click 1 min before; user 2: purchase with none
+    clickStream.addData((10L, ts(base - 60000L), 1L, "click"))
+    purchaseStream.addData((100L, ts(base), 1L, "purchase"), (200L, ts(base), 2L, "purchase"))
+    val q = Streams.clickToPurchaseLeftJoin(
+      named(clickStream.toDF()), named(purchaseStream.toDF()))
+      .select(col("purchase_id"), col("click_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_outer").start()
+    try {
+      q.processAllAvailable()
+      def emitted() = spark.table("ssj_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val first = emitted()
+      // the match emits promptly; the unmatched purchase is HELD — it
+      // cannot be declared click-less while a late click could still
+      // arrive inside the watermark
+      assert(first.contains((100L, 10L)), first.toString)
+      assert(!first.exists(_._1 == 200L), first.toString)
+      // advance event time far past the join window + watermark on
+      // both sides → the held purchase must now emit null-padded
+      clickStream.addData((11L, ts(base + 10L * 3600 * 1000), 9L, "click"))
+      purchaseStream.addData((900L, ts(base + 10L * 3600 * 1000), 9L, "purchase"))
+      q.processAllAvailable()
+      // state eviction can land in the follow-up (empty) microbatch
+      clickStream.addData((12L, ts(base + 11L * 3600 * 1000), 9L, "click"))
+      q.processAllAvailable()
+      val second = emitted()
+      assert(second.contains((200L, -1L)), second.toString)
+    } finally q.stop()
+  }
+
+  test("left-outer interval join over a real stream matches the batch analog") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val clickStream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val purchaseStream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    clickStream.addData(ev.filter(_._4 == "click"))
+    purchaseStream.addData(ev.filter(_._4 == "purchase"))
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type")
+    val q = Streams.clickToPurchaseLeftJoin(
+      named(clickStream.toDF()), named(purchaseStream.toDF()))
+      .select(col("purchase_id"), col("click_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_outer_all").start()
+    try {
+      q.processAllAvailable()
+      // advance BOTH sides' event time far past every original join
+      // window (the global watermark is the min over all inputs), so
+      // every held unmatched purchase flushes null-padded; then one
+      // more batch for the eviction pass
+      val far = ev.map(_._2.getTime).max + 24L * 3600 * 1000
+      clickStream.addData((999998L, new java.sql.Timestamp(far), 999999L, "click"))
+      purchaseStream.addData((999999L, new java.sql.Timestamp(far), 999999L, "purchase"))
+      q.processAllAvailable()
+      clickStream.addData((999997L, new java.sql.Timestamp(far + 3600 * 1000L), 999999L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(pid: Long, cid: Option[Long]) = (pid, cid.getOrElse(-1L))
+    val streamed = spark.table("ssj_outer_all").collect()
+      .map(r => key(r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .filter(_._1 < 999000L).toSet
+    val batch = Streams.streamIntervalJoinOuter(spark, sf).collect()
+      .map(r => key(r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(streamed == batch)
+    assert(batch.exists(_._2 == -1L), "expected at least one unmatched purchase")
+    assert(batch.exists(_._2 != -1L), "expected at least one matched purchase")
+  }
+
   test("stateful sessionizer runs incrementally on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
