@@ -145,6 +145,51 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Dimensions kept by the Matryoshka truncation (of 64). */
+  val MatryoshkaDims = 16
+
+  /** Matryoshka (MRL-style) truncated-embedding retrieval: rank by
+    * cosine over only the first [[MatryoshkaDims]] of 64 dimensions —
+    * the cheap-first-pass representation MRL-trained embedding models
+    * expose (prefix dims carry most of the signal; a 4x dimension cut
+    * is a 4x cut in scan bytes, memory AND dot-product FLOPs at
+    * 100 TB) — and report each truncated top-k hit with an
+    * `in_full_topk` flag against the full-dimension exact ranking, so
+    * the row doubles as the truncation's recall report. Same
+    * broadcast-query exact-scan shape as [[annBruteforceTopk]]; both
+    * rankings come out of ONE scan (two window functions over the
+    * same partition). Truncation is pure SQL, so unlike the
+    * LSH/IVF/PQ rows this needs no candidate dump: the oracle
+    * recomputes everything from the embeddings table.
+    */
+  def annMatryoshkaTopk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr(s"transform(slice(embedding, 1, $MatryoshkaDims), x -> cast(x AS double))")
+          .as("vt"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nt", sqrt(dot(col("vt"), col("vt"))))
+      .withColumn("nf", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("vt").as("qt"), col("v").as("qv"),
+        col("nt").as("qnt"), col("nf").as("qnf"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("vt").as("ct"),
+      col("v").as("cv"), col("nt").as("cnt_"), col("nf").as("cnf"))
+    val w16 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine16").desc, col("neighbor_id").asc)
+    val w64 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine64").desc, col("neighbor_id").asc)
+    broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine16", round(dot(col("qt"), col("ct")) / col("qnt") / col("cnt_"), 4))
+      .withColumn("cosine64", round(dot(col("qv"), col("cv")) / col("qnf") / col("cnf"), 4))
+      .withColumn("rank", row_number().over(w16).cast("long"))
+      .withColumn("rank64", row_number().over(w64).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine16"),
+        (col("rank64") <= TopK).cast("long").as("in_full_topk"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Hard-negative mining for contrastive training: per query vector,
     * the top-k most-similar vectors with a DIFFERENT label — the
     * highest-cosine wrong-class examples that make the strongest
@@ -1162,6 +1207,7 @@ object Similarity {
     "dedup_semantic" -> dedupSemantic _,
     "dedup_semantic_gate" -> dedupSemanticGate _,
     "ann_bruteforce_topk" -> annBruteforceTopk _,
+    "ann_matryoshka_topk" -> annMatryoshkaTopk _,
     "ann_lsh_topk" -> annLshTopk _,
     "ann_lsh_recall" -> annLshRecall _,
     "ann_ivf_topk" -> annIvfTopk _,
@@ -1368,6 +1414,33 @@ object Similarity {
          | FROM c)
          |SELECT query_id, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // truncation is plain SQL — full recompute, no candidate dump
+    "ann_matryoshka_topk" ->
+      s"""$cosineCte,
+         |t AS (SELECT vec_id,
+         |  list_transform(embedding[1:$MatryoshkaDims], x -> CAST(x AS DOUBLE)) AS vt,
+         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(embedding[1:$MatryoshkaDims],
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |    (acc, x) -> acc + x)) AS nt
+         | FROM embeddings),
+         |c AS (SELECT ta.vec_id AS query_id, tb.vec_id AS neighbor_id,
+         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, $MatryoshkaDims),
+         |      i -> ta.vt[i] * tb.vt[i])), (acc, x) -> acc + x)
+         |    / ta.nt / tb.nt, 4) AS cosine16,
+         |  round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) AS cosine64
+         | FROM t ta JOIN t tb ON ta.vec_id < $NumQueryVecs AND ta.vec_id <> tb.vec_id
+         | JOIN n a ON a.vec_id = ta.vec_id JOIN n b ON b.vec_id = tb.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cosine16,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine16 DESC, neighbor_id) AS rk16,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine64 DESC, neighbor_id) AS rk64
+         | FROM c)
+         |SELECT query_id, CAST(rk16 AS BIGINT) AS rank, neighbor_id, cosine16,
+         | CAST(CASE WHEN rk64 <= $TopK THEN 1 ELSE 0 END AS BIGINT) AS in_full_topk
+         |FROM r WHERE rk16 <= $TopK ORDER BY query_id, rank""".stripMargin,
     "ann_hard_negatives" ->
       s"""WITH n AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

@@ -62,6 +62,39 @@ object Streams {
     slidingAgg(Tables.events(s, d))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** DYNAMIC-gap session windows via Spark's native `session_window`:
+    * per user, events closer than [[SessionGapMinutes]] minutes merge
+    * into one window whose extent is data-driven (start = first
+    * event, end = last event + gap) — the aggregation-native
+    * complement of the flatMapGroupsWithState sessionizer
+    * ([[sessionizeStateful]]), usable wherever a windowed AGGREGATION
+    * is wanted rather than custom per-group state. Integer-cents sums
+    * (float-order-free); in streaming, the watermark both bounds live
+    * session state and drives final emission (append mode emits a
+    * session only once it can no longer grow).
+    */
+  val SessionGapMinutes = 30
+
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(round(col("value") * 100, 0).cast("long")) / 100.0, 2).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming flavor: watermark bounds live-session state. */
+  def sessionWindowStream(events: DataFrame): DataFrame =
+    sessionWindowAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Batch entry for the correctness gate. */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame =
+    sessionWindowAgg(Tables.events(s, d))
+      .orderBy(col("user_id"), col("session_start"))
+
   // ------------------------------------------------------------------
   // Stateful sessionization (flatMapGroupsWithState).
   // ------------------------------------------------------------------
@@ -463,6 +496,7 @@ object Streams {
     "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_windowed_agg" -> streamWindowedAgg _,
     "stream_session_state" -> sessionizeBatch _,
+    "stream_session_window" -> streamSessionWindow _,
     "stream_dedup" -> streamDedup _,
     "stream_topk" -> streamTopK _,
     "stream_interval_join" -> streamIntervalJoin _,
@@ -542,6 +576,28 @@ object Streams {
         | FROM events)
         |WHERE rk <= 3
         |ORDER BY window_start, event_type, rank""".stripMargin,
+    // session_window boundary rule: an event at EXACTLY prev + gap
+    // starts a NEW session (windows are [start, last+gap), no overlap
+    // at equality) — hence >= in the oracle's gap test, unlike the
+    // stateful sessionizer's strictly-greater rule.
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, cents,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM e)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(cents) / 100.0, 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // Same gap rule as q13 — the stateful path must agree with the
     // declarative window-function formulation.
     "stream_session_state" ->

@@ -79,6 +79,41 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q33_market_basket").contains("TakeOrderedAndProject"))
   }
 
+  test("q37_pagerank: zero shuffle above the cached edge list (broadcast iterations)") {
+    // The iteration contract: every per-round join is a broadcast of
+    // the node-bounded contribution table against the dst-partitioned
+    // cached edges, and the dst aggregation is partition-local — so
+    // above the InMemoryTableScan the ONLY exchanges are broadcasts.
+    // A shuffle appearing here means the cache lost its partitioning
+    // (e.g. someone swapped cache() back to localCheckpoint()) or a
+    // join reverted to shuffle form.
+    val p = planOf("q37_pagerank")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val lines = p.linesIterator.toVector
+    val firstScan = lines.indexWhere(_.contains("InMemoryTableScan"))
+    assert(firstScan > 0, p)
+    val bad = lines.take(firstScan).filter(l =>
+      l.contains("ShuffledHashJoin") ||
+        (l.contains("Exchange") && !l.contains("BroadcastExchange")
+          && !l.contains("ReusedExchange")))
+    assert(bad.isEmpty, s"shuffle above the cached edge scan:\n${bad.mkString("\n")}\n$p")
+  }
+
+  test("text_bpe_tokens: broadcast dictionary join, fitted vocab as literal, no window") {
+    // Apply-side plan only: the vocab fit collects its 48 grams at
+    // construction (bounded model state, the IVF-centroid
+    // convention), so the returned plan must carry the vocab as a
+    // literal — no Window/row_number, no fit subtree — and the
+    // distinct-word subword table joins back by BROADCAST (a subword
+    // dictionary is small by construction, even at 100 TB).
+    val p = planOf("text_bpe_tokens")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup_prefix_filter: hashed 8-byte keys, no broadcast, no cartesian") {
     val p = planOf("dedup_prefix_filter")
     assert(p.contains("xxhash64"), s"prefix filter must shuffle hashed keys\n$p")
@@ -205,7 +240,10 @@ class PlanSpec extends AnyFunSuite {
     // join-free now (literal centroids) but its recall row inherits
     // the gate crosses.
     val allowNestedLoop =
-      Set("ann_bruteforce_topk", "ann_range_search", "ann_hard_negatives",
+      // ann_matryoshka_topk: the same intentional broadcast-query
+      // exact scan as ann_bruteforce_topk (it IS the recall baseline)
+      Set("ann_bruteforce_topk", "ann_matryoshka_topk",
+        "ann_range_search", "ann_hard_negatives",
         "ann_lsh_recall", "ann_ivf_recall",
         "ann_pq_recall", "ann_ivfpq_recall", "dedup_semantic_gate", "q24_revenue_share",
         "cur_tfidf_topterms", "text_lm_score", "text_pmi_bigrams",

@@ -263,6 +263,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("native session_window stream matches the batch analog (watermark-driven emission)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    stream.addData(ev)
+    val q = Streams.sessionWindowStream(
+        stream.toDF().toDF("event_id", "ts", "user_id", "value"))
+      .writeStream.outputMode("append").format("memory").queryName("sess_win").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits a session only once the watermark proves it
+      // can no longer grow — push event time past every session + gap
+      val far = ev.map(_._2.getTime).max + 24L * 3600 * 1000
+      stream.addData((999999L, new java.sql.Timestamp(far), 999999L, 0.0))
+      q.processAllAvailable()
+      stream.addData((999998L, new java.sql.Timestamp(far + 3600 * 1000L), 999999L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4))
+    val streamed = spark.table("sess_win").collect().map(key)
+      .filter(_._1 < 999000L).toSet
+    val batch = Streams.streamSessionWindow(spark, sf).collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch.exists(_._4 > 1L), "expected at least one multi-event session")
+  }
+
   test("left-outer interval join holds unmatched purchases until the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
