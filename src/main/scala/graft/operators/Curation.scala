@@ -426,6 +426,39 @@ object Curation {
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------------------------
+  // Global shuffle + sharding (training order).
+  // ------------------------------------------------------------------
+
+  /** Training shards (file count a real run writes per epoch). */
+  val NumShards = 8
+
+  /** Deterministic GLOBAL SHUFFLE into training shards — the step
+    * every pretraining pipeline runs last: neighboring documents in
+    * crawl order are correlated (same site, same day), so training
+    * consumption must be a uniform random permutation, yet the
+    * permutation must be REPRODUCIBLE (restart a run, get the same
+    * data order). Both come from one hash: the 48-bit md5 prefix of
+    * the doc id is the shuffle key; `shard = key % NumShards` places
+    * each doc, `pos = row_number` over (key, doc_id) within the shard
+    * orders it. Scale shape: ONE exchange on the shard id and a
+    * within-shard sort — exactly the shard-file write pattern (each
+    * shard is one sorted output stream); no global sort, no driver
+    * state, and the permutation quality is the hash's uniformity.
+    */
+  def curShardShuffle(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(NumShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  // ------------------------------------------------------------------
   // Source mixing (data-mixture rebalancing).
   // ------------------------------------------------------------------
 
@@ -1193,6 +1226,7 @@ object Curation {
     "cur_repetition" -> curRepetition _,
     "cur_chunk" -> curChunk _,
     "cur_sample_stratified" -> curSampleStratified _,
+    "cur_shard_shuffle" -> curShardShuffle _,
     "cur_mix_sources" -> curMixSources _,
     "cur_dup_ngram_frac" -> curDupNgramFrac _,
     "cur_tfidf_topterms" -> curTfidfTopterms _,
@@ -1535,6 +1569,15 @@ object Curation {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
         |  CASE WHEN lang = 'en' THEN '33' ELSE '7f' END
         |ORDER BY doc_id""".stripMargin,
+    "cur_shard_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+         |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+         |    AS skey FROM documents),
+         |s AS (SELECT doc_id, skey, skey % $NumShards AS shard FROM k)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         | CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+         |   AS BIGINT) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin,
     "cur_mix_sources" ->
       """WITH d AS (SELECT doc_id, source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

@@ -194,7 +194,99 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Simhash width / band geometry / distance bar for
+    * [[mmHammingNeardup]]. 48 bits = the md5-prefix integer width the
+    * engine's other seeded hashes use; 4 bands × 12 bits; by
+    * pigeonhole, any pair within Hamming distance ≤ [[HammingBar]] (3)
+    * differs in at most 3 bands, so at least one of the 4 band values
+    * matches exactly — the candidate generation is COMPLETE for the
+    * bar, never an approximation.
+    */
+  val SimhashBits = 48
+  val HammingBands = 4
+  val HammingBandBits = 12
+  val HammingBar = 3
+
+  /** Perceptual NEAR-dup pairs over binary media by Hamming distance —
+    * the distance-based complement of [[mmDedup]]'s equality buckets
+    * (re-encodes that flip a few signature bits still pair up):
+    * (1) a 48-bit SIMHASH over byte trigrams (one typed kernel pass;
+    * md5-prefix trigram hashes so DuckDB recomputes the signature
+    * bit-for-bit — with a real codec the same simhash runs over
+    * decoded pixel blocks); (2) MULTI-INDEX HAMMING candidate
+    * generation: the signature splits into [[HammingBands]] 12-bit
+    * bands, docs sharing any band value become candidates (complete
+    * for distance ≤ [[HammingBar]], see the geometry note above);
+    * (3) exact popcount-of-xor verify on candidates only. Sort-merge
+    * self-join on the band key (both sides corpus-sized), distinct
+    * pairs, map-side verify.
+    *
+    * Scale contract (same class as dedup_semantic's fixed k=8 cell
+    * geometry, and excluded from the 100x probe for the same
+    * documented reason): bucket occupancy is n / 2^bandBits, so the
+    * FIXED 4x12-bit geometry here is calibrated to the test SFs and
+    * goes quadratic if the corpus grows under it. A larger corpus
+    * WIDENS the signature, not the code: md5 supplies 128 bits, so an
+    * 8x16-bit geometry (two 48-bit halves + a 32-bit tail of the same
+    * digest) keeps occupancy constant to ~300M docs while RAISING the
+    * pigeonhole completeness bar to distance 7 — the IVF-k≈√n knob
+    * in Hamming space.
+    */
+  def mmHammingNeardup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { m =>
+          val counts = new Array[Int](SimhashBits)
+          var i = 0
+          while (i + 2 < m.blob.length) {
+            md.reset()
+            md.update(m.blob, i, 3)
+            val dig = md.digest()
+            var h = 0L
+            var j = 0
+            while (j < 6) { h = (h << 8) | (dig(j) & 0xffL); j += 1 }
+            var b = 0
+            while (b < SimhashBits) {
+              if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+              b += 1
+            }
+            i += 1
+          }
+          var sg = 0L
+          var b = 0
+          while (b < SimhashBits) { if (counts(b) > 0) sg |= (1L << b); b += 1 }
+          (m.doc_id, sg)
+        }
+      }.toDF("doc_id", "sig")
+      // two self-join sides read the signature table; the kernel
+      // (corpus-pass md5s) must run once (lambda subtrees never
+      // canonicalize for ReuseExchange)
+      .localCheckpoint()
+    val mask = (1L << HammingBandBits) - 1
+    val bands = sig.select(col("doc_id"), col("sig"),
+      explode(expr(s"transform(sequence(0, ${HammingBands - 1}), " +
+        s"k -> struct(k AS k, shiftright(sig, k * $HammingBandBits) & $mask AS bval))"))
+        .as("bd"))
+      .select(col("doc_id"), col("sig"), col("bd.k").as("k"), col("bd.bval").as("bval"))
+    bands.as("a").hint("merge")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= HammingBar)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_hamming_neardup" -> mmHammingNeardup _,
     "mm_dedup" -> mmDedup _,
     "mm_metadata" -> mmMetadata _,
     "mm_feature_extract" -> mmFeatureExtract _,
@@ -202,6 +294,32 @@ object Multimodal {
     "mm_resize" -> mmResize _)
 
   val oracleSql: Map[String, String] = Map(
+    // Full recompute: DuckDB re-derives the 48-bit trigram simhash
+    // (md5-prefix per trigram — bit-identical to the kernel), re-forms
+    // the band candidates and re-verifies the popcount-of-xor bar.
+    "mm_hamming_neardup" ->
+      s"""WITH i AS (SELECT doc_id, text,
+         |  unnest(generate_series(1, strlen(text) - 2)) AS i FROM documents),
+         |t AS (SELECT doc_id,
+         |  CAST('0x' || substring(md5(substring(text, CAST(i AS INT), 3)), 1, 12)
+         |    AS BIGINT) AS h FROM i),
+         |bb AS (SELECT doc_id, g.b AS b,
+         |  sum(CASE WHEN (h >> CAST(g.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+         | FROM t, generate_series(0, ${SimhashBits - 1}) AS g(b) GROUP BY doc_id, g.b),
+         |sg AS (SELECT doc_id,
+         |  sum(CASE WHEN cnt > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END)
+         |    AS sig FROM bb GROUP BY doc_id),
+         |bands AS (SELECT doc_id, sig, g.k AS k,
+         |  (sig >> CAST($HammingBandBits * g.k AS INT)) & ${(1L << HammingBandBits) - 1}
+         |    AS bval
+         | FROM sg, generate_series(0, ${HammingBands - 1}) AS g(k)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.sig AS sa, b.sig AS sb
+         | FROM bands a JOIN bands b
+         |  ON a.k = b.k AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= $HammingBar
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // Integer threshold rule (count·bins > n) keeps the signature FP-free
     // on both engines; md5 over the pure-ASCII blob equals md5(text).
     "mm_dedup" ->
