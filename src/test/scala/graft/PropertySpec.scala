@@ -148,6 +148,73 @@ class PropertySpec extends AnyFunSuite {
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
 
+  test("shard shuffle is a permutation: every doc exactly once, positions dense per shard") {
+    import graft.operators.Curation
+    val got = Curation.curShardShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = sources.Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // bijection: every input doc appears exactly once
+    assert(got.map(_._1).toSet == docs)
+    assert(got.length == docs.size)
+    // per shard, positions are exactly 1..|shard| (dense, no gaps)
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // the hash spreads: no shard holds more than 3x its fair share
+    val fair = docs.size.toDouble / Curation.NumShards
+    got.groupBy(_._2).values.foreach(rows =>
+      assert(rows.length <= 3 * fair, s"skewed shard: ${rows.length} vs fair $fair"))
+  }
+
+  test("multi-index Hamming candidates are complete for the distance bar") {
+    import graft.operators.Multimodal
+    // brute-force ALL pairs' signature Hamming distances and assert
+    // the banded operator returns exactly the <= bar set — the
+    // pigeonhole completeness argument, checked end-to-end on a
+    // corpus dense in small perturbations
+    val r = new scala.util.Random(11)
+    val base = (0 until 30).map(_ => 32 + r.nextInt(90)).map(_.toChar).mkString
+    val texts = (0 until 60).map { i =>
+      if (i % 3 == 0) base
+      else base.updated(r.nextInt(base.length), (32 + r.nextInt(90)).toChar)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-mih").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Multimodal.mmHammingNeardup(spark, dir).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2))).toSet
+    // reference signatures computed the same way, brute-forced
+    def sig(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val counts = new Array[Int](Multimodal.SimhashBits)
+      var i = 0
+      while (i + 2 < bytes.length) {
+        md.reset(); md.update(bytes, i, 3)
+        val dig = md.digest()
+        var h = 0L
+        (0 until 6).foreach(j => h = (h << 8) | (dig(j) & 0xffL))
+        (0 until Multimodal.SimhashBits).foreach(b =>
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1)
+        i += 1
+      }
+      (0 until Multimodal.SimhashBits).foldLeft(0L)((acc, b) =>
+        if (counts(b) > 0) acc | (1L << b) else acc)
+    }
+    val sigs = texts.map(sig)
+    val want = (for {
+      a <- texts.indices; b <- texts.indices if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      if h <= Multimodal.HammingBar
+    } yield (a.toLong, b.toLong, h.toLong)).toSet
+    assert(want.nonEmpty, "test corpus produced no near pairs — tighten the perturbation")
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   test("bag fingerprint is order-insensitive") {
     samples(Gen.listOfN(6, wordGen), 10).foreach { words =>
       val t1 = words.mkString(" ")
