@@ -429,193 +429,6 @@ object Probe {
           time("full query") { noop(graft.operators.Etl.etlSseParse(spark, d)) }
         }
 
-      case "prbits" :: Nil =>
-        import org.apache.spark.sql.functions._
-        val li = graft.sources.Tables.lineitem(spark, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        def noop(df: org.apache.spark.sql.DataFrame): Long = {
-          df.write.format("noop").mode("overwrite").save(); 0L
-        }
-        time("li distinct") { noop(li) }
-        time("li distinct x2") { noop(li) }
-        val eLazy = li.select(col("ok"), col("pk").as("src"))
-          .hint("shuffle_hash")
-          .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
-          .filter(col("src") =!= col("dst"))
-          .select(col("src"), col("dst"))
-          .repartition(col("src"))
-          .dropDuplicates(Seq("src", "dst"))
-        time("edges (no ckpt)") { noop(eLazy) }
-        time("edges (no ckpt) x2") { noop(eLazy) }
-        var e: org.apache.spark.sql.DataFrame = null
-        time("edges ckpt") { e = eLazy.localCheckpoint(); 0L }
-        var deg: org.apache.spark.sql.DataFrame = null
-        time("deg ckpt") { deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint(); 0L }
-        var nn = 0L
-        time("nn count") { nn = deg.count(); nn }
-        val Scale = 1000000000000L
-        val teleport = (15L * Scale) / (100L * nn)
-        var ranks = deg.select(col("src").as("node"), lit(Scale / nn).as("rank"), col("deg"))
-        (1 to 3).foreach { i =>
-          val inMass = e
-            .join(broadcast(ranks.select(col("node").as("src"), expr("rank DIV deg").as("contrib"))), Seq("src"))
-            .groupBy(col("dst")).agg(sum(col("contrib")).as("in_mass"))
-          ranks = deg.join(broadcast(inMass), col("src") === col("dst"))
-            .select(col("src").as("node"), (lit(teleport) + expr("(85 * in_mass) DIV 100")).as("rank"), col("deg"))
-          time(s"iter $i") { noop(ranks) }
-        }
-        time("final topk") { noop(ranks.orderBy(col("rank").desc, col("node")).limit(20)
-          .select(col("node").as("part"), col("rank"))) }
-      case "prbits2" :: Nil =>
-        import org.apache.spark.sql.functions._
-        def noop(df: org.apache.spark.sql.DataFrame): Long = {
-          df.write.format("noop").mode("overwrite").save(); 0L
-        }
-        val Scale = 1000000000000L
-        def build(mode: String): org.apache.spark.sql.DataFrame = {
-          val li = graft.sources.Tables.lineitem(spark, d)
-            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          val eLazy = li.select(col("ok"), col("pk").as("src"))
-            .hint("shuffle_hash")
-            .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
-            .filter(col("src") =!= col("dst"))
-            .select(col("src"), col("dst"))
-            .repartition(col("src"))
-            .dropDuplicates(Seq("src", "dst"))
-          val e = mode match {
-            case "ckpt" => eLazy.localCheckpoint()
-            case "cache" => eLazy.cache()
-            case _ => eLazy
-          }
-          val deg0 = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-          val deg = mode match {
-            case "ckpt" => deg0.localCheckpoint()
-            case "cache" => deg0.cache()
-            case _ => deg0
-          }
-          val nn = deg.count()
-          val teleport = (15L * Scale) / (100L * nn)
-          var contribs = deg.select(col("src"), expr(s"${Scale / nn} DIV deg").as("contrib"))
-          var ranks: org.apache.spark.sql.DataFrame = null
-          for (i <- 1 to 3) {
-            val inMass = e.join(broadcast(contribs), Seq("src"))
-              .groupBy(col("dst")).agg(sum(col("contrib")).as("in_mass"))
-            ranks = inMass.select(col("dst").as("node"),
-              (lit(teleport) + expr("(85 * in_mass) DIV 100")).as("rank"))
-            if (i < 3)
-              contribs = ranks.join(broadcast(deg), col("node") === col("src"))
-                .select(col("src"), expr("rank DIV deg").as("contrib"))
-          }
-          ranks.orderBy(col("rank").desc, col("node")).limit(20)
-            .select(col("node").as("part"), col("rank"))
-        }
-        Seq("ckpt", "cache", "lazy", "ckpt", "cache", "lazy").foreach { m =>
-          time(s"pagerank $m") { val r = build(m); noop(r) }
-          spark.sharedState.cacheManager.clearCache()
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        }
-      case "prbits3" :: Nil =>
-        import org.apache.spark.sql.functions._
-        def noop(df: org.apache.spark.sql.DataFrame): Long = {
-          df.write.format("noop").mode("overwrite").save(); 0L
-        }
-        val Scale = 1000000000000L
-        def build(): org.apache.spark.sql.DataFrame = {
-          val li = graft.sources.Tables.lineitem(spark, d)
-            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          val e = li.select(col("ok"), col("pk").as("src"))
-            .hint("shuffle_hash")
-            .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
-            .filter(col("src") =!= col("dst"))
-            .select(col("src"), col("dst"))
-            .repartition(col("dst"))
-            .dropDuplicates(Seq("src", "dst"))
-            .cache()
-          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
-          val nn = deg.count()
-          val teleport = (15L * Scale) / (100L * nn)
-          var contribs = deg.select(col("src"), expr(s"${Scale / nn} DIV deg").as("contrib"))
-          var ranks: org.apache.spark.sql.DataFrame = null
-          for (i <- 1 to 3) {
-            val inMass = e.join(broadcast(contribs), Seq("src"))
-              .groupBy(col("dst")).agg(sum(col("contrib")).as("in_mass"))
-            ranks = inMass.select(col("dst").as("node"),
-              (lit(teleport) + expr("(85 * in_mass) DIV 100")).as("rank"))
-            if (i < 3)
-              contribs = ranks.join(broadcast(deg), col("node") === col("src"))
-                .select(col("src"), expr("rank DIV deg").as("contrib"))
-          }
-          ranks.orderBy(col("rank").desc, col("node")).limit(20)
-            .select(col("node").as("part"), col("rank"))
-        }
-        (1 to 3).foreach { _ =>
-          time("pagerank dstpart") { noop(build()) }
-          spark.sharedState.cacheManager.clearCache()
-        }
-        // fine-grained: where does the time go inside one cold run?
-        (1 to 2).foreach { _ =>
-          val li = graft.sources.Tables.lineitem(spark, d)
-            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          val e = li.select(col("ok"), col("pk").as("src"))
-            .hint("shuffle_hash")
-            .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
-            .filter(col("src") =!= col("dst"))
-            .select(col("src"), col("dst"))
-            .repartition(col("dst"))
-            .dropDuplicates(Seq("src", "dst"))
-            .cache()
-          time("e materialize") { e.count() }
-          println(s"[probe] e partitions = ${e.rdd.getNumPartitions}")
-          val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
-          var nn = 0L
-          time("deg + nn") { nn = deg.count(); nn }
-          val Scale2 = 1000000000000L
-          val teleport = (15L * Scale2) / (100L * nn)
-          var contribs = deg.select(col("src"), expr(s"${Scale2 / nn} DIV deg").as("contrib"))
-          var ranks: org.apache.spark.sql.DataFrame = null
-          for (i <- 1 to 3) {
-            val inMass = e.join(broadcast(contribs), Seq("src"))
-              .groupBy(col("dst")).agg(sum(col("contrib")).as("in_mass"))
-            ranks = inMass.select(col("dst").as("node"),
-              (lit(teleport) + expr("(85 * in_mass) DIV 100")).as("rank"))
-            if (i < 3)
-              contribs = ranks.join(broadcast(deg), col("node") === col("src"))
-                .select(col("src"), expr("rank DIV deg").as("contrib"))
-          }
-          time("3 iters + topk") { noop(ranks.orderBy(col("rank").desc, col("node")).limit(20)
-            .select(col("node").as("part"), col("rank"))) }
-          spark.sharedState.cacheManager.clearCache()
-        }
-      case "prbits4" :: Nil =>
-        import org.apache.spark.sql.functions._
-        def noop(df: org.apache.spark.sql.DataFrame): Long = {
-          df.write.format("noop").mode("overwrite").save(); 0L
-        }
-        def run(mode: String): Unit = {
-          val li = graft.sources.Tables.lineitem(spark, d)
-            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          val pairs = mode match {
-            case "shj" =>
-              li.select(col("ok"), col("pk").as("src"))
-                .hint("shuffle_hash")
-                .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
-                .filter(col("src") =!= col("dst"))
-                .select(col("src"), col("dst"))
-            case "cl" =>
-              li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
-                .select(explode(col("pks")).as("src"), col("pks"))
-                .select(col("src"), explode(col("pks")).as("dst"))
-                .filter(col("src") =!= col("dst"))
-          }
-          val e = pairs.repartition(col("dst"))
-            .dropDuplicates(Seq("src", "dst"))
-            .cache()
-          val t0 = System.nanoTime()
-          val ne = e.count()
-          println(f"[probe] $mode%-6s e build ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=$ne")
-          spark.sharedState.cacheManager.clearCache()
-        }
-        Seq("shj", "cl", "shj", "cl", "shj", "cl").foreach(run)
       case "times" :: qs =>
         val targets = if (qs.nonEmpty) qs else SparkEntry.queries.keys.toList.sorted
         targets.foreach { q =>
