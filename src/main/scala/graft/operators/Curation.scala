@@ -426,6 +426,81 @@ object Curation {
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------------------------
+  // In-engine quality-classifier training (distributed GD).
+  // ------------------------------------------------------------------
+
+  /** Gradient-descent iterations / learning rate / the per-iteration
+    * weight rounding that makes the fit engine-portable (see below).
+    */
+  val LrIters = 3
+  val LrRate = 1.0
+  val LrSyncScale = 9
+
+  /** TRAIN the quality/language classifier in-engine: batch
+    * gradient-descent logistic regression over the whole corpus —
+    * the fit side of [[curQualityWeights]]' apply side, and the way a
+    * 100 TB pipeline actually produces its fastText-style filter
+    * weights (each GD step is one full-corpus pass; nothing but the
+    * weight vector ever leaves the executors). Features are the
+    * engine's own quality signals (length score, stopword ratio,
+    * distinct-token ratio) plus an intercept; the label is the
+    * deterministic `lang = 'en'` flag (stopword ratio IS the en
+    * signal, so the fit is meaningful, not noise).
+    *
+    * Scale shape: [[LrIters]] iterations × ONE map-side-partial
+    * aggregation each (4 avg's over a projected 4-double frame,
+    * checkpointed once so the text tokenization doesn't re-run per
+    * pass); the weight vector is bounded model state collected to the
+    * driver and embedded as plan literals — exactly the
+    * centroid/codebook convention. Engine portability: float
+    * aggregation order differs across engines at the ulp level, so
+    * each iteration's weights are rounded to [[LrSyncScale]] decimals
+    * (~1e-9, five orders above the ~1e-14 summation jitter) before
+    * they enter the next iteration — both engines walk the identical
+    * weight trajectory and the DuckDB oracle replays the whole fit
+    * with three unrolled CTE iterations. Output: one row of final
+    * weights + training accuracy, rounded to 6 decimals.
+    */
+  def curQualityLrFit(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        least(col("n_chars") / 500.0, lit(1.0)).as("x1"),
+        (expr("size(filter(toks, t -> t IN ('the', 'a')))").cast("double")
+          / size(col("toks"))).as("x2"),
+        (size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks"))).as("x3"))
+      .localCheckpoint()
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    def z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3")
+    def p = lit(1.0) / (lit(1.0) + exp(-z))
+    for (_ <- 1 to LrIters) {
+      val g = base.agg(
+        avg(p - col("y")).as("g0"),
+        avg((p - col("y")) * col("x1")).as("g1"),
+        avg((p - col("y")) * col("x2")).as("g2"),
+        avg((p - col("y")) * col("x3")).as("g3")).collect()(0)
+      w = Array.tabulate(4)(j =>
+        BigDecimal(w(j) - LrRate * g.getDouble(j))
+          .setScale(LrSyncScale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    base.agg(avg((when(p >= 0.5, 1.0).otherwise(0.0) === col("y"))
+        .cast("double")).as("acc"))
+      .select(
+        lit(BigDecimal(w(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .as("w_intercept"),
+        lit(BigDecimal(w(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .as("w_len_score"),
+        lit(BigDecimal(w(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .as("w_stop_ratio"),
+        lit(BigDecimal(w(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .as("w_uniq_ratio"),
+        round(col("acc"), 6).as("train_accuracy"))
+  }
+
+  // ------------------------------------------------------------------
   // Global shuffle + sharding (training order).
   // ------------------------------------------------------------------
 
@@ -1227,6 +1302,7 @@ object Curation {
     "cur_chunk" -> curChunk _,
     "cur_sample_stratified" -> curSampleStratified _,
     "cur_shard_shuffle" -> curShardShuffle _,
+    "cur_quality_lr_fit" -> curQualityLrFit _,
     "cur_mix_sources" -> curMixSources _,
     "cur_dup_ngram_frac" -> curDupNgramFrac _,
     "cur_tfidf_topterms" -> curTfidfTopterms _,
@@ -1569,6 +1645,51 @@ object Curation {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
         |  CASE WHEN lang = 'en' THEN '33' ELSE '7f' END
         |ORDER BY doc_id""".stripMargin,
+    // The whole fit replayed: three unrolled GD iterations, each one
+    // corpus aggregation with the previous weights as scalars, rounded
+    // to 9 decimals at every step exactly like the engine (the sync
+    // point that absorbs cross-engine float-summation-order ulps).
+    "cur_quality_lr_fit" ->
+      s"""WITH f AS (SELECT
+         |   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |   least(n_chars / 500.0, 1.0) AS x1,
+         |   CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+         |     AS DOUBLE) / len(string_split(text, ' ')) AS x2,
+         |   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |     / len(string_split(text, ' ')) AS x3
+         |  FROM documents),
+         |w1 AS (SELECT
+         |   round(-avg(0.5 - y), $LrSyncScale) AS b,
+         |   round(-avg((0.5 - y) * x1), $LrSyncScale) AS a1,
+         |   round(-avg((0.5 - y) * x2), $LrSyncScale) AS a2,
+         |   round(-avg((0.5 - y) * x3), $LrSyncScale) AS a3
+         |  FROM f),
+         |p1 AS (SELECT f.*, w1.b AS b, w1.a1 AS a1, w1.a2 AS a2, w1.a3 AS a3,
+         |   1.0 / (1.0 + exp(-(w1.b + w1.a1 * x1 + w1.a2 * x2 + w1.a3 * x3))) AS p
+         |  FROM f, w1),
+         |w2 AS (SELECT
+         |   round(max(b) - avg(p - y), $LrSyncScale) AS b,
+         |   round(max(a1) - avg((p - y) * x1), $LrSyncScale) AS a1,
+         |   round(max(a2) - avg((p - y) * x2), $LrSyncScale) AS a2,
+         |   round(max(a3) - avg((p - y) * x3), $LrSyncScale) AS a3
+         |  FROM p1),
+         |p2 AS (SELECT f.*, w2.b AS b, w2.a1 AS a1, w2.a2 AS a2, w2.a3 AS a3,
+         |   1.0 / (1.0 + exp(-(w2.b + w2.a1 * x1 + w2.a2 * x2 + w2.a3 * x3))) AS p
+         |  FROM f, w2),
+         |w3 AS (SELECT
+         |   round(max(b) - avg(p - y), $LrSyncScale) AS b,
+         |   round(max(a1) - avg((p - y) * x1), $LrSyncScale) AS a1,
+         |   round(max(a2) - avg((p - y) * x2), $LrSyncScale) AS a2,
+         |   round(max(a3) - avg((p - y) * x3), $LrSyncScale) AS a3
+         |  FROM p2),
+         |p3 AS (SELECT f.y, w3.b AS b, w3.a1 AS a1, w3.a2 AS a2, w3.a3 AS a3,
+         |   1.0 / (1.0 + exp(-(w3.b + w3.a1 * x1 + w3.a2 * x2 + w3.a3 * x3))) AS p
+         |  FROM f, w3)
+         |SELECT round(max(b), 6) AS w_intercept, round(max(a1), 6) AS w_len_score,
+         | round(max(a2), 6) AS w_stop_ratio, round(max(a3), 6) AS w_uniq_ratio,
+         | round(avg(CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END) = y
+         |   THEN 1.0 ELSE 0.0 END), 6) AS train_accuracy
+         |FROM p3""".stripMargin,
     "cur_shard_shuffle" ->
       s"""WITH k AS (SELECT doc_id,
          |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
