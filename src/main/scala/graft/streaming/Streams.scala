@@ -577,14 +577,17 @@ object Streams {
         |WHERE rk <= 3
         |ORDER BY window_start, event_type, rank""".stripMargin,
     // session_window boundary rule: an event at EXACTLY prev + gap
-    // starts a NEW session (windows are [start, last+gap), no overlap
-    // at equality) — hence >= in the oracle's gap test, unlike the
-    // stateful sessionizer's strictly-greater rule.
+    // MERGES into the running session (UpdatingSessionsIterator starts
+    // a new session only when start > currentEnd, i.e. windows touch
+    // at equality and touching sessions merge) — hence the oracle's
+    // gap test is strictly greater, the SAME rule as the stateful
+    // sessionizer. Verified on Spark 4.1.2: two events exactly 30 min
+    // apart yield one session with n=2.
     "stream_session_window" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |  CAST(round(value * 100, 0) AS BIGINT) AS cents,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
         |       THEN 1 ELSE 0 END AS new_sess
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, ts, cents,

@@ -293,6 +293,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists(_._4 > 1L), "expected at least one multi-event session")
   }
 
+  test("session_window exact-gap boundary: an event exactly gap after the previous MERGES") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // user 1: two events exactly 30 min apart — Spark's
+    // UpdatingSessionsIterator merges windows that TOUCH (start ==
+    // currentEnd), so this must be ONE session of 2 events; user 2:
+    // 31 min apart — two sessions. Pins the strictly-greater gap rule
+    // the DuckDB oracle uses.
+    val ev = Seq(
+      (1L, ts(0), 10.0), (1L, ts(30), 5.0),
+      (2L, ts(0), 1.0), (2L, ts(31), 2.0))
+      .toDF("user_id", "ts", "value")
+    val out = Streams.sessionWindowAgg(ev)
+      .orderBy(col("user_id"), col("session_start"))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (2L, 1L)), out.toSeq.toString)
+  }
+
   test("left-outer interval join holds unmatched purchases until the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
