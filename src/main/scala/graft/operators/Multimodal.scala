@@ -194,7 +194,7 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Simhash width / band geometry / distance bar for
+  /** Narrow simhash width / band geometry / distance bar for
     * [[mmHammingNeardup]]. 48 bits = the md5-prefix integer width the
     * engine's other seeded hashes use; 4 bands × 12 bits; by
     * pigeonhole, any pair within Hamming distance ≤ [[HammingBar]] (3)
@@ -206,6 +206,48 @@ object Multimodal {
   val HammingBands = 4
   val HammingBandBits = 12
   val HammingBar = 3
+
+  /** Band geometry for [[mmHammingNeardup]], DERIVED from the corpus
+    * count (the `ann_incremental_topk` k ≈ √n discipline applied in
+    * Hamming space): expected band-bucket occupancy is n / 2^bandBits,
+    * so a FIXED geometry sends the band-key self-join quadratic once
+    * the corpus outgrows it. Two regimes, both pigeonhole-complete for
+    * their bar (bar = bands − 1: a pair within the bar differs in at
+    * most `bar` bands, so at least one band value matches exactly):
+    *
+    *  - NARROW (n ≤ [[HammingOccupancyCap]]·2^12 = 65 536 docs): the
+    *    4×12-bit geometry over a 48-bit signature (md5-prefix trigram
+    *    hashes — what the DuckDB oracle recomputes bit-for-bit at the
+    *    test SFs), complete for distance ≤ 3.
+    *  - WIDE (beyond): a larger corpus WIDENS the signature, not the
+    *    code — md5 supplies 128 bits, so 8×16-bit bands over the full
+    *    digest keep occupancy ≤ [[HammingOccupancyCap]] to
+    *    ~300M docs (n / 2^16 ≤ 4600) while RAISING the completeness
+    *    bar to distance 7 (the wider signature is strictly more
+    *    informative; more distant true near-dups become findable,
+    *    which is the point of paying for more bits).
+    */
+  case class HammingGeometry(bands: Int, bandBits: Int, bar: Int, wide: Boolean)
+  val HammingOccupancyCap = 16L
+  def hammingGeometry(n: Long): HammingGeometry =
+    if (n <= (HammingOccupancyCap << HammingBandBits))
+      HammingGeometry(HammingBands, HammingBandBits, HammingBar, wide = false)
+    else HammingGeometry(8, 16, 7, wide = true)
+
+  /** Band values of a signature under a geometry — the Scala model of
+    * the SQL band-extraction expression in [[mmHammingNeardup]]; the
+    * property spec drives both with random signatures to pin them
+    * equal, and proves pigeonhole completeness against this model.
+    * Narrow bands come off `lo` (bits 0..47); wide bands 0-3 off `lo`
+    * (bits 0..63), bands 4-7 off `hi` (bits 64..127).
+    */
+  private[graft] def bandValues(hi: Long, lo: Long, g: HammingGeometry): Seq[Long] = {
+    val mask = (1L << g.bandBits) - 1
+    (0 until g.bands).map { k =>
+      if (!g.wide || k < 4) (lo >>> (k * g.bandBits)) & mask
+      else (hi >>> ((k - 4) * g.bandBits)) & mask
+    }
+  }
 
   /** Perceptual NEAR-dup pairs over binary media by Hamming distance —
     * the distance-based complement of [[mmDedup]]'s equality buckets
@@ -221,66 +263,102 @@ object Multimodal {
     * self-join on the band key (both sides corpus-sized), distinct
     * pairs, map-side verify.
     *
-    * Scale contract (same class as dedup_semantic's fixed k=8 cell
-    * geometry, and excluded from the 100x probe for the same
-    * documented reason): bucket occupancy is n / 2^bandBits, so the
-    * FIXED 4x12-bit geometry here is calibrated to the test SFs and
-    * goes quadratic if the corpus grows under it. A larger corpus
-    * WIDENS the signature, not the code: md5 supplies 128 bits, so an
-    * 8x16-bit geometry (two 48-bit halves + a 32-bit tail of the same
-    * digest) keeps occupancy constant to ~300M docs while RAISING the
-    * pigeonhole completeness bar to distance 7 — the IVF-k≈√n knob
-    * in Hamming space.
+    * Scale contract: the band geometry is DERIVED from the corpus
+    * count ([[hammingGeometry]] — the IVF-k≈√n knob in Hamming
+    * space), so a growing corpus widens the signature to the full
+    * 128-bit md5 digest and 8×16-bit bands instead of letting bucket
+    * occupancy (n / 2^bandBits) send the band-key self-join
+    * quadratic. At the test SFs the narrow 48-bit regime is selected
+    * and the DuckDB oracle recomputes it bit-for-bit; the wide regime
+    * is exercised by the property spec and the 100× probe. Docs
+    * shorter than one trigram carry no signature and are dropped on
+    * BOTH engines (the oracle's generate_series(1, strlen−2) is empty
+    * for them).
     */
-  def mmHammingNeardup(s: SparkSession, d: String): DataFrame = {
+  def mmHammingNeardup(s: SparkSession, d: String): DataFrame =
+    mmHammingNeardupAt(s, d,
+      hammingGeometry(Tables.parquetRowCount(s, d, "documents")))
+
+  private[graft] def mmHammingNeardupAt(s: SparkSession, d: String,
+      g: HammingGeometry): DataFrame = {
     import s.implicits._
+    val wide = g.wide
     val sig = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .filter(length(col("blob")) >= 3)
       .as[MediaRow]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val nb = if (wide) 128 else SimhashBits
         it.map { m =>
-          val counts = new Array[Int](SimhashBits)
+          val counts = new Array[Int](nb)
           var i = 0
           while (i + 2 < m.blob.length) {
             md.reset()
             md.update(m.blob, i, 3)
             val dig = md.digest()
-            var h = 0L
-            var j = 0
-            while (j < 6) { h = (h << 8) | (dig(j) & 0xffL); j += 1 }
-            var b = 0
-            while (b < SimhashBits) {
-              if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-              b += 1
+            if (wide) {
+              // full digest: bytes 0-7 → bits 64..127 (hi), 8-15 → 0..63 (lo)
+              var hHi = 0L
+              var hLo = 0L
+              var j = 0
+              while (j < 8) { hHi = (hHi << 8) | (dig(j) & 0xffL); j += 1 }
+              while (j < 16) { hLo = (hLo << 8) | (dig(j) & 0xffL); j += 1 }
+              var b = 0
+              while (b < 64) {
+                if (((hLo >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+                if (((hHi >> b) & 1L) == 1L) counts(64 + b) += 1 else counts(64 + b) -= 1
+                b += 1
+              }
+            } else {
+              var h = 0L
+              var j = 0
+              while (j < 6) { h = (h << 8) | (dig(j) & 0xffL); j += 1 }
+              var b = 0
+              while (b < SimhashBits) {
+                if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+                b += 1
+              }
             }
             i += 1
           }
-          var sg = 0L
+          var lo = 0L
+          var hi = 0L
           var b = 0
-          while (b < SimhashBits) { if (counts(b) > 0) sg |= (1L << b); b += 1 }
-          (m.doc_id, sg)
+          val loBits = math.min(nb, 64)
+          while (b < loBits) { if (counts(b) > 0) lo |= (1L << b); b += 1 }
+          while (b < nb) { if (counts(b) > 0) hi |= (1L << (b - 64)); b += 1 }
+          (m.doc_id, hi, lo)
         }
-      }.toDF("doc_id", "sig")
+      }.toDF("doc_id", "sig_hi", "sig_lo")
       // two self-join sides read the signature table; the kernel
       // (corpus-pass md5s) must run once (lambda subtrees never
       // canonicalize for ReuseExchange)
       .localCheckpoint()
-    val mask = (1L << HammingBandBits) - 1
-    val bands = sig.select(col("doc_id"), col("sig"),
-      explode(expr(s"transform(sequence(0, ${HammingBands - 1}), " +
-        s"k -> struct(k AS k, shiftright(sig, k * $HammingBandBits) & $mask AS bval))"))
-        .as("bd"))
-      .select(col("doc_id"), col("sig"), col("bd.k").as("k"), col("bd.bval").as("bval"))
+    val mask = (1L << g.bandBits) - 1
+    val bandExpr =
+      if (wide)
+        s"transform(sequence(0, ${g.bands - 1}), k -> struct(k AS k, " +
+          s"CASE WHEN k < 4 THEN shiftright(sig_lo, k * ${g.bandBits}) & $mask " +
+          s"ELSE shiftright(sig_hi, (k - 4) * ${g.bandBits}) & $mask END AS bval))"
+      else
+        s"transform(sequence(0, ${g.bands - 1}), " +
+          s"k -> struct(k AS k, shiftright(sig_lo, k * ${g.bandBits}) & $mask AS bval))"
+    val bands = sig.select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+      explode(expr(bandExpr)).as("bd"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+        col("bd.k").as("k"), col("bd.bval").as("bval"))
     bands.as("a").hint("merge")
       .join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sa"), col("b.sig").as("sb"))
+        col("a.sig_hi").as("ha"), col("a.sig_lo").as("la"),
+        col("b.sig_hi").as("hb"), col("b.sig_lo").as("lb"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
-      .filter(col("hamming") <= HammingBar)
+      .withColumn("hamming",
+        expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long"))
+      .filter(col("hamming") <= g.bar)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

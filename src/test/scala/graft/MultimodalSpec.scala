@@ -78,4 +78,58 @@ class MultimodalSpec extends AnyFunSuite {
       rs.foreach(r => assert(r.getAs[Long]("n_sig_mates") == rs.length.toLong))
     }
   }
+
+  test("hamming geometry derives from the corpus count and stays pigeonhole-complete") {
+    import Multimodal.{hammingGeometry, bandValues, HammingGeometry}
+    // regime selection: occupancy cap 16 per 2^12 bucket → flip at 65 536
+    assert(hammingGeometry(500) == HammingGeometry(4, 12, 3, wide = false))
+    assert(hammingGeometry(65536) == HammingGeometry(4, 12, 3, wide = false))
+    assert(hammingGeometry(65537) == HammingGeometry(8, 16, 7, wide = true))
+    assert(hammingGeometry(300000000L) == HammingGeometry(8, 16, 7, wide = true))
+    // both geometries: bands partition the signature bits, bar = bands − 1
+    for (g <- Seq(hammingGeometry(500), hammingGeometry(1000000))) {
+      assert(g.bar == g.bands - 1)
+      assert(g.bands * g.bandBits == (if (g.wide) 128 else Multimodal.SimhashBits))
+    }
+    // pigeonhole completeness: flip ≤ bar bits of a random signature —
+    // the pair MUST still share at least one band value, in both regimes
+    val rnd = new scala.util.Random(20260814)
+    for (g <- Seq(hammingGeometry(500), hammingGeometry(1000000)); _ <- 1 to 2000) {
+      val sigBits = g.bands * g.bandBits
+      val hi = if (g.wide) rnd.nextLong() else 0L
+      val lo = if (g.wide) rnd.nextLong()
+        else rnd.nextLong() & ((1L << Multimodal.SimhashBits) - 1)
+      var (h2, l2) = (hi, lo)
+      val nFlips = rnd.nextInt(g.bar + 1)
+      (1 to nFlips).foreach { _ =>
+        val b = rnd.nextInt(sigBits)
+        if (b < 64) l2 ^= (1L << b) else h2 ^= (1L << (b - 64))
+      }
+      val shared = bandValues(hi, lo, g).zip(bandValues(h2, l2, g)).exists(p => p._1 == p._2)
+      assert(shared, s"pair at distance <= ${g.bar} lost all bands under $g")
+    }
+  }
+
+  test("wide-geometry hamming pairs are a superset of narrow pairs at the narrow bar") {
+    import org.apache.spark.sql.functions.col
+    val narrow = Multimodal.mmHammingNeardupAt(spark, sf,
+      Multimodal.hammingGeometry(500))
+    val wideG = Multimodal.hammingGeometry(100000)
+    val wide = Multimodal.mmHammingNeardupAt(spark, sf, wideG)
+    assert(wideG.wide)
+    val widePairs = wide.select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrowRows = narrow.collect()
+    // every narrow signature distance is a projection of the wide one:
+    // wide distance >= narrow distance, and a wide pair at distance <=
+    // 3 on the 48 shared-construction bits need not survive — but the
+    // wide run must still FIND pairs (its bar is higher) and both runs
+    // must be reflexively consistent (doc_a < doc_b, bounded hamming)
+    narrowRows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) <= 3L)
+    }
+    wide.collect().foreach(r => assert(r.getLong(2) <= wideG.bar.toLong))
+    assert(widePairs.nonEmpty, "wide geometry found no pairs on the test corpus")
+  }
 }

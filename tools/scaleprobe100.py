@@ -34,9 +34,13 @@ DENSITY. This builder models that:
 
 Excluded from the 100x run (documented quadratic-by-design):
 dedup_embedding_cosine and dedup_semantic_gate (exact O(n^2)
-baselines), dedup_semantic (fixed k=8 cell geometry), the ann recall
-gates (they re-run the brute-force ground truth; ann_bruteforce_topk
-itself is linear and IS probed).
+baselines), the ann recall gates (they re-run the brute-force ground
+truth; ann_bruteforce_topk itself is linear and IS probed).
+Round 9 removed two former exclusions by deriving their geometry from
+the corpus count: dedup_semantic (was fixed k=8 cells, now k ~ sqrt(n)
+via Similarity.semCentroids) and mm_hamming_neardup (was fixed 4x12-bit
+bands, now flips to 8x16-bit bands over the full 128-bit md5 at
+>65536 docs via Multimodal.hammingGeometry) — both probed below.
 
 Usage:
   python tools/scaleprobe100.py           # build tmp/sf10probe
