@@ -161,6 +161,13 @@ object Similarity {
     * same partition). Truncation is pure SQL, so unlike the
     * LSH/IVF/PQ rows this needs no candidate dump: the oracle
     * recomputes everything from the embeddings table.
+    *
+    * NOTE (production-path caveat): the full-dimension cosine per pair
+    * exists HERE only to compute the `in_full_topk` recall flag — the
+    * flag is the point of this row. A production truncated retrieval
+    * never runs the full-dim scan: see [[annMatryoshkaRerank]], which
+    * scans only the 16-dim prefix (the 4× byte/FLOP cut for real) and
+    * touches full vectors solely for the candidate re-rank.
     */
   def annMatryoshkaTopk(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -187,6 +194,56 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine16"),
         (col("rank64") <= TopK).cast("long").as("in_full_topk"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Candidates per query the truncated first pass hands to the exact
+    * re-rank (3× the final k — the standard refine multiple).
+    */
+  val MatryoshkaRerankDepth = 3 * TopK
+
+  /** The PRODUCTION Matryoshka retrieval path (the
+    * [[annMatryoshkaTopk]] recall report told us the truncation is
+    * good; this row actually banks the savings): pass 1 scans ONLY
+    * the [[MatryoshkaDims]]-dim prefix — at 100 TB that is 1/4 of the
+    * bytes, memory and dot-product FLOPs of the full scan — and keeps
+    * the truncated top-[[MatryoshkaRerankDepth]] per query; pass 2
+    * joins those q·3k candidate ids back to the corpus (broadcast of
+    * the candidate list — the full vectors of candidates are the ONLY
+    * full-dim data ever read) and re-ranks them by exact full-dim
+    * cosine into the final top-k. Fully SQL-expressible, so the
+    * oracle replays both passes closed-form from the embeddings
+    * table — no candidate dump.
+    */
+  def annMatryoshkaRerank(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr(s"transform(slice(embedding, 1, $MatryoshkaDims), x -> cast(x AS double))")
+          .as("vt"))
+      .withColumn("nt", sqrt(dot(col("vt"), col("vt"))))
+    val q16 = t.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("vt").as("qt"), col("nt").as("qnt"))
+    val n16 = t.select(col("vec_id").as("neighbor_id"), col("vt").as("ct"),
+      col("nt").as("cnt_"))
+    val w16 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine16").desc, col("neighbor_id").asc)
+    val cands = broadcast(q16).join(n16, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine16", round(dot(col("qt"), col("ct")) / col("qnt") / col("cnt_"), 4))
+      .withColumn("crank", row_number().over(w16))
+      .filter(col("crank") <= MatryoshkaRerankDepth)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = withNorm(s, d)
+    val qf = full.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    full.join(broadcast(cands), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(qf), Seq("query_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("cv")) / col("qn") / col("cn"), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -567,14 +624,27 @@ object Similarity {
   def annIvfIncrementalTopk(s: SparkSession, d: String): DataFrame =
     topkOf(incrementalCandidates(s, d))
 
-  /** Every vector with its nearest-centroid cell (map-side argmax over
-    * the [[kmeansCentroids]] quantizer — no join, no shuffle).
+  /** Scaled-k quantizer for the SemDedup path, fitted on the FULL
+    * corpus with k ≈ √n cells ([[scaledCells]] — the same discipline
+    * as the incremental ANN index): expected cell size stays √n, so
+    * the within-cell pair scan is O(n·√n) instead of the fixed-k
+    * O(n²/k) that goes quadratic as the corpus grows under a frozen
+    * geometry. Cached like [[kmeansCentroids]]; collected state is
+    * the k × 64 centroid matrix only.
+    */
+  private[graft] def semCentroids(s: SparkSession, d: String): Seq[Seq[Double]] =
+    centroidCache.getOrElseUpdate((s.sparkContext.applicationId, d + "#sem"),
+      fitCentroidsKernelOn(s, withNorm(s, d),
+        scaledCells(Tables.parquetRowCount(s, d, "embeddings"))))
+
+  /** Every vector with its nearest-centroid cell (map-side kernel
+    * argmax over the scaled [[semCentroids]] quantizer — no join, no
+    * shuffle; at k ≈ √n centroids a literal-expression argmax would
+    * blow the janino method limit, see [[assignCellsKernel]]).
     */
   private[graft] def cellAssigned(s: SparkSession, d: String): DataFrame = {
-    val cents = kmeansCentroids(s, d)
-    withNorm(s, d)
-      .withColumn("cell",
-        (-array_max(centroidSims(cents)).getField("negcell")).cast("int"))
+    val cents = semCentroids(s, d).map(_.toArray).toArray
+    assignCellsKernel(s, withNorm(s, d), cents)
   }
 
   /** SemDedup-style semantic dedup: cluster the embedding space with
@@ -584,11 +654,11 @@ object Similarity {
     * such neighbor; greedy keep-first, exactly SemDedup's
     * drop-all-but-one-per-cluster-pair rule, made deterministic by the
     * id order). The cell-equality self-join bounds the compute at
-    * Σ n_c² instead of n² — the entire point of SemDedup — and at a
-    * real deployment k scales with the corpus (k ≈ √n keeps cells
-    * bounded), so the join key cardinality grows with the data; the
-    * fixed k here mirrors the fixed IVF geometry and is gated by
-    * [[dedupSemanticGate]]. Sort-merge join: both sides are the
+    * Σ n_c² instead of n² — the entire point of SemDedup — and k
+    * SCALES with the corpus (k ≈ √n via [[semCentroids]], the same
+    * discipline as the incremental ANN index), so cells stay ~√n-sized
+    * and the join-key cardinality grows with the data; the quality of
+    * the trade is gated by [[dedupSemanticGate]]. Sort-merge join: both sides are the
     * corpus, a hash build is resident and a broadcast is corpus-sized.
     * Quantizer cells are a fitted model, not SQL — so Verify dumps
     * the cell assignment and the oracle recomputes the whole output
@@ -620,28 +690,32 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** CORRECTNESS bars for [[dedupSemanticGate]], calibrated from the
-    * measured within-cell containment of the exact cosine-pair set
-    * (deterministic quantizer + fixed data ⇒ constants the driver
-    * re-verifies; measured recall 0.30 / 0.49 / 0.35 at
-    * sf0.001/0.01/0.1 with scan fraction ≈ 0.124 at all three). On
-    * this ANN-hostile corpus (qualifying pairs at cosine 0.40–0.60, no
-    * tight clusters) a random 8-way partition would contain ≈ 0.125 of
-    * the pairs at the same scan cost — the gate certifies the
-    * quantizer beats that by ≥ 2× (recall ≥ 0.25 at ≤ 0.2 scan): the
-    * compression/recall trade SemDedup actually offers here. On a
-    * clustered corpus (real near-dups at cosine ≥ 0.9) containment
-    * approaches 1 and the same bars hold with huge margin.
+  /** CORRECTNESS bars for [[dedupSemanticGate]] — SELF-CALIBRATING to
+    * the scaled k ≈ √n geometry (round 9; the fixed-k 0.25/0.2 bars
+    * died with the fixed k=8 quantizer): a random balanced partition's
+    * expected within-cell containment of the exact pair set EQUALS its
+    * scan fraction, so `recall_ok` certifies the quantizer beats
+    * random by ≥ [[SemRandomEdge]] at its ACTUAL scan cost
+    * (n_within/n_exact ≥ edge · scan_pairs/all_pairs), and `work_ok`
+    * bounds the scan at [[SemWorkSlack]] × the balanced 1/k — a
+    * collapsed-cell quantizer (everything in one cell would ace
+    * recall) fails work, a shattered one fails recall. Measured at
+    * sf0.001/0.01/0.1 (k = 23/23/45): containment 0.199–0.212 of the
+    * exact pairs at scan fractions 0.022–0.043 — a 4.7–9.0× edge over random
+    * on this ANN-hostile corpus (qualifying pairs at cosine 0.40–0.60,
+    * no tight clusters); on a clustered corpus (near-dups at cosine ≥
+    * 0.9) containment approaches 1 and the bars hold with huge margin.
     */
-  val SemRecallBar = 0.25 // min fraction of exact pairs that are within-cell
-  val SemWorkBar = 0.2 // max Σ n_c·(n_c−1)/2 as a fraction of n·(n−1)/2
+  val SemRandomEdge = 2.0 // min quantizer-vs-random containment edge
+  val SemWorkSlack = 4.0 // max scan as a multiple of the balanced 1/k
 
   /** Oracle-gated quality row for [[dedupSemantic]]: `n_exact_pairs`
     * (DuckDB-recomputable — a REAL oracle quantity, unlike the ANN
-    * gates' query count), `recall_ok` = the within-cell scan would
-    * see at least [[SemRecallBar]] of the exact cosine pairs, and
-    * `work_ok` = the within-cell pair space is at most [[SemWorkBar]]
-    * of all-pairs. A quantizer regression (lost recall or collapsed
+    * gates' query count), `recall_ok` = the within-cell scan sees at
+    * least [[SemRandomEdge]] × its scan fraction of the exact cosine
+    * pairs (the beats-random certificate), and `work_ok` = the
+    * within-cell pair space is at most [[SemWorkSlack]]/k of
+    * all-pairs. A quantizer regression (lost recall or collapsed
     * cells blowing up the scan) flips a flag and fails the hash.
     */
   /** The gate's ground truth — the exact cosine pair set — cached
@@ -661,6 +735,7 @@ object Similarity {
         dedupEmbeddingCosine(s, d).select(col("vec_a"), col("vec_b"))))
 
   def dedupSemanticGate(s: SparkSession, d: String): DataFrame = {
+    val k = semCentroids(s, d).length
     val cells = cellAssigned(s, d).select(col("vec_id"), col("cell")).localCheckpoint()
     val exact = exactPairsFor(s, d)
     val sameCell = exact
@@ -673,8 +748,11 @@ object Similarity {
         (sum(col("nc")) * (sum(col("nc")) - 1) / 2).as("all_pairs"))
     sameCell.crossJoin(broadcast(work))
       .select(col("n_exact_pairs"),
-        (col("n_within") >= col("n_exact_pairs") * SemRecallBar).cast("long").as("recall_ok"),
-        (col("scan_pairs") <= col("all_pairs") * SemWorkBar).cast("long").as("work_ok"))
+        (col("n_within") * col("all_pairs") >=
+          lit(SemRandomEdge) * col("n_exact_pairs") * col("scan_pairs"))
+          .cast("long").as("recall_ok"),
+        (col("scan_pairs") * k <= col("all_pairs") * SemWorkSlack)
+          .cast("long").as("work_ok"))
   }
 
   /** Oracle-gated recall/prune row for an ANN path: did the
@@ -1208,6 +1286,7 @@ object Similarity {
     "dedup_semantic_gate" -> dedupSemanticGate _,
     "ann_bruteforce_topk" -> annBruteforceTopk _,
     "ann_matryoshka_topk" -> annMatryoshkaTopk _,
+    "ann_matryoshka_rerank" -> annMatryoshkaRerank _,
     "ann_lsh_topk" -> annLshTopk _,
     "ann_lsh_recall" -> annLshRecall _,
     "ann_ivf_topk" -> annIvfTopk _,
@@ -1441,6 +1520,38 @@ object Similarity {
          |SELECT query_id, CAST(rk16 AS BIGINT) AS rank, neighbor_id, cosine16,
          | CAST(CASE WHEN rk64 <= $TopK THEN 1 ELSE 0 END AS BIGINT) AS in_full_topk
          |FROM r WHERE rk16 <= $TopK ORDER BY query_id, rank""".stripMargin,
+    // full closed-form replay of BOTH passes: truncated-prefix cosine
+    // + depth cut, then exact full-dim re-rank of the candidates only.
+    "ann_matryoshka_rerank" ->
+      s"""$cosineCte,
+         |t AS (SELECT vec_id,
+         |  list_transform(embedding[1:$MatryoshkaDims], x -> CAST(x AS DOUBLE)) AS vt,
+         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(embedding[1:$MatryoshkaDims],
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |    (acc, x) -> acc + x)) AS nt
+         | FROM embeddings),
+         |c AS (SELECT ta.vec_id AS query_id, tb.vec_id AS neighbor_id,
+         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(generate_series(1, $MatryoshkaDims),
+         |      i -> ta.vt[i] * tb.vt[i])), (acc, x) -> acc + x)
+         |    / ta.nt / tb.nt, 4) AS cosine16
+         | FROM t ta JOIN t tb ON ta.vec_id < $NumQueryVecs AND ta.vec_id <> tb.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cosine16 DESC, neighbor_id) AS crank FROM c)
+         | WHERE crank <= $MatryoshkaRerankDepth),
+         |sc AS (SELECT cand.query_id, cand.neighbor_id,
+         |  round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) AS cosine
+         | FROM cand JOIN n a ON a.vec_id = cand.query_id
+         |           JOIN n b ON b.vec_id = cand.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         | FROM sc)
+         |SELECT query_id, rank, neighbor_id, cosine FROM r
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "ann_hard_negatives" ->
       s"""WITH n AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
