@@ -710,11 +710,22 @@ object Relational {
     * table, so no per-iteration sort or node-table exchange exists at
     * all. The graph is symmetric so every node keeps receiving mass;
     * the node count is a driver-side bounded-aggregate scalar
-    * embedded as a plan literal. At a scale where the node table
-    * outgrows broadcast (≳1e8 nodes), flip the join hints back to
-    * shuffle-hash — the algorithm is unchanged.
+    * embedded as a plan literal. The broadcast→shuffle flip is
+    * AUTOMATIC: once the measured node count exceeds
+    * [[PagerankBroadcastNodeCap]] (the node table would outgrow
+    * executor broadcast memory at ≳5e7 rows × ~16 bytes), both
+    * per-iteration joins switch to shuffle-hash on the same plan —
+    * the algorithm is unchanged, and no code edit stands between the
+    * test geometry and the 100 TB one (the mm_hamming_neardup /
+    * k ≈ √n discipline applied to a join strategy).
     */
-  def q37Pagerank(s: SparkSession, d: String): DataFrame = {
+  val PagerankBroadcastNodeCap = 50000000L
+
+  def q37Pagerank(s: SparkSession, d: String): DataFrame =
+    q37PagerankAt(s, d, PagerankBroadcastNodeCap)
+
+  private[graft] def q37PagerankAt(s: SparkSession, d: String,
+      broadcastNodeCap: Long): DataFrame = {
     val Scale = 1000000000000L
     // No distinct on the (order, part) pairs: the (src, dst) dedup
     // below subsumes it, so the pre-join distinct was a pure extra
@@ -771,6 +782,18 @@ object Relational {
       .select(col("dst").as("src"), col("deg")).cache()
     val nn = deg.count() // bounded aggregate over the node dimension
     val teleport = (15L * Scale) / (100L * nn)
+    // Node-table join strategy from the MEASURED node count: below the
+    // cap each iteration broadcasts the node-sized contribution table
+    // (zero per-iteration exchanges); above it both joins run
+    // shuffle-hash — same algorithm, the strategy the data can afford.
+    val smallNodes = nn <= broadcastNodeCap
+    def nodeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+        joinExpr: Option[Column]): DataFrame =
+      (if (smallNodes) joinExpr.fold(left.join(broadcast(right), keys))(
+        c => left.join(broadcast(right), c))
+      else joinExpr.fold(
+        left.hint("shuffle_hash").join(right.hint("shuffle_hash"), keys))(
+        c => left.hint("shuffle_hash").join(right.hint("shuffle_hash"), c)))
     // One broadcast job per iteration: the contribution table carries
     // rank DIV deg pre-divided, and the next round's contribs fold the
     // (map-side, broadcast) degree join into the same subtree, so
@@ -780,13 +803,13 @@ object Relational {
       expr(s"${Scale / nn} DIV deg").as("contrib"))
     var ranks: DataFrame = null
     for (i <- 1 to 3) {
-      val inMass = e.join(broadcast(contribs), Seq("src"))
+      val inMass = nodeJoin(e, contribs, Seq("src"), None)
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
       ranks = inMass.select(col("dst").as("node"),
         (lit(teleport) + expr("(85 * in_mass) DIV 100")).as("rank"))
       if (i < 3)
-        contribs = ranks.join(broadcast(deg), col("node") === col("src"))
+        contribs = nodeJoin(ranks, deg, Nil, Some(col("node") === col("src")))
           .select(col("src"), expr("rank DIV deg").as("contrib"))
     }
     ranks.orderBy(col("rank").desc, col("node")).limit(20)

@@ -101,6 +101,25 @@ class PlanSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"shuffle above the cached edge scan:\n${bad.mkString("\n")}\n$p")
   }
 
+  test("q37_pagerank: node count above the cap flips iterations to shuffle-hash automatically") {
+    // Force the flip with cap=0: the per-iteration contribution joins
+    // must plan as ShuffledHashJoin (no broadcast of a node table the
+    // executors could not hold), and the RESULT must be identical to
+    // the broadcast regime — the strategy is a physical choice only.
+    val forced = operators.Relational.q37PagerankAt(spark, sf, 0L)
+    val p = forced.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    val lines = p.linesIterator.toVector
+    val firstScan = lines.indexWhere(_.contains("InMemoryTableScan"))
+    val aboveScan = lines.take(math.max(firstScan, 0))
+    assert(!aboveScan.exists(_.contains("BroadcastHashJoin")),
+      s"node-table broadcast above the cap:\n$p")
+    val broadcastRegime = SparkEntry.queries("q37_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val shuffleRegime = forced.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(shuffleRegime == broadcastRegime)
+  }
+
   test("text_bpe_tokens: broadcast dictionary join, fitted vocab as literal, no window") {
     // Apply-side plan only: the vocab fit collects its 48 grams at
     // construction (bounded model state, the IVF-centroid
@@ -243,6 +262,9 @@ class PlanSpec extends AnyFunSuite {
       // ann_matryoshka_topk: the same intentional broadcast-query
       // exact scan as ann_bruteforce_topk (it IS the recall baseline)
       Set("ann_bruteforce_topk", "ann_matryoshka_topk",
+        // ann_matryoshka_rerank: pass 1 is the same intentional
+        // broadcast-query scan, over the 16-dim prefix only
+        "ann_matryoshka_rerank",
         "ann_range_search", "ann_hard_negatives",
         "ann_lsh_recall", "ann_ivf_recall",
         "ann_pq_recall", "ann_ivfpq_recall", "dedup_semantic_gate", "q24_revenue_share",
