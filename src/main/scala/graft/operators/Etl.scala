@@ -150,6 +150,20 @@ object Etl {
       .select(col("user_id"), col("user_question"), col("assistant_response"))
       .orderBy(col("user_id"))
 
+  /** The reference CLI's DEFAULT output mode
+    * (extract_chat_qa_tsv.py:138, 160): sessions whose extracted
+    * question OR response is empty are EXCLUDED from the TSV unless
+    * `--include-empty` is passed. [[etlQaExtract]] is the
+    * include-empty behavior (every session represented); this row is
+    * the reference default — the same [[firstQa]] kernel with the
+    * emptiness filter, so both CLI modes are representable. The
+    * filter is a map-side predicate on the extracted columns (pushed
+    * below the final sort by Catalyst), not a second extraction pass.
+    */
+  def etlQaExtractNonempty(s: SparkSession, d: String): DataFrame =
+    etlQaExtract(s, d)
+      .filter(col("user_question") =!= "" && col("assistant_response") =!= "")
+
   /** The first-QA extraction kernel shared by [[etlQaExtract]] and
     * [[etlPagedQa]]: expects a `msgs` column of
     * `array<struct<…, role, content>>` in conversation order; adds
@@ -157,8 +171,11 @@ object Etl {
     * semantics (leading assistant greeting dropped, first user
     * message is the question, the contiguous assistant run after it
     * concatenates — take-while via `aggregate` with a (parts, stop)
-    * state struct; both empty when absent). Drops the working
-    * columns.
+    * state struct; both empty when absent). Faithful to the
+    * reference's join rule (extract_chat_qa_tsv.py:128): an
+    * empty-content assistant message still CONTINUES the contiguous
+    * run but contributes nothing to the joined response — the final
+    * join filters empty parts. Drops the working columns.
     */
   private[graft] def firstQa(df: DataFrame): DataFrame =
     df
@@ -176,7 +193,7 @@ object Etl {
           |  (acc, m) -> CASE WHEN acc.stop OR m.role <> 'assistant'
           |    THEN named_struct('parts', acc.parts, 'stop', true)
           |    ELSE named_struct('parts', concat(acc.parts, array(m.content)), 'stop', false) END,
-          |  acc -> array_join(acc.parts, ' '))""".stripMargin))
+          |  acc -> array_join(filter(acc.parts, p -> p <> ''), ' '))""".stripMargin))
       .drop("msgs", "fu")
 
   /** Chats served by [[etlPagedQa]]'s stub API. */
@@ -530,6 +547,7 @@ object Etl {
     "etl_active_features" -> etlActiveFeatures _,
     "etl_flag_summary" -> etlFlagSummary _,
     "etl_qa_extract" -> etlQaExtract _,
+    "etl_qa_extract_nonempty" -> etlQaExtractNonempty _,
     "etl_paged_qa" -> etlPagedQa _,
     "etl_sanitize_text" -> etlSanitizeText _,
     "etl_ref_chunks" -> etlRefChunks _,
@@ -558,6 +576,43 @@ object Etl {
        | ${flagCaseSql("has_vector")} AS has_vector,
        | ${flagCaseSql("has_stream")} AS has_stream
        |FROM documents)""".stripMargin
+
+  /** Window-function replay of [[firstQa]] over the events table; the
+    * `onlyNonempty` flag is the reference CLI's default exclude-empty
+    * mode (extract_chat_qa_tsv.py:138).
+    */
+  private def qaExtractSql(onlyNonempty: Boolean): String = {
+    val filter =
+      if (onlyNonempty)
+        "WHERE coalesce(q.user_question, '') <> '' AND coalesce(resp.assistant_response, '') <> ''\n"
+      else ""
+    s"""WITH m AS (
+       | SELECT user_id, event_id,
+       |  CASE WHEN event_type IN ('view','error') THEN 'assistant' ELSE 'user' END AS role,
+       |  event_type || '#' || CAST(event_id AS VARCHAR) AS content,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+       | FROM events),
+       |m2 AS (
+       | SELECT user_id, role, content,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY rn) AS rn2
+       | FROM m WHERE NOT (rn = 1 AND role = 'assistant')),
+       |fu AS (SELECT user_id, min(rn2) AS fu_rn FROM m2 WHERE role = 'user' GROUP BY user_id),
+       |brk AS (SELECT m2.user_id, min(rn2) AS brk_rn FROM m2 JOIN fu USING (user_id)
+       |        WHERE rn2 > fu_rn AND role <> 'assistant' GROUP BY m2.user_id),
+       |q AS (SELECT m2.user_id, content AS user_question FROM m2 JOIN fu USING (user_id)
+       |      WHERE rn2 = fu_rn),
+       |resp AS (SELECT m2.user_id, string_agg(content, ' ' ORDER BY rn2) AS assistant_response
+       |         FROM m2 JOIN fu USING (user_id)
+       |         LEFT JOIN brk ON brk.user_id = m2.user_id
+       |         WHERE rn2 > fu_rn AND rn2 < coalesce(brk_rn, 9223372036854775807)
+       |         GROUP BY m2.user_id)
+       |SELECT u.user_id,
+       | coalesce(q.user_question, '') AS user_question,
+       | coalesce(resp.assistant_response, '') AS assistant_response
+       |FROM (SELECT DISTINCT user_id FROM events) u
+       |LEFT JOIN q USING (user_id) LEFT JOIN resp USING (user_id)
+       |${filter}ORDER BY user_id""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "etl_dlq_route" ->
@@ -663,33 +718,9 @@ object Etl {
          | UNION ALL SELECT 'has_stream', has_stream FROM f)
          |SELECT flag, value, CAST(count(*) AS BIGINT) AS n
          |FROM m GROUP BY flag, value ORDER BY flag, value""".stripMargin,
-    "etl_qa_extract" ->
-      """WITH m AS (
-        | SELECT user_id, event_id,
-        |  CASE WHEN event_type IN ('view','error') THEN 'assistant' ELSE 'user' END AS role,
-        |  event_type || '#' || CAST(event_id AS VARCHAR) AS content,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
-        | FROM events),
-        |m2 AS (
-        | SELECT user_id, role, content,
-        |  row_number() OVER (PARTITION BY user_id ORDER BY rn) AS rn2
-        | FROM m WHERE NOT (rn = 1 AND role = 'assistant')),
-        |fu AS (SELECT user_id, min(rn2) AS fu_rn FROM m2 WHERE role = 'user' GROUP BY user_id),
-        |brk AS (SELECT m2.user_id, min(rn2) AS brk_rn FROM m2 JOIN fu USING (user_id)
-        |        WHERE rn2 > fu_rn AND role <> 'assistant' GROUP BY m2.user_id),
-        |q AS (SELECT m2.user_id, content AS user_question FROM m2 JOIN fu USING (user_id)
-        |      WHERE rn2 = fu_rn),
-        |resp AS (SELECT m2.user_id, string_agg(content, ' ' ORDER BY rn2) AS assistant_response
-        |         FROM m2 JOIN fu USING (user_id)
-        |         LEFT JOIN brk ON brk.user_id = m2.user_id
-        |         WHERE rn2 > fu_rn AND rn2 < coalesce(brk_rn, 9223372036854775807)
-        |         GROUP BY m2.user_id)
-        |SELECT u.user_id,
-        | coalesce(q.user_question, '') AS user_question,
-        | coalesce(resp.assistant_response, '') AS assistant_response
-        |FROM (SELECT DISTINCT user_id FROM events) u
-        |LEFT JOIN q USING (user_id) LEFT JOIN resp USING (user_id)
-        |ORDER BY user_id""".stripMargin,
+    "etl_qa_extract" -> qaExtractSql(onlyNonempty = false),
+    // the reference CLI default: drop sessions with an empty side
+    "etl_qa_extract_nonempty" -> qaExtractSql(onlyNonempty = true),
     // closed-form replay of the stub API: chat i has (i % 5) + 1
     // sessions, session j's message shape is case (i + j) % 4 — the
     // oracle derives the expected QA output per case, independently of

@@ -23,6 +23,70 @@ class ReferencePipelinesSpec extends AnyFunSuite {
 
   private def tmp(p: String) = Files.createTempDirectory(p).resolve("out").toString
 
+  /** Verbatim Scala port of the reference's
+    * extract_first_qa_from_session loop (extract_chat_qa_tsv.py:84-129)
+    * over already-normalized (role, content) pairs. The generated
+    * contents carry no whitespace, so safe_text reduces to identity
+    * and the port keeps the reference's control flow exactly: drop a
+    * first-message assistant greeting once, linear scan for the first
+    * user message, take-while collect of the contiguous assistant run,
+    * join only the non-empty parts.
+    */
+  private def referenceFirstQa(messages: Seq[(String, String)]): (String, String) = {
+    var msgs = messages
+    if (msgs.nonEmpty && msgs.head._1 == "assistant") msgs = msgs.tail
+    val userIdx = msgs.indexWhere(_._1 == "user")
+    if (userIdx < 0) return ("", "")
+    val userQ = msgs(userIdx)._2
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    var j = userIdx + 1
+    while (j < msgs.length && msgs(j)._1 == "assistant") {
+      parts += msgs(j)._2
+      j += 1
+    }
+    (userQ, parts.filter(_.nonEmpty).mkString(" "))
+  }
+
+  test("firstQa property: matches the ported reference loop on generated conversations") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val roleGen = Gen.frequency((4, Gen.const("user")),
+      (4, Gen.const("assistant")), (1, Gen.const("system")))
+    val contentGen = Gen.frequency(
+      (5, Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)),
+      (1, Gen.const("")))
+    val convGen = Gen.choose(0, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.zip(roleGen, contentGen)))
+    val generated = (0 until 250)
+      .flatMap(i => convGen.apply(Gen.Parameters.default, Seed(9000L + i)))
+      .map(_.toVector)
+    // named edge shapes from the reference's branches, always present
+    val forced = Vector(
+      Vector.empty[(String, String)],
+      Vector("assistant" -> "greet"),
+      Vector("assistant" -> "greet", "user" -> "q",
+        "assistant" -> "a1", "assistant" -> "", "assistant" -> "a2"),
+      Vector("assistant" -> "greet", "assistant" -> "a2"),
+      Vector("system" -> "s", "user" -> "q", "assistant" -> "a",
+        "system" -> "x", "assistant" -> "b"),
+      Vector("user" -> "q"),
+      Vector("user" -> "q1", "user" -> "q2", "assistant" -> "a"),
+      Vector("assistant" -> "", "user" -> "q", "assistant" -> "a"))
+    val all = (forced ++ generated).zipWithIndex
+    val df = all.map { case (ms, i) => (i.toLong, ms) }.toDF("sid", "raw")
+      .withColumn("msgs",
+        expr("transform(raw, m -> named_struct('role', m._1, 'content', m._2))"))
+      .select(col("sid"), col("msgs"))
+    val res = Etl.firstQa(df)
+      .select(col("sid"), col("user_question"), col("assistant_response"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    all.foreach { case (ms, i) =>
+      assert(res(i.toLong) == referenceFirstQa(ms),
+        s"conv $i diverged from the reference loop: $ms")
+    }
+  }
+
   test("pipeline 1: normalize -> flags -> rollup -> CSV") {
     val flags = Etl.etlTristateFlags(spark, sf)
     val features = Etl.etlActiveFeatures(spark, sf)
