@@ -21,13 +21,26 @@ object StateRegistry {
   private val owned = scala.collection.mutable.Map.empty[String, Set[Int]]
 
   /** localCheckpoint `df` and protect the resulting blocks under
-    * `owner` until [[release]]d.
+    * `owner` until [[release]]d. Ownership is derived from the
+    * checkpointed DataFrame's OWN RDD id (a localCheckpoint's plan is
+    * a scan of exactly one persisted RDD) — not from a before/after
+    * diff of the global persistent-RDD map, which would claim any RDD
+    * another thread happened to persist concurrently and protect it
+    * from [[sweep]] forever.
     */
   def checkpointed(owner: String, df: DataFrame): DataFrame = synchronized {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val ck = df.localCheckpoint()
-    val added = sc.getPersistentRDDs.keySet.toSet -- before
+    // the checkpointed plan is a LogicalRDD scan of the ONE persisted
+    // internal RDD — its id is the owned block set (ck.rdd would be a
+    // fresh unpersisted wrapper; the global before/after diff is only
+    // the fallback, and can over-claim under concurrent persists)
+    val ownId = ck.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    val added = ownId.map(Set(_))
+      .getOrElse(sc.getPersistentRDDs.keySet.toSet -- before)
     owned(owner) = owned.getOrElse(owner, Set.empty) ++ added
     ck
   }

@@ -298,20 +298,30 @@ object Sinks {
       val total = rows.count()
       val nTodo = todo.count()
       val dirStr = root.toString
+      // ship the DRIVER's hadoop conf into the task closure — a bare
+      // executor-side `new Configuration()` would drop every
+      // spark.hadoop.* setting (object-store credentials, custom FS
+      // impls) and silently write through defaults
+      val serConf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
       todo.foreachPartition { (it: Iterator[(String, String)]) =>
         if (it.hasNext) {
-          // executor-side FS handle; default conf resolves the same
-          // scheme for local/HDFS deployments. No client-side .crc
-          // sidecars: the output contract is EXACTLY one <id>.txt per
-          // record (a ChecksumFileSystem would shadow every file).
+          // PRIVATE FS instance (newInstance, not the JVM-cached get):
+          // the checksum toggle below must not leak to other users of
+          // this scheme in the executor. No client-side .crc sidecars:
+          // the output contract is EXACTLY one <id>.txt per record (a
+          // ChecksumFileSystem would shadow every file).
           val p = new org.apache.hadoop.fs.Path(dirStr)
-          val efs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          efs.setWriteChecksum(false)
-          it.foreach { case (id, text) =>
-            val out = efs.create(new org.apache.hadoop.fs.Path(p, s"$id.txt"), true)
-            try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-          }
+          val efs = org.apache.hadoop.fs.FileSystem.newInstance(
+            p.toUri, serConf.value)
+          try {
+            efs.setWriteChecksum(false)
+            it.foreach { case (id, text) =>
+              val out = efs.create(new org.apache.hadoop.fs.Path(p, s"$id.txt"), true)
+              try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+            }
+          } finally efs.close()
         }
       }
       (nTodo, total - nTodo)
