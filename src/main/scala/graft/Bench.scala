@@ -182,6 +182,23 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(benchFile),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] $benchFile write failed: ${e.getMessage}") }
+    // Same-window manifest: tools/baseline.py writes the twin
+    // baseline_manifest.json and tools/check.py warns when the two
+    // snapshots drift (different commit, or generated hours apart) —
+    // a bench/baseline ratio is only meaningful when both sides were
+    // produced back-to-back on the same tree and host load.
+    if (only.isEmpty) {
+      val sha =
+        try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
+        catch { case _: Throwable => "unknown" }
+      val manifest =
+        s"""{"git_sha":"$sha","generated_unix":${System.currentTimeMillis / 1000},"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_manifest.json"),
+        (manifest + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] manifest write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

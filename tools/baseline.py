@@ -145,3 +145,17 @@ for name, t, nrows, err in rows:
 out.append("")
 Path("BASELINE.md").write_text("\n".join(out))
 print(f"\nwrote BASELINE.md  total={total:.2f}s  queries={len(rows)}")
+
+# Same-window manifest (twin of Bench's bench_manifest.json):
+# tools/check.py warns when the bench/baseline pair was produced from
+# different commits or hours apart — a drifted pair publishes a
+# meaningless ratio.
+import subprocess  # noqa: E402
+
+try:
+    sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=Path(__file__).parent.parent,
+                         capture_output=True, text=True, check=True).stdout.strip()
+except Exception:  # noqa: BLE001
+    sha = "unknown"
+Path("baseline_manifest.json").write_text(
+    json.dumps({"git_sha": sha, "generated_unix": int(time.time()), "sf": SFDIR}) + "\n")

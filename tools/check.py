@@ -98,4 +98,25 @@ for name, sql in sorted(oracle.items()):
         ok += 1
 
 print(f"\n{ok} ok, {fail} fail")
+
+# Same-window guard: warn when the committed bench/baseline snapshot
+# pair drifted (different commit, or generated far apart) — a ratio
+# across drifted snapshots is not a measurement. Warning only: the
+# correctness gate above is this script's exit status.
+repo = Path(__file__).parent.parent
+bm, blm = repo / "bench_manifest.json", repo / "baseline_manifest.json"
+if bm.exists() and blm.exists():
+    b, bl = json.loads(bm.read_text()), json.loads(blm.read_text())
+    if b.get("git_sha") != bl.get("git_sha"):
+        print(f"WARN bench/baseline manifests from different commits: "
+              f"{b.get('git_sha', '?')[:12]} vs {bl.get('git_sha', '?')[:12]} "
+              f"- regenerate the pair back-to-back")
+    drift = abs(int(b.get("generated_unix", 0)) - int(bl.get("generated_unix", 0)))
+    if drift > 6 * 3600:
+        print(f"WARN bench/baseline manifests generated {drift / 3600:.1f}h apart "
+              f"- regenerate the pair in one window")
+elif bm.exists() != blm.exists():
+    print("WARN only one of bench_manifest.json / baseline_manifest.json exists "
+          "- regenerate both in one window")
+
 sys.exit(1 if fail else 0)
