@@ -40,7 +40,29 @@ Round 9 removed two former exclusions by deriving their geometry from
 the corpus count: dedup_semantic (was fixed k=8 cells, now k ~ sqrt(n)
 via Similarity.semCentroids) and mm_hamming_neardup (was fixed 4x12-bit
 bands, now flips to 8x16-bit bands over the full 128-bit md5 at
->65536 docs via Multimodal.hammingGeometry) — both probed below.
+>65536 docs via Multimodal.hammingGeometry).
+
+ROUND-9 100x RESULTS (48g heap, warm = repeat run in one session):
+
+- mm_hamming_neardup    161-204s  WIDE 8x16 geometry, zero spills.
+                                  ~Linear in trigram volume (~200x
+                                  sf0.1's 0.58s at ~200x trigrams;
+                                  the cost is ~500M per-trigram md5
+                                  digests — the oracle-replayable
+                                  signature contract — while the band
+                                  self-join stays bounded at ~7.6
+                                  docs/bucket, the quantity the old
+                                  fixed geometry sent quadratic).
+- dedup_semantic         2.7-3.2s warm after the one-time k=448 fit
+                                  (sqrt(200k) cells; within-cell scan
+                                  decisively sublinear — was the
+                                  round-3 "5.0s at 10x, quadratic at
+                                  fixed k=8" caveat row).
+- ann_matryoshka_rerank  1.0s     prefix scan + candidate re-rank.
+- etl_qa_extract_nonempty 7.2s    10M events, one groupBy(user).
+- cur_quality_lr_fit     1.8s     3 GD steps x one partial-agg pass.
+- q37_pagerank           0.74s    warm on cached edges (68s one-time
+                                  edge build over 60M lineitem rows).
 
 Usage:
   python tools/scaleprobe100.py           # build tmp/sf10probe
