@@ -110,6 +110,61 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("wide-geometry hamming output equals an independent brute-force recomputation") {
+    // End-to-end correctness pin for the WIDE 8x16 regime (the test
+    // SFs always select narrow, so the DuckDB gate never exercises
+    // this path): recompute every 128-bit trigram simhash and ALL
+    // all-pairs Hamming distances in plain Scala from the raw texts,
+    // and require the engine's banded candidate generation + verify
+    // to emit exactly the pairs at distance <= 7. This also re-proves
+    // pigeonhole completeness on real data: banding may only PRUNE
+    // safe pairs, never lose one under the bar.
+    val g = Multimodal.hammingGeometry(100000)
+    assert(g.wide)
+    val texts = sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def sigOf(t: String): (Long, Long) = {
+      val blob = t.getBytes("UTF-8")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](128)
+      var i = 0
+      while (i + 2 < blob.length) {
+        md.reset(); md.update(blob, i, 3)
+        val dig = md.digest()
+        var hHi = 0L; var hLo = 0L
+        var j = 0
+        while (j < 8) { hHi = (hHi << 8) | (dig(j) & 0xffL); j += 1 }
+        while (j < 16) { hLo = (hLo << 8) | (dig(j) & 0xffL); j += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((hLo >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          if (((hHi >> b) & 1L) == 1L) counts(64 + b) += 1 else counts(64 + b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var lo = 0L; var hi = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) lo |= (1L << b); b += 1 }
+      while (b < 128) { if (counts(b) > 0) hi |= (1L << (b - 64)); b += 1 }
+      (hi, lo)
+    }
+    val sigs = texts.filter(_._2.getBytes("UTF-8").length >= 3)
+      .map { case (id, t) => id -> sigOf(t) }
+    val expected = (for {
+      (a, (ha, la)) <- sigs; (b, (hb, lb)) <- sigs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= g.bar
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.mmHammingNeardupAt(spark, sf, g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"wide regime diverged: ${(expected -- got).take(3)} missing, ${(got -- expected).take(3)} extra")
+    assert(expected.nonEmpty, "brute force found no wide-regime pairs — vacuous test")
+  }
+
   test("wide-geometry hamming pairs are a superset of narrow pairs at the narrow bar") {
     import org.apache.spark.sql.functions.col
     val narrow = Multimodal.mmHammingNeardupAt(spark, sf,
