@@ -702,6 +702,96 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Sliding-window width (in tokens) for [[dedupSubstring]]. Real
+    * ExactSubstr pipelines use ~50 tokens; 4 is chosen so the
+    * synthetic corpus (small vocabulary, ~50-token docs) actually
+    * produces mid-document window collisions and exercises the whole
+    * span machinery — multi-island merges, partial coverage,
+    * whole-doc coverage — under the oracle. The width is a knob, not
+    * a structural constant: nothing downstream depends on it.
+    */
+  val SubstrK = 4
+
+  /** Positional substring-span dedup — the "exact substring
+    * deduplication" pass of Lee et al. 2021 (Deduplicating Training
+    * Data Makes Language Models Better), re-expressed as two hash
+    * exchanges instead of a suffix array. [[dedupParagraph]] removes
+    * duplicated FIXED blocks; this operator slides a [[SubstrK]]-token
+    * window over every position, so duplicated spans that straddle
+    * block boundaries (the case block-aligned dedup structurally
+    * misses) are caught at their exact extent.
+    *
+    * Semantics: every sliding window occurrence is globally ranked by
+    * (doc_id, pos); each NON-FIRST occurrence marks its k tokens as
+    * duplicated (keep-first, like the paper's "remove all but one
+    * copy"). Per document, marked intervals are merged into maximal
+    * spans (gaps-and-islands), and the output certifies the
+    * reconstruction: span count, duplicated-token count/fraction, and
+    * an md5 over the surviving tokens in order (NULL when the whole
+    * document is duplicated text).
+    *
+    * Scale shape: window extraction is one map-side pass (arrays,
+    * never a per-token shuffle of positions); the global keep-first
+    * decision is ONE exchange partitioned by window content — exactly
+    * the C4 line-hash shuffle, same posture as [[dedupParagraph]]; at
+    * 100 TB the shuffle key drops to xxhash64/md5 of the window with
+    * the string carried only for verification. Interval merge and
+    * reassembly are doc_id-local (one second exchange); the
+    * gaps-and-islands windows scan each doc's dup intervals once, and
+    * a hot boilerplate window concentrates only its own occurrence
+    * list (rank within one partition list — linear in that window's
+    * count, AQE skew-split for the residue). The span join-back is
+    * doc-count-sized on both sides, so Catalyst picks sort-merge at
+    * scale on its own stats.
+    */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SubstrK
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    val grams = docs.filter(col("n_tokens") >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
+          .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+    val dup = grams
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos").as("a"), (col("pos") + (k - 1)).as("b"))
+    // (doc_id, a) is unique — a position starts exactly one window —
+    // so the ROWS frames below are deterministic.
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("a"))
+    val spans = dup
+      .withColumn("pm", max(col("b")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(when(col("pm").isNull || col("a") > col("pm") + 1, 1L).otherwise(0L))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("a")).as("s"), max(col("b")).as("e"))
+    val byDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    // The span table is corpus-sized (one row per doc with any dup
+    // span), so the join-back must never be a broadcast: sort-merge
+    // on doc_id, same posture as every dedup verify join.
+    docs.hint("merge").join(byDoc, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "filter(transform(sequence(1, n_tokens), p -> " +
+          "IF(spans IS NOT NULL AND exists(spans, sp -> p >= sp.s AND p <= sp.e), " +
+          "CAST(NULL AS STRING), element_at(toks, p))), x -> x IS NOT NULL)"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"),
+        when(size(col("kept")) === 0, lit(null).cast("string"))
+          .otherwise(md5(concat_ws(" ", col("kept")))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Jaccard bar for [[dedupPrefixFilter]]. Prefix filtering is the
     * HIGH-threshold exact method: the prefix holds n − ⌈t·n⌉ + 1
     * tokens, so at t = 0.8 only the ~20% rarest tokens of each doc are
@@ -777,6 +867,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_prefix_filter" -> dedupPrefixFilter _,
     "dedup_paragraph" -> dedupParagraph _,
+    "dedup_substring" -> dedupSubstring _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_clusters_incremental" -> dedupClustersIncremental _,
     "dedup_exact" -> dedupExact _,
@@ -868,6 +959,35 @@ object Dedup {
            | round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac,
            | md5(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY block_idx)) AS kept_md5
            |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_substring" ->
+      raw"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - ${SubstrK - 1}),
+           |   i -> {'pos': i, 'gram': array_to_string(l[i : i + ${SubstrK - 1}], ' ')})) AS u
+           | FROM t WHERE len(l) >= $SubstrK),
+           |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
+           |r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g),
+           |iv AS (SELECT doc_id, pos AS a, pos + ${SubstrK - 1} AS b FROM r WHERE rn > 1),
+           |m AS (SELECT doc_id, a, b,
+           |   max(b) OVER (PARTITION BY doc_id ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+           |isl AS (SELECT doc_id, a, b,
+           |   sum(CASE WHEN pm IS NULL OR a > pm + 1 THEN 1 ELSE 0 END)
+           |     OVER (PARTITION BY doc_id ORDER BY a ROWS UNBOUNDED PRECEDING) AS island FROM m),
+           |sp AS (SELECT doc_id, island, min(a) AS s, max(b) AS e FROM isl GROUP BY 1, 2),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+           |   CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1),
+           |pt0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l)),
+           |   p -> {'p': p, 'tok': l[p]})) AS u FROM t),
+           |pt AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM pt0),
+           |kept AS (SELECT pt.doc_id, md5(string_agg(pt.tok, ' ' ORDER BY pt.p)) AS clean_md5
+           |  FROM pt LEFT JOIN sp ON sp.doc_id = pt.doc_id AND pt.p BETWEEN sp.s AND sp.e
+           |  WHERE sp.doc_id IS NULL GROUP BY pt.doc_id)
+           |SELECT t.doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+           | CAST(coalesce(agg.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           | CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           | round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE) / len(l), 6) AS dup_frac,
+           | kept.clean_md5 AS clean_md5
+           |FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id LEFT JOIN kept ON kept.doc_id = t.doc_id
+           |ORDER BY t.doc_id""".stripMargin,
     // NB: clusterLabelCte is concatenated, not interpolated into a
     // stripMargin literal — its `||` concat operators start lines and
     // stripMargin would eat one pipe.

@@ -249,6 +249,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dedup_substring: content+doc hash exchanges only, no nested loop, no corpus broadcast") {
+    // Design: ONE exchange keyed by window content (global keep-first
+    // rank), then doc_id-local windows/aggregates that all reuse ONE
+    // doc_id exchange (HashPartitioning(doc_id) satisfies the
+    // (doc_id, isl) clustering), plus the scan side of the doc_id
+    // join-back. Anything beyond 3 hash exchanges means a doc-local
+    // stage re-shuffled; a BroadcastExchange means the corpus-sized
+    // span table was broadcast.
+    val p = planOf("dedup_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join:\n$p")
+    assert(!p.contains("BroadcastExchange"), s"corpus-sized side broadcast:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 3, s"$hashEx hash exchanges, expected <= 3:\n$p")
+  }
+
   test("no unintentional nested-loop joins anywhere in the inventory") {
     // ann_bruteforce_topk intentionally nested-loops 10 broadcast query
     // vectors against the table (its whole point is the exact scan);

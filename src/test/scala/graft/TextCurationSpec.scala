@@ -136,6 +136,49 @@ class TextCurationSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_dup_blocks")).sum > 0, "corpus should contain duplicate blocks")
   }
 
+  test("substring dedup: engine output equals an independent brute-force span recomputation") {
+    import graft.operators.Dedup
+    val k = Dedup.SubstrK
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+      .sortBy(_._1)
+    // Global keep-first by (doc_id, pos): visiting docs in id order and
+    // positions ascending makes "already seen" exactly "rank > 1".
+    val seen = scala.collection.mutable.HashSet[String]()
+    val dupIv = scala.collection.mutable.HashMap[Long, List[(Int, Int)]]()
+    for ((id, toks) <- docs; p <- 1 to toks.length - k + 1) {
+      val g = toks.slice(p - 1, p - 1 + k).mkString(" ")
+      if (!seen.add(g)) dupIv(id) = (p, p + k - 1) :: dupIv.getOrElse(id, Nil)
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = docs.map { case (id, toks) =>
+      val merged = dupIv.getOrElse(id, Nil).sortBy(_._1)
+        .foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, (a, b)) if a <= e0 + 1 => (s0, math.max(e0, b)) :: rest
+          case (acc, iv) => iv :: acc
+        }.reverse
+      val covered = merged.flatMap { case (a, b) => a to b }.toSet
+      val kept = toks.zipWithIndex.collect { case (t, i) if !covered(i + 1) => t }
+      val dupToks = merged.map { case (a, b) => b - a + 1 }.sum
+      (id, toks.length.toLong, merged.length.toLong, dupToks.toLong,
+        BigDecimal(dupToks.toDouble / toks.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        if (kept.isEmpty) null else md5hex(kept.mkString(" ")))
+    }
+    val got = Dedup.dedupSubstring(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+        r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac"), r.getAs[String]("clean_md5")))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"mismatch: got $g expected $e") }
+    // non-vacuity: the corpus must exercise multi-island merges AND
+    // partial coverage, or this pin proves nothing about the machinery
+    assert(expected.count(_._3 > 1) > 0, "no multi-span doc in corpus")
+    assert(expected.count(e => e._4 > 0 && e._4 < e._2) > 0, "no partially-covered doc")
+    assert(expected.count(_._6 == null) > 0, "no fully-duplicated doc")
+  }
+
   test("bm25: top-k size, positive non-increasing scores, matched-term bounds") {
     val rows = TextAnalysis.textBm25Topk(spark, sf).collect()
     assert(rows.length == TextAnalysis.Bm25TopK)
