@@ -211,6 +211,67 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Absolute discount for [[textLmKnScore]] — the standard 0.75 of
+    * the interpolated Kneser-Ney literature (Chen & Goodman 1998). */
+  val KnDiscount = 0.75
+
+  /** Interpolated Kneser-Ney bigram LM scoring — the standard n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1998) behind
+    * KenLM-style quality filters (CCNet buckets documents by exactly
+    * this kind of LM perplexity). Complements [[textLmScore]]'s
+    * unigram cross-entropy with a real conditional model:
+    *
+    *   P(w2|w1) = (c(w1 w2) − D)⁺ / c(w1 ·)
+    *            + D · N₁₊(w1 ·) / c(w1 ·) · N₁₊(· w2) / T
+    *
+    * where N₁₊ are distinct-continuation / distinct-context type
+    * counts and T the total bigram type count — the "how many contexts
+    * has w2 appeared in" continuation probability that makes KN the
+    * empirically best fixed-discount smoother. The model is fit on the
+    * corpus itself and every document scored by mean −log₂ P over its
+    * bigrams (positions 2..n).
+    *
+    * Scale shape: bigram extraction is the [[textPmiBigrams]] typed
+    * kernel (one pass, all occurrences); the model tables are ONE
+    * bigram-type aggregation (the only corpus-sized shuffle) from
+    * which both N₁₊ tables and c(w1 ·) derive as vocabulary-sized
+    * aggregates (broadcast); scoring joins the token stream to the
+    * per-TYPE probability table — sort-merge on (w1, w2), never a
+    * broadcast of the bigram-type table, which at web scale is far
+    * larger than the vocabulary — then re-aggregates per doc_id.
+    */
+  def textLmKnScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stream = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = if (text == null) Array.empty[String] else text.split(" ", -1)
+        if (t.length < 2) Iterator.empty
+        else (0 until t.length - 1).iterator.map(i => (id, t(i), t(i + 1)))
+      }
+      .toDF("doc_id", "w1", "w2")
+    val bc = stream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val fwd = bc.groupBy(col("w1"))
+      .agg(sum(col("c_ab")).as("c1"), count(lit(1)).as("n1f"))
+    val rev = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+    val tot = bc.agg(count(lit(1)).cast("double").as("t_types"))
+    val ptype = bc
+      .join(broadcast(fwd), "w1")
+      .join(broadcast(rev), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        ((greatest(col("c_ab") - lit(KnDiscount), lit(0.0)) +
+          lit(KnDiscount) * col("n1f") * (col("n1r") / col("t_types"))) / col("c1"))
+          .as("p_kn"))
+    stream.hint("merge").join(ptype, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log2(col("p_kn"))), 6).as("xent_kn"))
+      .orderBy(col("doc_id"))
+  }
+
   val PmiMinCount = 5 // min bigram occurrences for a collocation row
   val PmiTopK = 40
 
@@ -534,6 +595,7 @@ object TextAnalysis {
     "text_bm25_topk" -> textBm25Topk _,
     "text_entropy" -> textEntropy _,
     "text_lm_score" -> textLmScore _,
+    "text_lm_kn" -> textLmKnScore _,
     "text_pmi_bigrams" -> textPmiBigrams _,
     "text_stem" -> textStem _,
     "text_freq_items" -> textFreqItems _,
@@ -623,6 +685,24 @@ object TextAnalysis {
          |FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
          |GROUP BY t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    "text_lm_kn" ->
+      raw"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           |s0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+           |   i -> {'w1': l[i], 'w2': l[i + 1]})) AS u FROM t WHERE len(l) >= 2),
+           |st AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM s0),
+           |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM st GROUP BY 1, 2),
+           |fwd AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c1,
+           |   CAST(count(*) AS BIGINT) AS n1f FROM bc GROUP BY 1),
+           |rev AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM bc GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t_types FROM bc),
+           |pt AS (SELECT w1, w2,
+           |   (greatest(c_ab - $KnDiscount, CAST(0 AS DOUBLE))
+           |    + $KnDiscount * n1f * (n1r / t_types)) / c1 AS p_kn
+           | FROM bc JOIN fwd USING (w1) JOIN rev USING (w2) CROSS JOIN tot)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           | round(-avg(log2(p_kn)), 6) AS xent_kn
+           |FROM st JOIN pt USING (w1, w2)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pmi_bigrams" ->
       s"""WITH docs_l AS (SELECT string_split(text, ' ') AS l FROM documents),
          |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c

@@ -136,6 +136,37 @@ class TextCurationSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_dup_blocks")).sum > 0, "corpus should contain duplicate blocks")
   }
 
+  test("kneser-ney lm: engine scores equal an independent plain-Scala model fit") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+    val bigrams = docs.flatMap { case (id, t) =>
+      (0 until t.length - 1).map(i => (id, (t(i), t(i + 1)))) }
+    val cAb = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val c1 = cAb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = cAb.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1r = cAb.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val tTypes = cAb.size.toDouble
+    val D = TextAnalysis.KnDiscount
+    def pKn(bg: (String, String)): Double =
+      (math.max(cAb(bg) - D, 0.0) +
+        D * n1f(bg._1) * (n1r(bg._2) / tTypes)) / c1(bg._1)
+    val expected = bigrams.groupBy(_._1).view.mapValues { bs =>
+      val xs = bs.map(b => math.log(pKn(b._2)) / math.log(2.0))
+      (bs.length.toLong, -xs.sum / xs.length)
+    }.toMap
+    val got = TextAnalysis.textLmKnScore(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, x) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") == n)
+      assert(math.abs(r.getAs[Double]("xent_kn") - x) < 1e-5,
+        s"doc ${r.getAs[Long]("doc_id")}: got ${r.getAs[Double]("xent_kn")} expected $x")
+      // a probability model's cross-entropy is strictly positive: KN
+      // never assigns P >= 1 on a corpus with more than one context
+      assert(r.getAs[Double]("xent_kn") > 0.0)
+    }
+  }
+
   test("substring dedup: engine output equals an independent brute-force span recomputation") {
     import graft.operators.Dedup
     val k = Dedup.SubstrK
