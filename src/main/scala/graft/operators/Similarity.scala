@@ -247,6 +247,105 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Relevance weight in the MMR objective (Carbonell & Goldstein
+    * 1998): score(c) = λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s). */
+  val MmrLambda = 0.7
+  /** Results kept per query by [[annMmrDiversify]]. */
+  val MmrK = 5
+  /** Relevance-ranked candidate pool the greedy selection runs over. */
+  val MmrCandidates = 20
+
+  /** Maximal Marginal Relevance diversification — re-rank a query's
+    * top-[[MmrCandidates]] candidates so each pick balances relevance
+    * against redundancy with what's already picked (the classic
+    * retrieval/RAG-context diversifier; for training-data selection
+    * it's the "don't fill the batch with near-identical positives"
+    * pass). Greedy: first pick = argmax relevance; each next pick
+    * maximizes λ·rel − (1−λ)·maxSimToSelected, ties broken by
+    * neighbor id.
+    *
+    * Determinism across engines: candidate relevance is the rounded-4
+    * cosine of the gated exact scan, but the candidate-candidate
+    * similarities stay RAW doubles — both engines compute the same
+    * sequential dot / na / nb in IEEE order, so greedy comparisons
+    * are bitwise-identical with no rounding semantics inside the
+    * loop; scores are rounded only at output. The (1 − λ) factor is
+    * written as the same expression on both sides (0.3 ≠ 1 − 0.7 in
+    * binary).
+    *
+    * Scale shape: candidate generation is the broadcast-query exact
+    * scan (swap in any gated index row at scale); everything after is
+    * per-QUERY local — ≤ [[MmrCandidates]] vectors per group, O(N²·k)
+    * FLOPs with N constant — as one typed kernel over
+    * groupByKey(query_id), i.e. bounded state per group, queries
+    * distribute freely, no pairwise table ever shuffles.
+    */
+  def annMmrDiversify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(s, d)
+    val q = e.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("nrma"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nrmb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val cand = broadcast(q).join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MmrCandidates)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("vb"), col("nrmb"))
+    val lam = MmrLambda
+    val k = MmrK
+    val picked = cand.as[(Long, Long, Double, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Double], Double)]) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2))
+        def rawCos(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double = {
+          var acc = 0.0
+          var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc / na / nb
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Double)]
+        var rank = 1L
+        while (rank <= k && selected.length < cs.length) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            if (!selected.contains(ci)) {
+              val c = cs(ci)
+              // max over selected of the RAW pairwise cosine — a true
+              // max (can be negative); 0 only for the empty set, where
+              // the diversity term vanishes by definition
+              var ms = Double.NegativeInfinity
+              selected.foreach { si =>
+                val sim = rawCos(c._4, c._5, cs(si)._4, cs(si)._5)
+                if (sim > ms) ms = sim
+              }
+              if (selected.isEmpty) ms = 0.0
+              val score = lam * c._3 - (1 - lam) * ms
+              if (score > bestScore ||
+                (score == bestScore && bestIdx >= 0 && c._2 < cs(bestIdx)._2)) {
+                bestIdx = ci; bestScore = score
+              }
+            }
+            ci += 1
+          }
+          val b = cs(bestIdx)
+          out += ((qid, rank, b._2, b._3, bestScore))
+          selected += bestIdx
+          rank += 1L
+        }
+        out.iterator
+      }
+      .toDF("query_id", "mmr_rank", "neighbor_id", "cosine", "mmr_score_raw")
+    picked
+      .select(col("query_id"), col("mmr_rank"), col("neighbor_id"), col("cosine"),
+        round(col("mmr_score_raw"), 6).as("mmr_score"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
   /** Hard-negative mining for contrastive training: per query vector,
     * the top-k most-similar vectors with a DIFFERENT label — the
     * highest-cosine wrong-class examples that make the strongest
@@ -1285,6 +1384,7 @@ object Similarity {
     "dedup_semantic" -> dedupSemantic _,
     "dedup_semantic_gate" -> dedupSemanticGate _,
     "ann_bruteforce_topk" -> annBruteforceTopk _,
+    "ann_mmr_diversify" -> annMmrDiversify _,
     "ann_matryoshka_topk" -> annMatryoshkaTopk _,
     "ann_matryoshka_rerank" -> annMatryoshkaRerank _,
     "ann_lsh_topk" -> annLshTopk _,
@@ -1308,6 +1408,56 @@ object Similarity {
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        | list_transform(generate_series(1, 64), i -> $a.v[i] * $b.v[i])),
        | (acc, x) -> acc + x)""".stripMargin
+
+  /** Unrolled greedy-MMR replay for [[annMmrDiversify]]: step t's
+    * argmax is recomputed from the union of steps 1..t−1 with the
+    * SAME raw-double score expression the kernel evaluates (pairwise
+    * sims unrounded; `(1 − λ)` spelled as the expression, not 0.3),
+    * so selection ties and ordering are bitwise-identical.
+    */
+  private def mmrOracleSql: String = {
+    val lamE = s"$MmrLambda * rel - (1 - $MmrLambda) * ms"
+    val steps = (2 to MmrK).map { t =>
+      val prev = (1 until t).map(i => s"SELECT query_id, neighbor_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""selset$t AS ($prev),
+         |m$t AS (SELECT c.query_id AS query_id, c.neighbor_id AS neighbor_id,
+         |    c.rel AS rel, max(s.sim) AS ms
+         |  FROM cand c
+         |  JOIN sims s ON s.query_id = c.query_id AND s.ia = c.neighbor_id
+         |  JOIN selset$t z ON z.query_id = s.query_id AND z.neighbor_id = s.ib
+         |  LEFT JOIN selset$t x ON x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id
+         |  WHERE x.neighbor_id IS NULL
+         |  GROUP BY 1, 2, 3),
+         |sel$t AS (SELECT query_id, neighbor_id, rel, ms FROM (
+         |  SELECT query_id, neighbor_id, rel, ms,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY $lamE DESC, neighbor_id) AS rn
+         |  FROM m$t) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val unions =
+      (s"SELECT query_id, CAST(1 AS BIGINT) AS mmr_rank, neighbor_id, rel AS cosine," +
+        s" round($MmrLambda * rel - (1 - $MmrLambda) * 0, 6) AS mmr_score FROM sel1") +:
+        (2 to MmrK).map(t =>
+          s"SELECT query_id, CAST($t AS BIGINT), neighbor_id, rel, round($lamE, 6) FROM sel$t")
+    s"""$cosineCte,
+       |c0 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |  round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) AS rel
+       | FROM n a JOIN n b ON a.vec_id < $NumQueryVecs AND a.vec_id <> b.vec_id),
+       |cand AS (SELECT query_id, neighbor_id, rel FROM (
+       |  SELECT query_id, neighbor_id, rel,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn FROM c0)
+       | WHERE rn <= $MmrCandidates),
+       |sims AS (SELECT ca.query_id AS query_id, ca.neighbor_id AS ia, cb.neighbor_id AS ib,
+       |  ${dotSql("x", "y")} / x.nrm / y.nrm AS sim
+       | FROM cand ca JOIN cand cb ON ca.query_id = cb.query_id AND ca.neighbor_id <> cb.neighbor_id
+       | JOIN n x ON x.vec_id = ca.neighbor_id
+       | JOIN n y ON y.vec_id = cb.neighbor_id),
+       |sel1 AS (SELECT query_id, neighbor_id, rel FROM cand QUALIFY
+       |  row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) = 1),
+       |$steps
+       |${unions.mkString("\nUNION ALL ")}
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
 
   /** Full hash oracle for the three approximate top-k rows: the
     * candidate GENERATION (hyperplane hashing / quantizer probing /
@@ -1482,6 +1632,7 @@ object Similarity {
          | FROM c)
          |SELECT query_id, label, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_mmr_diversify" -> mmrOracleSql,
     "ann_bruteforce_topk" ->
       s"""$cosineCte,
          |c AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

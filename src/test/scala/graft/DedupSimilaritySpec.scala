@@ -109,6 +109,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     Seq(54L, 55L).foreach(i => assert(got(i) == 54L))
   }
 
+  test("mmr: rank-1 is the relevance argmax, scores non-increasing, picks diversify vs top-k") {
+    val mmr = Similarity.annMmrDiversify(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val bf = Similarity.annBruteforceTopk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(mmr.keySet == bf.keySet && mmr.nonEmpty)
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    def meanPairwise(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.length
+    }
+    var mmrDiv = 0.0; var topDiv = 0.0
+    mmr.foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("mmr_rank"))
+      assert(byRank.length == Similarity.MmrK)
+      assert(byRank.map(_.getAs[Long]("neighbor_id")).distinct.length == byRank.length)
+      // greedy monotonicity: a growing selected set can only raise a
+      // candidate's redundancy penalty, so the chosen score never rises
+      val scores = byRank.map(_.getAs[Double]("mmr_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, scores.toSeq.toString)
+      val bfRows = bf(qid).sortBy(_.getAs[Long]("rank"))
+      assert(byRank.head.getAs[Long]("neighbor_id") == bfRows.head.getAs[Long]("neighbor_id"),
+        "rank-1 must be the pure relevance argmax")
+      mmrDiv += meanPairwise(byRank.map(_.getAs[Long]("neighbor_id")).toSeq)
+      topDiv += meanPairwise(bfRows.map(_.getAs[Long]("neighbor_id")).toSeq)
+    }
+    // the point of the operator: across queries, MMR's picks are less
+    // mutually similar than the plain relevance top-k's picks
+    assert(mmrDiv < topDiv, s"no diversification: mmr=$mmrDiv topk=$topDiv")
+  }
+
   test("brute-force topk: k rows per query, descending cosine") {
     val rows = Similarity.annBruteforceTopk(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))
