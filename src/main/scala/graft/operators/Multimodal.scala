@@ -153,6 +153,61 @@ object Multimodal {
     * sets a verifier would re-rank — exactly the LSH-band discipline
     * of the text dedup family, never an all-pairs scan.
     */
+  /** Frames scanned per clip by [[mmShotBoundary]] (a real video
+    * pipeline caps per-clip scan work the same way). */
+  val ShotMaxFrames = 64
+  /** Integer L1 bar for a shot boundary — ~the 80th percentile of
+    * frame-to-frame distances on the synthetic corpus, so boundaries
+    * are non-trivially sparse. Max possible L1 = 2·[[FrameSize]]. */
+  val ShotBar = 22L
+
+  /** Shot-boundary detection — the video keyframe-selection pass of a
+    * multimodal training pipeline: split the payload into fixed
+    * [[FrameSize]]-byte frames (full frames only; ragged tails are a
+    * text artifact a real decoder never emits), per-frame
+    * [[FeatureBins]]-bin byte histogram (the [[stubDecode]] binning,
+    * unnormalized), and emit a row wherever the INTEGER L1 distance
+    * between consecutive frame histograms exceeds [[ShotBar]]. All
+    * arithmetic is integer, so the oracle replay is exact with no
+    * rounding anywhere.
+    *
+    * Scale shape: one typed mapPartitions kernel — per-doc bounded
+    * work (≤ [[ShotMaxFrames]] frames), zero shuffle before the
+    * output sort; parallelism is the input split count, same as
+    * [[mmFeatureExtract]]. A real decoder drops into the kernel
+    * unchanged.
+    */
+  def mmShotBoundary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaRow]
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val nf = math.min(m.blob.length / FrameSize, ShotMaxFrames)
+        if (nf < 2) Iterator.empty
+        else {
+          val hists = Array.tabulate(nf) { f =>
+            val h = new Array[Long](FeatureBins)
+            var i = 0
+            while (i < FrameSize) {
+              h((m.blob(f * FrameSize + i) & 0xff) % FeatureBins) += 1L
+              i += 1
+            }
+            h
+          }
+          (1 until nf).iterator.flatMap { f =>
+            var l1 = 0L
+            var b = 0
+            while (b < FeatureBins) { l1 += math.abs(hists(f)(b) - hists(f - 1)(b)); b += 1 }
+            if (l1 > ShotBar) Iterator.single((m.doc_id, f.toLong, l1)) else Iterator.empty
+          }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "l1_dist")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   def mmDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val b = FeatureBins
@@ -369,6 +424,7 @@ object Multimodal {
     "mm_metadata" -> mmMetadata _,
     "mm_feature_extract" -> mmFeatureExtract _,
     "mm_frame_sample" -> mmFrameSample _,
+    "mm_shot_boundary" -> mmShotBoundary _,
     "mm_resize" -> mmResize _)
 
   val oracleSql: Map[String, String] = Map(
@@ -458,6 +514,25 @@ object Multimodal {
          |WHERE i < least(CAST(ceil(strlen(text) / $FrameSize) AS INT), $MaxFrames)
          |  AND i % 2 = 0
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Integer-exact replay: same full-frame split, same %16 byte
+    // binning (ASCII text ⇒ ascii(char) = byte), zero-filled bin grid
+    // so absent bins still contribute |c - 0| to the L1.
+    "mm_shot_boundary" ->
+      s"""WITH f AS (SELECT doc_id, t.i AS fi,
+         |  substring(text, CAST(t.i AS INT) * $FrameSize + 1, $FrameSize) AS fr
+         | FROM documents, generate_series(0, ${ShotMaxFrames - 1}) AS t(i)
+         | WHERE t.i < CAST(floor(strlen(text) / $FrameSize.0) AS BIGINT)),
+         |b AS (SELECT doc_id, fi, ascii(substring(fr, CAST(p.p AS INT), 1)) % $FeatureBins AS bin
+         | FROM f, generate_series(1, $FrameSize) AS p(p)),
+         |c AS (SELECT doc_id, fi, bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3),
+         |grid AS (SELECT doc_id, fi, g.b AS bin FROM f, generate_series(0, ${FeatureBins - 1}) AS g(b)),
+         |hc AS (SELECT grid.doc_id, grid.fi, grid.bin, coalesce(c.c, 0) AS c
+         | FROM grid LEFT JOIN c ON c.doc_id = grid.doc_id AND c.fi = grid.fi AND c.bin = grid.bin),
+         |d AS (SELECT x.doc_id, x.fi, CAST(sum(abs(x.c - y.c)) AS BIGINT) AS l1
+         | FROM hc x JOIN hc y ON y.doc_id = x.doc_id AND y.fi = x.fi - 1 AND y.bin = x.bin
+         | GROUP BY 1, 2)
+         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, l1 AS l1_dist
+         |FROM d WHERE l1 > $ShotBar ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes,

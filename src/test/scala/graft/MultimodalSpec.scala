@@ -21,6 +21,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.forall(x => !x.isNaN && x == 0.0))
   }
 
+  test("shot boundary: equals a brute-force recompute; bounds hold") {
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").getBytes("UTF-8"))
+    val expected = docs.flatMap { case (id, blob) =>
+      val fs = Multimodal.FrameSize
+      val nf = math.min(blob.length / fs, Multimodal.ShotMaxFrames)
+      val hists = Array.tabulate(nf) { f =>
+        val h = new Array[Long](Multimodal.FeatureBins)
+        (0 until fs).foreach(i => h((blob(f * fs + i) & 0xff) % Multimodal.FeatureBins) += 1L)
+        h
+      }
+      (1 until nf).flatMap { f =>
+        val l1 = (0 until Multimodal.FeatureBins)
+          .map(b => math.abs(hists(f)(b) - hists(f - 1)(b))).sum
+        if (l1 > Multimodal.ShotBar) Some((id, f.toLong, l1)) else None
+      }
+    }.toSet
+    val got = Multimodal.mmShotBoundary(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"), r.getAs[Long]("l1_dist")))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus should contain shot boundaries")
+    // L1 of two equal-length frame histograms is bounded by 2*FrameSize
+    got.foreach { case (_, fi, l1) =>
+      assert(fi >= 1 && l1 > Multimodal.ShotBar && l1 <= 2L * Multimodal.FrameSize)
+    }
+  }
+
   test("feature extract pipeline: one row per document, f_sum ~ 1") {
     val df = Multimodal.mmFeatureExtract(spark, sf)
     val rows = df.collect()
