@@ -281,10 +281,16 @@ class PlanSpec extends AnyFunSuite {
         // ann_matryoshka_rerank: pass 1 is the same intentional
         // broadcast-query scan, over the 16-dim prefix only
         "ann_matryoshka_rerank",
+        // ann_mmr_diversify: candidate generation is the same
+        // intentional broadcast-query exact scan; selection after it
+        // is per-query local (kernel), join-free
+        "ann_mmr_diversify",
         "ann_range_search", "ann_hard_negatives",
         "ann_lsh_recall", "ann_ivf_recall",
         "ann_pq_recall", "ann_ivfpq_recall", "dedup_semantic_gate", "q24_revenue_share",
-        "cur_tfidf_topterms", "text_lm_score", "text_pmi_bigrams",
+        // text_lm_kn: same corpus-total-scalar (T types) broadcast
+        // onto the bigram-type table as the LM/PMI rows
+        "cur_tfidf_topterms", "text_lm_score", "text_lm_kn", "text_pmi_bigrams",
         // scalar avgdl aggregate broadcast onto the term stream —
         // the same share-of-total shape as the LM/PMI rows above
         "text_bm25_topk",
