@@ -210,6 +210,49 @@ class TextCurationSpec extends AnyFunSuite {
     assert(expected.count(_._6 == null) > 0, "no fully-duplicated doc")
   }
 
+  test("incremental substring dedup: brute-force equality and coverage superset of full recompute") {
+    import graft.operators.Dedup
+    val k = Dedup.SubstrK
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+      .sortBy(_._1)
+    val corpusGrams = docs.filter(_._1 % 10 != 0).flatMap { case (_, toks) =>
+      (1 to toks.length - k + 1).map(p => toks.slice(p - 1, p - 1 + k).mkString(" "))
+    }.toSet
+    val seenShard = scala.collection.mutable.HashSet[String]()
+    val dupIv = scala.collection.mutable.HashMap[Long, List[(Int, Int)]]()
+    for ((id, toks) <- docs if id % 10 == 0; p <- 1 to toks.length - k + 1) {
+      val g = toks.slice(p - 1, p - 1 + k).mkString(" ")
+      val dup = corpusGrams(g) || !seenShard.add(g)
+      if (dup) dupIv(id) = (p, p + k - 1) :: dupIv.getOrElse(id, Nil)
+    }
+    def merge(ivs: List[(Int, Int)]): List[(Int, Int)] =
+      ivs.sortBy(_._1).foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, (a, b)) if a <= e0 + 1 => (s0, math.max(e0, b)) :: rest
+        case (acc, iv) => iv :: acc
+      }.reverse
+    val expected = docs.filter(_._1 % 10 == 0).map { case (id, toks) =>
+      val m = merge(dupIv.getOrElse(id, Nil))
+      id -> ((m.length.toLong, m.map { case (a, b) => b - a + 1 }.sum.toLong))
+    }.toMap
+    val got = Dedup.dedupSubstringIncremental(spark, sf).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val (ns, dt) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_dup_spans") == ns && r.getAs[Long]("dup_tokens") == dt,
+        s"doc ${r.getAs[Long]("doc_id")}: got (${r.getAs[Long]("n_dup_spans")}, ${r.getAs[Long]("dup_tokens")}) expected ($ns, $dt)")
+    }
+    // vs the full global recompute: a shard window duplicated there has
+    // an earlier occurrence in corpus or shard, so the incremental pass
+    // marks it too — per-doc coverage can only grow
+    val full = Dedup.dedupSubstring(spark, sf).collect()
+      .filter(_.getAs[Long]("doc_id") % 10 == 0)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("dup_tokens") >= full(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("bm25: top-k size, positive non-increasing scores, matched-term bounds") {
     val rows = TextAnalysis.textBm25Topk(spark, sf).collect()
     assert(rows.length == TextAnalysis.Bm25TopK)
