@@ -1246,6 +1246,101 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Dimensions (embedding prefix) and power-iteration count for
+    * [[embPcaPower]]. */
+  val PcaDims = 16
+  /** Power-iteration count: the corpus spectrum's λ₂/λ₁ ≈ 0.9, so
+    * direction error (λ₂/λ₁)^t needs ~20 steps to pass a cosine-0.99
+    * alignment bar against the converged eigenvector (spec-pinned);
+    * each step is pure driver math — iteration count costs nothing
+    * distributed. */
+  val PcaIters = 20
+
+  /** Top principal component of the embedding prefix by POWER
+    * ITERATION over a covariance matrix built from integer-exact
+    * sums — distributed linear algebra in the
+    * [[graft.operators.Curation.curQualityLrFit]] discipline: the
+    * only cross-row aggregations are INTEGER (int8-quantized values,
+    * fixed ×127 scale), so the Gram/mean sums are exact and
+    * order-free — no floating-point reduction-order nondeterminism
+    * ever touches an executor. The 16-vector + 16×16 Gram + count
+    * reach the driver (bounded model state, the quantizer-fit
+    * pattern); covariance entries are exact rationals of those
+    * integers; [[PcaIters]] power iterations run driver-side with L∞
+    * normalization (max is order-free, unlike an L2 sum) and
+    * per-iteration 1e-9 rounding so DuckDB replays the identical
+    * trajectory through unrolled matvec CTEs. Output: per-dimension
+    * loading of the dominant component, its Rayleigh eigenvalue and
+    * explained-variance fraction.
+    *
+    * At 100 TB: the pass is ONE mapPartitions over the corpus
+    * emitting 273 longs per partition — the same
+    * map-side-partial-only shape as the LR fit; everything after is
+    * O(dims²) driver math.
+    */
+  def embPcaPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dims = PcaDims
+    val q = Tables.embeddings(s, d)
+      .select(expr(
+        s"transform(slice(embedding, 1, $dims), x -> cast(round(cast(x AS double) * 127, 0) AS bigint))")
+        .as("q"))
+    val parts = q.as[Array[Long]].mapPartitions { it =>
+      val sum = new Array[Long](dims)
+      val gram = new Array[Long](dims * dims)
+      var n = 0L
+      it.foreach { v =>
+        n += 1
+        var i = 0
+        while (i < dims) {
+          sum(i) += v(i)
+          var j = 0
+          while (j < dims) { gram(i * dims + j) += v(i) * v(j); j += 1 }
+          i += 1
+        }
+      }
+      Iterator.single((n, sum, gram))
+    }.collect()
+    val n = parts.map(_._1).sum
+    val sum = new Array[Long](dims)
+    val gram = new Array[Long](dims * dims)
+    parts.foreach { case (_, sv, gv) =>
+      var i = 0
+      while (i < dims) { sum(i) += sv(i); i += 1 }
+      var k = 0
+      while (k < dims * dims) { gram(k) += gv(k); k += 1 }
+    }
+    // covariance: exact rationals of the integer sums — expression
+    // order mirrored in the oracle (integer product, then / n)
+    val c = Array.tabulate(dims, dims)((i, j) =>
+      (gram(i * dims + j) - (sum(i) * sum(j)).toDouble / n) / (n - 1))
+    def rnd(x: Double, scale: Int): Double =
+      BigDecimal.valueOf(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v = Array.fill(dims)(1.0)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(dims) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dims) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = w.map(math.abs).max
+      v = w.map(x => rnd(x / m, 9))
+    }
+    var num = 0.0
+    var den = 0.0
+    for (i <- 0 until dims) {
+      den += v(i) * v(i)
+      for (j <- 0 until dims) num += v(i) * c(i)(j) * v(j)
+    }
+    val eigval = num / den
+    val trace = (0 until dims).map(i => c(i)(i)).sum
+    val rows = (0 until dims).map(i =>
+      ((i + 1).toLong, rnd(v(i), 6), rnd(eigval, 6), rnd(eigval / trace, 6)))
+    s.createDataFrame(rows).toDF("dim", "loading", "eigval", "var_frac")
+      .orderBy(col("dim"))
+  }
+
   /** Filtered vector search: exact cosine top-[[TopK]] per query among
     * only the corpus vectors satisfying a metadata predicate (here:
     * same `label` as the query — the "search within my shard/tenant/
@@ -1394,7 +1489,8 @@ object Similarity {
     "ann_incremental_topk" -> annIvfIncrementalTopk _,
     "ann_pq_topk" -> annPqTopk _,
     "ann_pq_recall" -> annPqRecall _,
-    "emb_quantize_int8" -> embQuantizeInt8 _)
+    "emb_quantize_int8" -> embQuantizeInt8 _,
+    "emb_pca_power" -> embPcaPower _)
 
   private val cosineCte =
     """WITH n AS (SELECT vec_id,
@@ -1408,6 +1504,38 @@ object Similarity {
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        | list_transform(generate_series(1, 64), i -> $a.v[i] * $b.v[i])),
        | (acc, x) -> acc + x)""".stripMargin
+
+  /** Unrolled power-iteration replay for [[embPcaPower]]: one
+    * matvec/normalize CTE triple per iteration, same 1e-9
+    * per-iteration rounding as the driver loop. */
+  private def pcaOracleSql: String = {
+    val steps = (1 to PcaIters).map { t =>
+      val prevV = if (t == 1) "sum(c.c)" else s"sum(c.c * v${t - 1}.v)"
+      val prevJoin = if (t == 1) "" else s" JOIN v${t - 1} ON v${t - 1}.i = c.j"
+      s"""w$t AS MATERIALIZED (SELECT c.i AS i, $prevV AS w FROM c$prevJoin GROUP BY 1),
+         |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+         |v$t AS MATERIALIZED (SELECT i, round(w / m$t.m, 9) AS v FROM w$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    val vf = s"v$PcaIters"
+    s"""WITH qt AS MATERIALIZED (SELECT list_transform(embedding[1:$PcaDims],
+       |   x -> CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qt),
+       |sv AS (SELECT gi.i AS i, CAST(sum(q[gi.i]) AS BIGINT) AS s
+       |  FROM qt, generate_series(1, $PcaDims) AS gi(i) GROUP BY 1),
+       |gm AS (SELECT gi.i AS i, gj.j AS j, CAST(sum(q[gi.i] * q[gj.j]) AS BIGINT) AS g
+       |  FROM qt, generate_series(1, $PcaDims) AS gi(i), generate_series(1, $PcaDims) AS gj(j)
+       |  GROUP BY 1, 2),
+       |c AS MATERIALIZED (SELECT gm.i AS i, gm.j AS j, (gm.g - (si.s * sj.s) / nn.n) / (nn.n - 1) AS c
+       |  FROM gm JOIN sv si ON si.i = gm.i JOIN sv sj ON sj.i = gm.j CROSS JOIN nn),
+       |$steps,
+       |rn AS (SELECT sum(va.v * c.c * vb.v) AS num FROM c JOIN $vf va ON va.i = c.i JOIN $vf vb ON vb.i = c.j),
+       |rd AS (SELECT sum(v * v) AS den FROM $vf),
+       |tr AS (SELECT sum(c) AS t FROM c WHERE i = j)
+       |SELECT CAST($vf.i AS BIGINT) AS dim, round($vf.v, 6) AS loading,
+       | round(rn.num / rd.den, 6) AS eigval,
+       | round((rn.num / rd.den) / tr.t, 6) AS var_frac
+       |FROM $vf, rn, rd, tr ORDER BY dim""".stripMargin
+  }
 
   /** Unrolled greedy-MMR replay for [[annMmrDiversify]]: step t's
     * argmax is recomputed from the union of steps 1..t−1 with the
@@ -1633,6 +1761,10 @@ object Similarity {
          |SELECT query_id, label, rank, neighbor_id, cosine FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_mmr_diversify" -> mmrOracleSql,
+    // Integer-exact Gram/mean sums (order-free), then the SAME
+    // covariance rationals, L∞-normalized power iterations (1e-9
+    // per-iteration rounding) and Rayleigh quotient, unrolled.
+    "emb_pca_power" -> pcaOracleSql,
     "ann_bruteforce_topk" ->
       s"""$cosineCte,
          |c AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -109,6 +109,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     Seq(54L, 55L).foreach(i => assert(got(i) == 54L))
   }
 
+  test("pca power: loadings match an independent covariance fit; Rayleigh near the true top eigenvalue") {
+    val dims = Similarity.PcaDims
+    val q = graft.sources.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        s"transform(slice(embedding, 1, $dims), x -> cast(round(cast(x AS double) * 127, 0) AS bigint))"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = q.length
+    val sum = new Array[Long](dims)
+    val gram = Array.ofDim[Long](dims, dims)
+    q.foreach { v =>
+      for (i <- 0 until dims) { sum(i) += v(i); for (j <- 0 until dims) gram(i)(j) += v(i) * v(j) }
+    }
+    val c = Array.tabulate(dims, dims)((i, j) =>
+      (gram(i)(j) - (sum(i) * sum(j)).toDouble / n) / (n - 1))
+    // long-run power iteration = the true dominant eigenpair
+    var v = Array.fill(dims)(1.0)
+    for (_ <- 1 to 200) {
+      val w = Array.tabulate(dims)(i => (0 until dims).map(j => c(i)(j) * v(j)).sum)
+      val m = w.map(math.abs).max
+      v = w.map(_ / m)
+    }
+    val num = (for (i <- 0 until dims; j <- 0 until dims) yield v(i) * c(i)(j) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val lambdaTrue = num / den
+    val trace = (0 until dims).map(i => c(i)(i)).sum
+    val rows = Similarity.embPcaPower(spark, sf).collect()
+    assert(rows.length == dims)
+    val eig = rows.head.getAs[Double]("eigval")
+    val frac = rows.head.getAs[Double]("var_frac")
+    assert(rows.forall(r => r.getAs[Double]("eigval") == eig))
+    // Rayleigh quotient of the 3-iteration vector is bounded by and
+    // close to the true dominant eigenvalue
+    assert(eig <= lambdaTrue * (1 + 1e-6), s"$eig > $lambdaTrue")
+    assert(eig >= lambdaTrue * 0.9, s"3 iterations too far from convergence: $eig vs $lambdaTrue")
+    assert(frac > 0.0 && frac <= 1.0 && math.abs(frac - eig / trace) < 1e-5)
+    // loadings align with the converged direction (cosine close to 1)
+    val load = rows.sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("loading"))
+    val cos = {
+      val d = load.zip(v).map { case (a, b) => a * b }.sum
+      d / math.sqrt(load.map(x => x * x).sum) / math.sqrt(v.map(x => x * x).sum)
+    }
+    assert(math.abs(cos) > 0.99, s"loading direction off: cos=$cos")
+  }
+
   test("mmr: rank-1 is the relevance argmax, scores non-increasing, picks diversify vs top-k") {
     val mmr = Similarity.annMmrDiversify(spark, sf).collect()
       .groupBy(_.getAs[Long]("query_id"))
