@@ -85,6 +85,53 @@ object TextAnalysis {
           .when(col("c_sql") >= col("c_data"), "sql")
           .otherwise("data"))
 
+  /** Paragraph-level language ID + per-document mixture entropy — the
+    * code-switching / mixed-language detection pass: a multilingual
+    * curation pipeline scores language per PARAGRAPH (not per doc)
+    * because boilerplate/navigation blocks routinely disagree with
+    * the body, and routes documents by the mixture, not the majority.
+    * Blocks are [[graft.operators.Dedup.paraBlocks]] (the shared
+    * "paragraph" extraction); each block votes with the same
+    * three-profile argmax as [[textLangid]]; per doc we emit the
+    * block-language counts, the majority language (same fixed
+    * tie-break), and the Shannon entropy of the block-language
+    * distribution (0 = monolingual; > 0 = mixed). Entropy terms are
+    * exact rationals of integer counts combined in a fixed written
+    * order on both engines, so no FP-order nondeterminism.
+    *
+    * Scale shape: block extraction and scoring are one map-side pass;
+    * the only shuffle is the doc_id aggregation (map-side partial).
+    */
+  def textLangidParagraph(s: SparkSession, d: String): DataFrame = {
+    val scored = Dedup.paraBlocks(s, d)
+      .withColumn("toks", tokens(col("block")))
+      .select(col("doc_id"),
+        hitCount(stopEn).as("c_en"),
+        hitCount(stopSql).as("c_sql"),
+        hitCount(stopData).as("c_data"))
+      .withColumn("blang",
+        when(col("c_en") >= col("c_sql") && col("c_en") >= col("c_data"), "en")
+          .when(col("c_sql") >= col("c_data"), "sql")
+          .otherwise("data"))
+    def ent(c: Column, n: Column): Column =
+      when(c > 0, -(c.cast("double") / n) * log2(c.cast("double") / n))
+        .otherwise(lit(0.0))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("blang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("blang") === "sql", 1L).otherwise(0L)).as("n_sql"),
+        sum(when(col("blang") === "data", 1L).otherwise(0L)).as("n_data"))
+      .select(col("doc_id"), col("n_blocks"), col("n_en"), col("n_sql"), col("n_data"),
+        when(col("n_en") >= col("n_sql") && col("n_en") >= col("n_data"), "en")
+          .when(col("n_sql") >= col("n_data"), "sql")
+          .otherwise("data").as("doc_lang"),
+        round(ent(col("n_en"), col("n_blocks"))
+          + ent(col("n_sql"), col("n_blocks"))
+          + ent(col("n_data"), col("n_blocks")), 6).as("mix_entropy"))
+      .withColumn("is_mixed", (col("mix_entropy") > 0).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality scoring: length score, stopword ratio, distinct-token
     * ratio, and a weighted composite.
     */
@@ -608,6 +655,7 @@ object TextAnalysis {
     "text_ngram_freq" -> textNgramFreq _,
     "text_token_count" -> textTokenCount _,
     "text_langid" -> textLangid _,
+    "text_langid_paragraph" -> textLangidParagraph _,
     "text_quality_score" -> textQualityScore _,
     "text_fingerprint" -> textFingerprint _)
 
@@ -807,6 +855,35 @@ object TextAnalysis {
          |      WHEN ${hitSql(stopSql)} >= ${hitSql(stopData)} THEN 'sql'
          |      ELSE 'data' END AS predicted_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid_paragraph" -> {
+      def hit(group: Seq[String]) = {
+        val inList = group.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(blk, t -> t IN ($inList))) AS BIGINT)"
+      }
+      def entTerm(c: String) =
+        s"(CASE WHEN $c > 0 THEN -(CAST($c AS DOUBLE) / n_blocks) * log2(CAST($c AS DOUBLE) / n_blocks) ELSE CAST(0 AS DOUBLE) END)"
+      raw"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           |blk0 AS (SELECT doc_id, unnest(list_transform(
+           |   generate_series(1, CAST(ceil(len(l) / ${Dedup.ParaBlockTokens}.0) AS BIGINT)),
+           |   i -> l[(i - 1) * ${Dedup.ParaBlockTokens} + 1 : i * ${Dedup.ParaBlockTokens}])) AS blk FROM t),
+           |sc AS (SELECT doc_id, ${hit(stopEn)} AS c_en, ${hit(stopSql)} AS c_sql,
+           |   ${hit(stopData)} AS c_data FROM blk0),
+           |bl AS (SELECT doc_id, CASE WHEN c_en >= c_sql AND c_en >= c_data THEN 'en'
+           |       WHEN c_sql >= c_data THEN 'sql' ELSE 'data' END AS blang FROM sc),
+           |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+           |   CAST(sum(CASE WHEN blang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           |   CAST(sum(CASE WHEN blang = 'sql' THEN 1 ELSE 0 END) AS BIGINT) AS n_sql,
+           |   CAST(sum(CASE WHEN blang = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS n_data
+           | FROM bl GROUP BY 1),
+           |r AS (SELECT doc_id, n_blocks, n_en, n_sql, n_data,
+           |   CASE WHEN n_en >= n_sql AND n_en >= n_data THEN 'en'
+           |        WHEN n_sql >= n_data THEN 'sql' ELSE 'data' END AS doc_lang,
+           |   round(${entTerm("n_en")} + ${entTerm("n_sql")} + ${entTerm("n_data")}, 6) AS mix_entropy
+           | FROM a)
+           |SELECT doc_id, n_blocks, n_en, n_sql, n_data, doc_lang, mix_entropy,
+           | CAST(CASE WHEN mix_entropy > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+           |FROM r ORDER BY doc_id""".stripMargin
+    },
     "text_quality_score" ->
       s"""WITH t AS (SELECT doc_id, n_chars,
          |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,

@@ -136,6 +136,28 @@ class TextCurationSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_dup_blocks")).sum > 0, "corpus should contain duplicate blocks")
   }
 
+  test("paragraph langid: counts partition blocks, entropy bounded, mixture flag consistent") {
+    val rows = TextAnalysis.textLangidParagraph(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val log2_3 = math.log(3.0) / math.log(2.0)
+    rows.foreach { r =>
+      val (nb, ne, ns, nd) = (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_en"),
+        r.getAs[Long]("n_sql"), r.getAs[Long]("n_data"))
+      assert(ne + ns + nd == nb && nb >= 1)
+      val h = r.getAs[Double]("mix_entropy")
+      assert(h >= 0.0 && h <= log2_3 + 1e-6) // +1e-6: the output is round-6ed
+      assert((r.getAs[Long]("is_mixed") == 1L) == (h > 0.0))
+      // the majority language's count is the max, with the en>sql>data tie order
+      val counts = Map("en" -> ne, "sql" -> ns, "data" -> nd)
+      val lang = r.getAs[String]("doc_lang")
+      assert(counts(lang) == counts.values.max)
+      // entropy is zero iff one language holds every block
+      assert((h == 0.0) == (counts.values.max == nb))
+    }
+    assert(rows.count(_.getAs[Long]("is_mixed") == 1L) > 0, "no mixed docs — vacuous")
+    assert(rows.count(_.getAs[Long]("is_mixed") == 0L) > 0, "no monolingual docs — vacuous")
+  }
+
   test("kneser-ney lm: engine scores equal an independent plain-Scala model fit") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
