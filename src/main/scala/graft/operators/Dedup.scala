@@ -731,11 +731,12 @@ object Dedup {
     * document is duplicated text).
     *
     * Scale shape: window extraction is one map-side pass (arrays,
-    * never a per-token shuffle of positions); the global keep-first
-    * decision is ONE exchange partitioned by window content — exactly
-    * the C4 line-hash shuffle, same posture as [[dedupParagraph]]; at
-    * 100 TB the shuffle key drops to xxhash64/md5 of the window with
-    * the string carried only for verification. Interval merge and
+    * never a per-token shuffle of positions) that hashes each window
+    * to 8 bytes BEFORE the exchange — the window text never leaves
+    * the scan; the global keep-first decision is ONE exchange of
+    * (long, long, int) rows partitioned by window hash — exactly the
+    * C4 line-hash shuffle, same posture as [[dedupParagraph]].
+    * Interval merge and
     * reassembly are doc_id-local (one second exchange); the
     * gaps-and-islands windows scan each doc's dup intervals once, and
     * a hot boilerplate window concentrates only its own occurrence
@@ -751,16 +752,22 @@ object Dedup {
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
 
-  /** (doc_id, pos, gram): every sliding [[SubstrK]]-token window of
-    * every document — one map-side pass. */
+  /** (doc_id, pos, gh): every sliding [[SubstrK]]-token window of
+    * every document, keyed by its 8-byte xxhash64 — one map-side
+    * pass. The window STRING never leaves the scan: hashing inside
+    * the projection means the rank/probe exchanges downstream carry
+    * (long, long, int) rows instead of ~25-byte window text — the
+    * round-3 jaccard shuffle-key discipline applied at the source.
+    * A 64-bit collision merges two window groups (one extra dup
+    * mark), the accepted trade of every hash-keyed line dedup. */
   private def substrGrams(docs: DataFrame): DataFrame = {
     val k = SubstrK
     docs.filter(col("n_tokens") >= k)
       .select(col("doc_id"),
         posexplode(expr(
-          s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', slice(toks, i, $k)))"))
-          .as(Seq("pos0", "gram")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+          s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
+          .as(Seq("pos0", "gh")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gh"))
   }
 
   /** Merge duplicated-window intervals `(doc_id, a, b)` into maximal
@@ -804,12 +811,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val k = SubstrK
     val docs = substrDocs(s, d)
-    // rank over the 8-byte xxhash64 of the window, not the ~25-byte
-    // string — the round-3 jaccard shuffle-key discipline; a 64-bit
-    // collision would merge two window groups (an extra dup mark),
-    // the C4-style accepted trade every hash-keyed line-dedup makes
     val dup = substrGrams(docs)
-      .withColumn("gh", xxhash64(col("gram")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("pos"))))
       .filter(col("rn") > 1)
@@ -842,16 +844,17 @@ object Dedup {
     val k = SubstrK
     val docs = substrDocs(s, d)
     val grams = substrGrams(docs)
-    // the "persisted" corpus window index: distinct windows of the
-    // existing corpus (in production this is a table on disk)
+    // the "persisted" corpus window index: distinct window hashes of
+    // the existing corpus (in production this is a table on disk) —
+    // 8 bytes per entry, never the window text
     val corpusIdx = grams.filter(col("doc_id") % 10 =!= 0)
-      .select(col("gram")).distinct()
+      .select(col("gh")).distinct()
       .withColumn("in_corpus", lit(1))
     val shard = grams.filter(col("doc_id") % 10 === 0)
     val dup = shard
-      .hint("merge").join(corpusIdx, Seq("gram"), "left")
+      .hint("merge").join(corpusIdx, Seq("gh"), "left")
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("gram")).orderBy(col("doc_id"), col("pos"))))
+        Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("pos"))))
       .filter(col("in_corpus").isNotNull || col("rn") > 1)
       .select(col("doc_id"), col("pos").as("a"), (col("pos") + (k - 1)).as("b"))
     substrAssemble(docs.filter(col("doc_id") % 10 === 0), dup)
