@@ -658,14 +658,18 @@ object Dedup {
     * counts); docs losing every block (exact duplicates) emit NULL.
     *
     * Scale shape: block extraction is one map-side pass; the global
-    * keep-first decision is ONE hash exchange partitioned by block
-    * content (the window's PARTITION BY — block text is the shuffle
-    * key exactly as in C4's line-hash shuffle), then one doc_id
-    * re-aggregation. Both keys are uniform-ish by construction
-    * (content hash / doc id), and a hot boilerplate block concentrates
-    * only its own occurrences — rank within one partition list, not a
-    * join fan-out, so skew cost is linear in the block's count, and
-    * AQE skew-split handles the residue (PlanSpec).
+    * keep-first decision is the house argmax idiom ([[Relational]]'s
+    * `q39_cdc_apply`, [[Curation]]'s `cur_dedup_keep_best`) —
+    * `min(struct(doc_id, block_idx))` per block, then the
+    * one-row-per-block firsts table joined back to mark non-firsts.
+    * NOT a `row_number()` window partitioned by block content: a
+    * boilerplate block present in 10% of a 100 TB corpus would funnel
+    * billions of rows into ONE task's window sort, and AQE's skew
+    * optimization splits skewed JOIN partitions (OptimizeSkewedJoin),
+    * never WindowExec. With the argmax shape the hot key collapses
+    * map-side in the partial aggregation (one row per input partition
+    * reaches the exchange), and the mark join IS skew-splittable by
+    * AQE. PlanSpec pins the absence of a content-keyed Window.
     */
   /** (doc_id, block_idx, block): each consecutive [[ParaBlockTokens]]-token
     * block of every document — the shared "paragraph" extraction for
@@ -685,15 +689,23 @@ object Dedup {
 
   def dedupParagraph(s: SparkSession, d: String): DataFrame = {
     val blocks = paraBlocks(s, d)
-    val ranked = blocks.withColumn("rn",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("block")).orderBy(col("doc_id"), col("block_idx"))))
-    ranked.groupBy(col("doc_id"))
+    // struct compares lexicographically by field order, so
+    // min(struct(doc_id, block_idx)) IS "order by doc_id, block_idx
+    // limit 1" per block — with map-side partial aggregation.
+    val firsts = blocks.groupBy(col("block"))
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("first"))
+    // merge hint: firsts is distinct-block-sized (corpus scale), so
+    // pin the shuffle join AQE can skew-split rather than letting a
+    // small-SF AQE broadcast mask the scale shape.
+    val marked = blocks.hint("merge").join(firsts, Seq("block"))
+      .withColumn("is_first",
+        col("first.doc_id") === col("doc_id") && col("first.block_idx") === col("block_idx"))
+    marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_blocks"),
+        sum(when(!col("is_first"), 1L).otherwise(0L)).as("n_dup_blocks"),
         // struct sorts by field order, block_idx first → kept blocks
         // re-assemble in document order deterministically.
-        array_sort(collect_list(when(col("rn") === 1, struct(col("block_idx"), col("block")))))
+        array_sort(collect_list(when(col("is_first"), struct(col("block_idx"), col("block")))))
           .as("kept"))
       .select(col("doc_id"), col("n_blocks"), col("n_dup_blocks"),
         round(col("n_dup_blocks").cast("double") / col("n_blocks"), 6).as("dup_frac"),
@@ -708,7 +720,10 @@ object Dedup {
     * produces mid-document window collisions and exercises the whole
     * span machinery — multi-island merges, partial coverage,
     * whole-doc coverage — under the oracle. The width is a knob, not
-    * a structural constant: nothing downstream depends on it.
+    * a structural constant: nothing downstream depends on it —
+    * [[dedupSubstringAt]] exposes it, and PropertySpec runs the
+    * paper's k=50 on a planted ≥50-token-span corpus against the
+    * brute-force keep-first model.
     */
   val SubstrK = 4
 
@@ -733,17 +748,20 @@ object Dedup {
     * Scale shape: window extraction is one map-side pass (arrays,
     * never a per-token shuffle of positions) that hashes each window
     * to 8 bytes BEFORE the exchange — the window text never leaves
-    * the scan; the global keep-first decision is ONE exchange of
-    * (long, long, int) rows partitioned by window hash — exactly the
-    * C4 line-hash shuffle, same posture as [[dedupParagraph]].
-    * Interval merge and
+    * the scan; the global keep-first decision is the argmax idiom
+    * (same as [[dedupParagraph]]): `min(struct(doc_id, pos))` per
+    * window hash — the hot key collapses MAP-SIDE in the partial
+    * aggregation — then the firsts table, pre-filtered to hashes with
+    * ≥2 occurrences (singleton windows produce no dup marks, so the
+    * join build side is duplicated-hash-sized, not corpus-sized),
+    * joined back to mark non-first occurrences. NOT a window rank: a
+    * boilerplate window in 10% of a 100 TB corpus would put billions
+    * of rows through one task's sort, and AQE skew-splits joins, not
+    * WindowExec (PlanSpec pins the shape). Interval merge and
     * reassembly are doc_id-local (one second exchange); the
-    * gaps-and-islands windows scan each doc's dup intervals once, and
-    * a hot boilerplate window concentrates only its own occurrence
-    * list (rank within one partition list — linear in that window's
-    * count, AQE skew-split for the residue). The span join-back is
-    * doc-count-sized on both sides, so Catalyst picks sort-merge at
-    * scale on its own stats.
+    * gaps-and-islands windows scan each doc's dup intervals once. The
+    * span join-back is doc-count-sized on both sides, so Catalyst
+    * picks sort-merge at scale on its own stats.
     */
   /** documents + token arrays + counts — the shared base for the
     * substring-dedup family. */
@@ -759,9 +777,14 @@ object Dedup {
     * (long, long, int) rows instead of ~25-byte window text — the
     * round-3 jaccard shuffle-key discipline applied at the source.
     * A 64-bit collision merges two window groups (one extra dup
-    * mark), the accepted trade of every hash-keyed line dedup. */
-  private def substrGrams(docs: DataFrame): DataFrame = {
-    val k = SubstrK
+    * mark), the accepted trade of every hash-keyed line dedup. NOTE
+    * this makes the CORRECTNESS GATE itself collision-sensitive, not
+    * just output quality: the DuckDB oracle ranks window STRINGS
+    * (xxhash64 is not available there), so a colliding corpus would
+    * hash-mismatch against the oracle rather than silently agree. At
+    * sf0.01 (~300k windows) the birthday bound puts a collision at
+    * ~2⁻⁴⁵; if the gate ever flakes here, suspect this first. */
+  private def substrGrams(docs: DataFrame, k: Int = SubstrK): DataFrame = {
     docs.filter(col("n_tokens") >= k)
       .select(col("doc_id"),
         posexplode(expr(
@@ -807,14 +830,29 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = SubstrK
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    dedupSubstringAt(s, d, SubstrK)
+
+  /** [[dedupSubstring]] at an explicit window width — the paper-scale
+    * k≈50 form is exercised by TextCurationSpec's planted-span
+    * property corpus; only the splitter width changes, nothing else
+    * in the plan. */
+  private[graft] def dedupSubstringAt(s: SparkSession, d: String, k: Int): DataFrame = {
     val docs = substrDocs(s, d)
-    val dup = substrGrams(docs)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("pos"))))
-      .filter(col("rn") > 1)
+    val grams = substrGrams(docs, k)
+    // Keep-first argmax: one row per duplicated window hash survives
+    // the exchange (map-side partial min absorbs hot keys); the cnt>1
+    // filter keeps singleton hashes — the vast majority — out of the
+    // mark join entirely.
+    val firsts = grams.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .drop("cnt")
+    // merge hint: the firsts side is duplicated-hash-sized — small at
+    // test SFs (AQE would broadcast) but potentially billions of rows
+    // at corpus scale, so pin the shuffle join AQE can skew-split.
+    val dup = grams.hint("merge").join(firsts, Seq("gh"))
+      .filter(!(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
       .select(col("doc_id"), col("pos").as("a"), (col("pos") + (k - 1)).as("b"))
     substrAssemble(docs, dup)
   }
@@ -824,14 +862,14 @@ object Dedup {
     * against an existing corpus: a shard window occurrence is
     * duplicated text iff its window exists ANYWHERE in the corpus
     * (probe of the persisted corpus window index) OR occurred earlier
-    * within the shard itself (keep-first by (doc_id, pos), shard
-    * only). Output = the [[dedupSubstring]] summary restricted to the
-    * shard docs. This is the production crawl-ingest shape: the
-    * corpus index is JOINED, never re-ranked — the corpus-sized
-    * global window of the full recompute never runs; only the
-    * delta-sized shard shuffles through the rank, plus one
-    * semi-join-shaped probe keyed by window content against the
-    * index. Same discipline as [[dedupIncremental]] /
+    * within the shard itself (keep-first by (doc_id, pos) via the
+    * shard-sized argmax aggregation, shard only). Output = the
+    * [[dedupSubstring]] summary restricted to the shard docs. This is
+    * the production crawl-ingest shape: the corpus index is JOINED,
+    * never re-ranked — the corpus-sized keep-first of the full
+    * recompute never runs; only the delta-sized shard flows through
+    * the argmax + mark join, plus one semi-join-shaped probe keyed by
+    * window hash against the index. Same discipline as [[dedupIncremental]] /
     * [[dedupIncrementalMinhash]] / [[dedupClustersIncremental]].
     * (As with those rows, the harness REBUILDS the corpus index
     * in-query since nothing persists between driver runs — so the
@@ -840,7 +878,6 @@ object Dedup {
     * about the rank/probe stages, which touch only shard-sized data.)
     */
   def dedupSubstringIncremental(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val k = SubstrK
     val docs = substrDocs(s, d)
     val grams = substrGrams(docs)
@@ -851,11 +888,18 @@ object Dedup {
       .select(col("gh")).distinct()
       .withColumn("in_corpus", lit(1))
     val shard = grams.filter(col("doc_id") % 10 === 0)
+    // shard-internal keep-first via the same argmax shape as
+    // [[dedupSubstring]] (delta-sized; no content-keyed window rank)
+    val shardFirsts = shard.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .drop("cnt")
     val dup = shard
       .hint("merge").join(corpusIdx, Seq("gh"), "left")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("pos"))))
-      .filter(col("in_corpus").isNotNull || col("rn") > 1)
+      .join(shardFirsts, Seq("gh"), "left")
+      .filter(col("in_corpus").isNotNull ||
+        (col("first").isNotNull &&
+          !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))))
       .select(col("doc_id"), col("pos").as("a"), (col("pos") + (k - 1)).as("b"))
     substrAssemble(docs.filter(col("doc_id") % 10 === 0), dup)
   }

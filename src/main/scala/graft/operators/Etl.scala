@@ -151,18 +151,21 @@ object Etl {
       .orderBy(col("user_id"))
 
   /** The reference CLI's DEFAULT output mode
-    * (extract_chat_qa_tsv.py:138, 160): sessions whose extracted
-    * question OR response is empty are EXCLUDED from the TSV unless
-    * `--include-empty` is passed. [[etlQaExtract]] is the
-    * include-empty behavior (every session represented); this row is
-    * the reference default — the same [[firstQa]] kernel with the
-    * emptiness filter, so both CLI modes are representable. The
-    * filter is a map-side predicate on the extracted columns (pushed
-    * below the final sort by Catalyst), not a second extraction pass.
+    * (extract_chat_qa_tsv.py:155, `not user_q and not assistant_resp`
+    * → skip): a session is EXCLUDED from the TSV only when BOTH its
+    * extracted question AND response are empty, unless
+    * `--include-empty` is passed. One-side-empty sessions (a question
+    * that never got an answer, or an orphaned assistant run) ARE
+    * written. [[etlQaExtract]] is the include-empty behavior (every
+    * session represented); this row is the reference default — the
+    * same [[firstQa]] kernel with the both-empty filter, so both CLI
+    * modes are representable. The filter is a map-side predicate on
+    * the extracted columns (pushed below the final sort by Catalyst),
+    * not a second extraction pass.
     */
   def etlQaExtractNonempty(s: SparkSession, d: String): DataFrame =
     etlQaExtract(s, d)
-      .filter(col("user_question") =!= "" && col("assistant_response") =!= "")
+      .filter(col("user_question") =!= "" || col("assistant_response") =!= "")
 
   /** The first-QA extraction kernel shared by [[etlQaExtract]] and
     * [[etlPagedQa]]: expects a `msgs` column of
@@ -578,13 +581,14 @@ object Etl {
        |FROM documents)""".stripMargin
 
   /** Window-function replay of [[firstQa]] over the events table; the
-    * `onlyNonempty` flag is the reference CLI's default exclude-empty
-    * mode (extract_chat_qa_tsv.py:138).
+    * `onlyNonempty` flag is the reference CLI's default mode
+    * (extract_chat_qa_tsv.py:155): drop a session only when BOTH the
+    * question AND the response are empty.
     */
   private def qaExtractSql(onlyNonempty: Boolean): String = {
     val filter =
       if (onlyNonempty)
-        "WHERE coalesce(q.user_question, '') <> '' AND coalesce(resp.assistant_response, '') <> ''\n"
+        "WHERE coalesce(q.user_question, '') <> '' OR coalesce(resp.assistant_response, '') <> ''\n"
       else ""
     s"""WITH m AS (
        | SELECT user_id, event_id,

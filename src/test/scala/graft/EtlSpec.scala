@@ -58,6 +58,22 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("qa extract nonempty: drops only BOTH-empty sessions (reference CLI default)") {
+    // extract_chat_qa_tsv.py:155 skips iff `not user_q and not
+    // assistant_resp` — a one-side-empty session IS written.
+    val all = Etl.etlQaExtract(spark, sf)
+    val kept = Etl.etlQaExtractNonempty(spark, sf)
+    val expected = all.filter(!(col("user_question") === "" && col("assistant_response") === ""))
+    assert(kept.count() == expected.count())
+    // the filter must not be the stricter AND form: any one-side-empty
+    // session in the data must survive
+    val oneSide = all.filter(
+      (col("user_question") === "") =!= (col("assistant_response") === "")).count()
+    val bothNonempty =
+      all.filter(col("user_question") =!= "" && col("assistant_response") =!= "").count()
+    assert(kept.count() == bothNonempty + oneSide)
+  }
+
   test("quality color cascade covers RED/YELLOW/GREEN") {
     val colors = Etl.etlQualityColor(spark, sf)
       .groupBy("quality_color").count().collect()

@@ -111,7 +111,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ShuffledHashJoin"), p)
     val lines = p.linesIterator.toVector
     val firstScan = lines.indexWhere(_.contains("InMemoryTableScan"))
-    val aboveScan = lines.take(math.max(firstScan, 0))
+    // guard the slice: with no InMemoryTableScan line, take(-1) would
+    // make the no-broadcast assertion silently vacuous
+    assert(firstScan >= 0, s"cached edge scan missing from the forced plan:\n$p")
+    val aboveScan = lines.take(firstScan)
     assert(!aboveScan.exists(_.contains("BroadcastHashJoin")),
       s"node-table broadcast above the cap:\n$p")
     val broadcastRegime = SparkEntry.queries("q37_pagerank")(spark, sf)
@@ -250,19 +253,42 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup_substring: content+doc hash exchanges only, no nested loop, no corpus broadcast") {
-    // Design: ONE exchange keyed by window content (global keep-first
-    // rank), then doc_id-local windows/aggregates that all reuse ONE
-    // doc_id exchange (HashPartitioning(doc_id) satisfies the
-    // (doc_id, isl) clustering), plus the scan side of the doc_id
-    // join-back. Anything beyond 3 hash exchanges means a doc-local
-    // stage re-shuffled; a BroadcastExchange means the corpus-sized
-    // span table was broadcast.
+    // Design: the global keep-first is the argmax aggregation
+    // (gh exchange with map-side partial) plus the gh-keyed mark join
+    // (one more gh exchange of the gram stream), then doc_id-local
+    // windows/aggregates that all reuse ONE doc_id exchange
+    // (HashPartitioning(doc_id) satisfies the (doc_id, isl)
+    // clustering), plus the scan side of the doc_id join-back.
+    // Anything beyond 4 hash exchanges means a doc-local stage
+    // re-shuffled; a BroadcastExchange means a corpus-sized side
+    // (span table or firsts table) was broadcast.
     val p = planOf("dedup_substring")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"nested-loop join:\n$p")
     assert(!p.contains("BroadcastExchange"), s"corpus-sized side broadcast:\n$p")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashEx <= 3, s"$hashEx hash exchanges, expected <= 3:\n$p")
+    assert(hashEx <= 4, s"$hashEx hash exchanges, expected <= 4:\n$p")
+  }
+
+  test("keep-first dedup rows: no Window partitioned by a content key") {
+    // The scale hazard the argmax rewrite removes: a row_number()
+    // window PARTITION BY block/gh funnels every occurrence of a hot
+    // boilerplate key into ONE task's sort, and AQE's skew handling
+    // splits skewed JOIN partitions only — never WindowExec. The only
+    // windows allowed in these plans are the doc_id-local
+    // gaps-and-islands frames; a window keyed by block content or
+    // window hash means the hazard came back.
+    Seq("dedup_paragraph", "dedup_substring", "dedup_substring_incremental").foreach { q =>
+      val p = planOf(q)
+      val windowLines = p.linesIterator.filter(_.contains("Window")).toVector
+      windowLines.foreach { l =>
+        assert(!l.contains("block") && !l.contains("gh#"),
+          s"$q: content-keyed window resurfaced:\n$l\n$p")
+      }
+      // dedup_paragraph has no doc-local window at all
+      if (q == "dedup_paragraph")
+        assert(windowLines.isEmpty, s"$q grew a window:\n$p")
+    }
   }
 
   test("no unintentional nested-loop joins anywhere in the inventory") {

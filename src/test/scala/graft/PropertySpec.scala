@@ -245,4 +245,130 @@ class PropertySpec extends AnyFunSuite {
       assert(k == e, s"parity broke on text ${texts(i)}: kernel=$k expr=$e")
     }
   }
+
+  private def writeDocs(prefix: String, docs: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Brute-force keep-first substring-span recomputation at width k —
+    * the same model as TextCurationSpec's pin, shared by the hot-key
+    * and paper-width corpora below. */
+  private def substrBrute(docs: Seq[(Long, Array[String])], k: Int)
+  : Seq[(Long, Long, Long, Long, Double, String)] = {
+    val seen = scala.collection.mutable.HashSet[String]()
+    val dupIv = scala.collection.mutable.HashMap[Long, List[(Int, Int)]]()
+    for ((id, toks) <- docs.sortBy(_._1); p <- 1 to toks.length - k + 1) {
+      val g = toks.slice(p - 1, p - 1 + k).mkString(" ")
+      if (!seen.add(g)) dupIv(id) = (p, p + k - 1) :: dupIv.getOrElse(id, Nil)
+    }
+    docs.sortBy(_._1).map { case (id, toks) =>
+      val merged = dupIv.getOrElse(id, Nil).sortBy(_._1)
+        .foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, (a, b)) if a <= e0 + 1 => (s0, math.max(e0, b)) :: rest
+          case (acc, iv) => iv :: acc
+        }.reverse
+      val covered = merged.flatMap { case (a, b) => a to b }.toSet
+      val kept = toks.zipWithIndex.collect { case (t, i) if !covered(i + 1) => t }
+      val dupToks = merged.map { case (a, b) => b - a + 1 }.sum
+      (id, toks.length.toLong, merged.length.toLong, dupToks.toLong,
+        round6(dupToks.toDouble / toks.length),
+        if (kept.isEmpty) null else md5hex(kept.mkString(" ")))
+    }
+  }
+
+  test("adversarial hot-block skew: keep-first dedup stays exact with one block in 40% of docs") {
+    import graft.operators.Dedup
+    // The WindowExec hazard corpus: ONE boilerplate block (8 tokens =
+    // ParaBlockTokens, so it is also a run of hot SubstrK-windows)
+    // planted in 40% of 500 docs — the site-chrome skew a crawl
+    // produces, where a row_number() window over block content would
+    // funnel 200 occurrences into one task. The argmax rewrite must
+    // keep the RESULT byte-identical to the keep-first model under
+    // exactly this skew.
+    val hot = (1 to graft.operators.Dedup.ParaBlockTokens).map(i => s"hot$i").mkString(" ")
+    val docs = (0 until 500).map { i =>
+      val uniq1 = (0 until 8).map(j => s"d${i}_a$j").mkString(" ")
+      val uniq2 = (0 until 8).map(j => s"d${i}_b$j").mkString(" ")
+      val text = if (i % 5 < 2) s"$uniq1 $hot $uniq2" else s"$uniq1 $uniq2"
+      (i.toLong, text)
+    }
+    val dir = writeDocs("graft-hotblock", docs)
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }
+    // dedup_paragraph: brute-force keep-first over 8-token blocks
+    val b = Dedup.ParaBlockTokens
+    val seen = scala.collection.mutable.HashSet[String]()
+    val wantPara = toks.sortBy(_._1).map { case (id, tk) =>
+      val blocks = tk.grouped(b).map(_.mkString(" ")).toVector
+      val first = blocks.map(seen.add)
+      val kept = blocks.zip(first).collect { case (bl, true) => bl }
+      val nDup = first.count(!_)
+      (id, blocks.size.toLong, nDup.toLong, round6(nDup.toDouble / blocks.size),
+        if (kept.isEmpty) null else md5hex(kept.mkString(" ")))
+    }
+    val gotPara = Dedup.dedupParagraph(spark, dir).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_blocks"), r.getAs[Long]("n_dup_blocks"),
+        r.getAs[Double]("dup_frac"), r.getAs[String]("kept_md5")))
+    assert(gotPara.length == wantPara.length)
+    gotPara.zip(wantPara).foreach { case (g, e) => assert(g == e, s"para: got $g want $e") }
+    // the hot block really is hot: 200 docs carry it, 199 are marked
+    assert(wantPara.count(_._3 > 0) == 199)
+    // dedup_substring under the same skew (the hot block is 5
+    // consecutive hot windows at SubstrK=4)
+    val gotSub = Dedup.dedupSubstring(spark, dir).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+        r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac"), r.getAs[String]("clean_md5")))
+    val wantSub = substrBrute(toks, Dedup.SubstrK)
+    assert(gotSub.length == wantSub.length)
+    gotSub.zip(wantSub).foreach { case (g, e) => assert(g == e, s"substr: got $g want $e") }
+  }
+
+  test("substring dedup at the paper's k=50: planted >=50-token spans, brute-force equality") {
+    import graft.operators.Dedup
+    val k = 50
+    val r = new scala.util.Random(11)
+    def uniq(tag: String, n: Int) = (0 until n).map(j => s"${tag}_$j")
+    // two plantable spans, both ≥ k tokens
+    val spanA = (0 until 60).map(j => s"sa$j")
+    val spanB = (0 until 55).map(j => s"sb$j")
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    // doc 0/1: spanA at different offsets → doc 0 keeps it, doc 1 is
+    // partially covered
+    docs += 0L -> (uniq("d0", 20) ++ spanA ++ uniq("d0t", 20)).mkString(" ")
+    docs += 1L -> (uniq("d1", 5) ++ spanA ++ uniq("d1t", 30)).mkString(" ")
+    // doc 2: first carrier of spanB (keeps it)
+    docs += 2L -> (uniq("d2", 12) ++ spanB ++ uniq("d2t", 12)).mkString(" ")
+    // doc 3: BOTH spans with a >1-token gap between them → two dup
+    // islands after the merge (multi-span doc)
+    docs += 3L -> (spanA ++ uniq("d3", 10) ++ spanB ++ uniq("d3t", 3)).mkString(" ")
+    // doc 4: byte-exact copy of doc 0 → whole-doc coverage, NULL md5
+    docs += 4L -> docs(0)._2
+    // noise: 40 unique docs of ~60 tokens, never duplicated
+    (5 until 45).foreach { i =>
+      docs += i.toLong -> uniq(s"n$i", 55 + r.nextInt(10)).mkString(" ")
+    }
+    val dir = writeDocs("graft-substr50", docs.toSeq)
+    val toks = docs.toSeq.map { case (id, t) => id -> t.split(" ", -1) }
+    val want = substrBrute(toks, k)
+    val got = Dedup.dedupSubstringAt(spark, dir, k).collect().map(r2 =>
+      (r2.getAs[Long]("doc_id"), r2.getAs[Long]("n_tokens"), r2.getAs[Long]("n_dup_spans"),
+        r2.getAs[Long]("dup_tokens"), r2.getAs[Double]("dup_frac"), r2.getAs[String]("clean_md5")))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, e) => assert(g == e, s"k=50: got $g want $e") }
+    // non-vacuity at the paper width: a multi-span doc, a partially
+    // covered doc, and a fully-duplicated doc all exist
+    assert(want.count(_._3 > 1) > 0, "no multi-span doc")
+    assert(want.count(e => e._4 > 0 && e._4 < e._2) > 0, "no partially-covered doc")
+    assert(want.count(_._6 == null) > 0, "no fully-duplicated doc")
+  }
 }
