@@ -191,8 +191,18 @@ object Bench {
       val sha =
         try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
         catch { case _: Throwable => "unknown" }
+      // escape interpolated values: a sfDir (or sha fallback) with a
+      // quote/backslash would otherwise emit invalid JSON and crash
+      // tools/check.py's manifest parse
+      def jesc(s: String): String =
+        s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => "\\u%04x".format(c.toInt)
+          case c => c.toString
+        }
       val manifest =
-        s"""{"git_sha":"$sha","generated_unix":${System.currentTimeMillis / 1000},"sf":"$sfDir"}"""
+        s"""{"git_sha":"${jesc(sha)}","generated_unix":${System.currentTimeMillis / 1000},"sf":"${jesc(sfDir)}"}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_manifest.json"),
         (manifest + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable =>

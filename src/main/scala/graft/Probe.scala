@@ -429,6 +429,37 @@ object Probe {
           time("full query") { noop(graft.operators.Etl.etlSseParse(spark, d)) }
         }
 
+      case "substrbits" :: Nil =>
+        // stage-by-stage cost of dedup_substring at the current SF
+        import org.apache.spark.sql.functions._
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        val docs = graft.sources.Tables.documents(spark, d)
+          .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+          .withColumn("n_tokens", size(col("toks")))
+        val k = graft.operators.Dedup.SubstrK
+        val grams = docs.filter(col("n_tokens") >= k)
+          .select(col("doc_id"),
+            posexplode(expr(
+              s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
+              .as(Seq("pos0", "gh")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gh"))
+        val packed = shiftleft(col("doc_id"), graft.operators.Dedup.PackPosBits) + col("pos")
+        (1 to 2).foreach { _ =>
+          time("docs tokenized") { noop(docs) }
+          time("grams") { noop(grams) }
+          val firsts = grams.groupBy(col("gh"))
+            .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
+            .filter(col("cnt") > 1).drop("cnt")
+          time("firsts agg") { noop(firsts) }
+          val dup = grams.join(firsts.hint("shuffle_hash"), Seq("gh"))
+            .filter(packed =!= col("first_pk"))
+            .select(col("doc_id"), col("pos").as("a"), (col("pos") + (k - 1)).as("b"))
+          time("dup marks") { noop(dup) }
+          time("full query") { noop(graft.operators.Dedup.dedupSubstring(spark, d)) }
+        }
+
       case "times" :: qs =>
         val targets = if (qs.nonEmpty) qs else SparkEntry.queries.keys.toList.sorted
         targets.foreach { q =>

@@ -638,6 +638,46 @@ object Dedup {
   /** Tokens per paragraph block for [[dedupParagraph]]. */
   val ParaBlockTokens = 8
 
+  /** The keep-first mark join: shuffled-hash with the
+    * duplicated-key-sized firsts table as build side. NOT broadcast —
+    * the build can be billions of rows on a boilerplate-heavy corpus,
+    * and (measured at sf0.1) even when it provably fits, a plan-level
+    * broadcast is SLOWER than SHJ here: the build subtree (gram pass +
+    * aggregation) then runs as a serial driver-collected job ahead of
+    * the probe stage instead of overlapping with it. NOT sort-merge —
+    * that would re-pay the whole-stream sort the window rank was
+    * removed for. AQE skew-splits SHJ partitions, so a hot
+    * boilerplate key's probe rows split across tasks. */
+  private def markJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      joinType: String = "inner"): DataFrame =
+    probe.join(build.hint("shuffle_hash"), keys, joinType)
+
+  /** Fail fast when a corpus could overflow the packed keep-first key:
+    * per-doc positions must stay below 2^[[PackPosBits]], and
+    * whitespace tokens ≤ ⌈(chars+1)/2⌉, so the parquet FOOTER's
+    * max(n_chars) statistic (driver-side metadata read, no Spark job —
+    * the [[Tables.parquetRowCount]] discipline) proves the bound for
+    * the whole corpus up front. Stats missing → no proof → loud error
+    * beats silent wrong keep-first order. */
+  private def requirePackable(s: SparkSession, d: String): Unit = {
+    val maxPos = Tables.parquetLongColumnMax(s, d, "documents", "n_chars")
+      .map(c => (c + 1) / 2 + 1)
+      .getOrElse(Long.MaxValue)
+    require(maxPos < (1L << PackPosBits),
+      s"documents in $d may exceed 2^$PackPosBits positions (n_chars stats: " +
+        s"bound $maxPos) - raise PackPosBits or split documents")
+  }
+
+  /** Bits reserved for the position half of the packed keep-first key
+    * `doc_id << PackPosBits | pos`: 26 bits = 67M tokens/blocks per
+    * document, leaving 37 bits ≈ 137B doc ids. Packing exists so the
+    * keep-first `min` runs over a primitive long (HashAggregate,
+    * map-side partial) instead of a struct (SortAggregate — a full
+    * sort of the gram/block stream by content key on both sides of
+    * the exchange). A corpus with longer documents trades bits the
+    * other way; the split is a knob, not a structural constant. */
+  val PackPosBits = 26
+
   /** Paragraph-level exact dedup across the corpus — the C4/RefinedWeb
     * "remove duplicated lines/paragraphs globally" pass, the highest-
     * leverage dedup in web-scale curation after url-level dedup
@@ -688,18 +728,23 @@ object Dedup {
   }
 
   def dedupParagraph(s: SparkSession, d: String): DataFrame = {
+    requirePackable(s, d)
     val blocks = paraBlocks(s, d)
-    // struct compares lexicographically by field order, so
-    // min(struct(doc_id, block_idx)) IS "order by doc_id, block_idx
-    // limit 1" per block — with map-side partial aggregation.
+    // Keep-first argmax over a PACKED key: (doc_id, block_idx) fits
+    // one long (see [[PackPosBits]]) and long-min preserves the
+    // lexicographic order, so the aggregate compiles to HashAggregate
+    // with a true map-side partial — min(struct(...)) would force
+    // SortAggregate and re-pay the whole-stream sort-by-content the
+    // window rank was removed for.
+    val packed = shiftleft(col("doc_id"), PackPosBits) + col("block_idx")
+    // cnt>1 filter: singleton blocks (the vast majority) never reach
+    // the mark join — the build side is duplicated-block-sized
     val firsts = blocks.groupBy(col("block"))
-      .agg(min(struct(col("doc_id"), col("block_idx"))).as("first"))
-    // merge hint: firsts is distinct-block-sized (corpus scale), so
-    // pin the shuffle join AQE can skew-split rather than letting a
-    // small-SF AQE broadcast mask the scale shape.
-    val marked = blocks.hint("merge").join(firsts, Seq("block"))
-      .withColumn("is_first",
-        col("first.doc_id") === col("doc_id") && col("first.block_idx") === col("block_idx"))
+      .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .drop("cnt")
+    val marked = markJoin(blocks, firsts, Seq("block"), "left")
+      .withColumn("is_first", col("first_pk").isNull || packed === col("first_pk"))
     marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(!col("is_first"), 1L).otherwise(0L)).as("n_dup_blocks"),
@@ -785,41 +830,72 @@ object Dedup {
     * sf0.01 (~300k windows) the birthday bound puts a collision at
     * ~2⁻⁴⁵; if the gate ever flakes here, suspect this first. */
   private def substrGrams(docs: DataFrame, k: Int = SubstrK): DataFrame = {
+    // hash the k tokens as k xxhash64 ARGUMENTS rather than
+    // concat_ws(' ', slice(...)): one fewer array copy and one fewer
+    // string build per window, and token-boundary-safe ("a b"+"c" and
+    // "a"+"b c" hash differently where the joined string collides)
+    val args = (0 until k)
+      .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i + $j)")
+      .mkString(", ")
     docs.filter(col("n_tokens") >= k)
       .select(col("doc_id"),
         posexplode(expr(
-          s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
+          s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64($args))"))
           .as(Seq("pos0", "gh")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gh"))
   }
 
-  /** Merge duplicated-window intervals `(doc_id, a, b)` into maximal
-    * spans (gaps-and-islands), join back onto `docs` and emit the
-    * certified per-doc summary. Shared by [[dedupSubstring]] and
-    * [[dedupSubstringIncremental]]. */
-  private def substrAssemble(docs: DataFrame, dup: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // (doc_id, a) is unique — a position starts exactly one window —
-    // so the ROWS frames below are deterministic.
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("a"))
-    val spans = dup
-      .withColumn("pm", max(col("b")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("isl", sum(when(col("pm").isNull || col("a") > col("pm") + 1, 1L).otherwise(0L))
-        .over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min(col("a")).as("s"), max(col("b")).as("e"))
-    val byDoc = spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("e") - col("s") + 1).as("dup_tokens"),
-        sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+  /** Merge duplicated-window start positions `(doc_id, a)` (window
+    * width k, so each marks tokens [a, a+k-1]) into maximal spans
+    * (gaps-and-islands), join back onto `docs` and emit the certified
+    * per-doc summary. Shared by [[dedupSubstring]] and
+    * [[dedupSubstringIncremental]].
+    *
+    * The island merge is ONE per-doc aggregation: sort the doc's dup
+    * positions (collect_list is bounded by the doc's own token count —
+    * the same per-doc boundedness [[dedupParagraph]]'s kept-block list
+    * rests on) and fold them left with a (spans, cur_start, cur_end)
+    * accumulator — windows are fixed-width, so position p extends the
+    * current span iff p ≤ cur_end + 1. This replaces the two window
+    * passes + two aggregations of the gaps-and-islands formulation
+    * with a single aggregate and no per-doc sort machinery beyond
+    * sort_array. */
+  private def substrAssemble(docs: DataFrame, dup: DataFrame, k: Int): DataFrame = {
+    val spanTy = "array<struct<s: int, e: int>>"
+    val byDoc = dup.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("a"))).as("pos"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(pos,
+           |  named_struct('sp', cast(array() as $spanTy), 'cs', -1, 'ce', -1),
+           |  (acc, p) -> CASE
+           |    WHEN acc.cs < 0 THEN named_struct('sp', acc.sp, 'cs', p, 'ce', p + ${k - 1})
+           |    WHEN p <= acc.ce + 1
+           |      THEN named_struct('sp', acc.sp, 'cs', acc.cs, 'ce', p + ${k - 1})
+           |    ELSE named_struct(
+           |      'sp', concat(acc.sp, array(named_struct('s', acc.cs, 'e', acc.ce))),
+           |      'cs', p, 'ce', p + ${k - 1}) END,
+           |  acc -> concat(acc.sp, array(named_struct('s', acc.cs, 'e', acc.ce))))"""
+          .stripMargin).as("spans"))
+      .select(col("doc_id"), col("spans"),
+        size(col("spans")).cast("long").as("n_dup_spans"),
+        expr("aggregate(spans, 0L, (a, sp) -> a + sp.e - sp.s + 1)").as("dup_tokens"))
     // The span table is corpus-sized (one row per doc with any dup
-    // span), so the join-back must never be a broadcast: sort-merge
-    // on doc_id, same posture as every dedup verify join.
-    docs.hint("merge").join(byDoc, Seq("doc_id"), "left")
+    // span), so the join-back must never be a broadcast. shuffle_hash
+    // rather than sort-merge: doc_id keys are unique (no skew to
+    // split), and SHJ skips sorting both corpus-sized sides.
+    docs.join(byDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      // kept = tokens outside the spans, reassembled by slicing the
+      // gaps BETWEEN sorted non-overlapping spans — O(n + spans) with
+      // arraycopy slices, vs the O(n x spans) per-token exists() scan
+      // this replaces (higher-order lambdas run interpreted, so the
+      // per-token constant dominates on long documents).
       .withColumn("kept", expr(
-        "filter(transform(sequence(1, n_tokens), p -> " +
-          "IF(spans IS NOT NULL AND exists(spans, sp -> p >= sp.s AND p <= sp.e), " +
-          "CAST(NULL AS STRING), element_at(toks, p))), x -> x IS NOT NULL)"))
+        """aggregate(
+          |  coalesce(spans, cast(array() as array<struct<s: int, e: int>>)),
+          |  named_struct('last', 0, 'parts', cast(array() as array<string>)),
+          |  (acc, sp) -> named_struct('last', sp.e,
+          |    'parts', concat(acc.parts, slice(toks, acc.last + 1, sp.s - acc.last - 1))),
+          |  acc -> concat(acc.parts, slice(toks, acc.last + 1, n_tokens - acc.last)))""".stripMargin))
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
@@ -834,27 +910,28 @@ object Dedup {
     dedupSubstringAt(s, d, SubstrK)
 
   /** [[dedupSubstring]] at an explicit window width — the paper-scale
-    * k≈50 form is exercised by TextCurationSpec's planted-span
-    * property corpus; only the splitter width changes, nothing else
-    * in the plan. */
+    * k≈50 form is exercised by PropertySpec's planted-span property
+    * corpus; only the splitter width changes, nothing else in the
+    * plan — and an explicit broadcast cap (tests pin both mark-join
+    * regimes; 0 forces the shuffled-hash shape). */
   private[graft] def dedupSubstringAt(s: SparkSession, d: String, k: Int): DataFrame = {
+    requirePackable(s, d)
     val docs = substrDocs(s, d)
     val grams = substrGrams(docs, k)
-    // Keep-first argmax: one row per duplicated window hash survives
-    // the exchange (map-side partial min absorbs hot keys); the cnt>1
+    // Keep-first argmax over the packed (doc_id, pos) long key (see
+    // [[PackPosBits]]): HashAggregate with map-side partial — one row
+    // per duplicated window hash survives the exchange; the cnt>1
     // filter keeps singleton hashes — the vast majority — out of the
     // mark join entirely.
+    val packed = shiftleft(col("doc_id"), PackPosBits) + col("pos")
     val firsts = grams.groupBy(col("gh"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("cnt"))
+      .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .drop("cnt")
-    // merge hint: the firsts side is duplicated-hash-sized — small at
-    // test SFs (AQE would broadcast) but potentially billions of rows
-    // at corpus scale, so pin the shuffle join AQE can skew-split.
-    val dup = grams.hint("merge").join(firsts, Seq("gh"))
-      .filter(!(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
-      .select(col("doc_id"), col("pos").as("a"), (col("pos") + (k - 1)).as("b"))
-    substrAssemble(docs, dup)
+    val dup = markJoin(grams, firsts, Seq("gh"))
+      .filter(packed =!= col("first_pk"))
+      .select(col("doc_id"), col("pos").as("a"))
+    substrAssemble(docs, dup, k)
   }
 
   /** Incremental substring-span dedup — [[dedupSubstring]] for an
@@ -878,6 +955,7 @@ object Dedup {
     * about the rank/probe stages, which touch only shard-sized data.)
     */
   def dedupSubstringIncremental(s: SparkSession, d: String): DataFrame = {
+    requirePackable(s, d)
     val k = SubstrK
     val docs = substrDocs(s, d)
     val grams = substrGrams(docs)
@@ -888,20 +966,22 @@ object Dedup {
       .select(col("gh")).distinct()
       .withColumn("in_corpus", lit(1))
     val shard = grams.filter(col("doc_id") % 10 === 0)
-    // shard-internal keep-first via the same argmax shape as
+    // shard-internal keep-first via the same packed-argmax shape as
     // [[dedupSubstring]] (delta-sized; no content-keyed window rank)
+    val packed = shiftleft(col("doc_id"), PackPosBits) + col("pos")
     val shardFirsts = shard.groupBy(col("gh"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("cnt"))
+      .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .drop("cnt")
-    val dup = shard
-      .hint("merge").join(corpusIdx, Seq("gh"), "left")
-      .join(shardFirsts, Seq("gh"), "left")
+    // Corpus-index probe: sort-merge — BOTH sides are corpus-scale,
+    // so neither a broadcast nor a per-partition hash relation of the
+    // index is memory-safe the way the duplicated-key firsts build is.
+    val probed = shard.hint("merge").join(corpusIdx, Seq("gh"), "left")
+    val dup = markJoin(probed, shardFirsts, Seq("gh"), "left")
       .filter(col("in_corpus").isNotNull ||
-        (col("first").isNotNull &&
-          !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))))
-      .select(col("doc_id"), col("pos").as("a"), (col("pos") + (k - 1)).as("b"))
-    substrAssemble(docs.filter(col("doc_id") % 10 === 0), dup)
+        (col("first_pk").isNotNull && packed =!= col("first_pk")))
+      .select(col("doc_id"), col("pos").as("a"))
+    substrAssemble(docs.filter(col("doc_id") % 10 === 0), dup, k)
   }
 
   /** Jaccard bar for [[dedupPrefixFilter]]. Prefix filtering is the

@@ -95,6 +95,36 @@ object Tables {
     }.sum
   }
 
+  /** Max value of an integer column, read from the parquet FOOTER
+    * statistics — a driver-side metadata read like [[parquetRowCount]],
+    * no Spark job. None when any row group lacks stats for the column
+    * (callers must then assume the conservative regime). */
+  def parquetLongColumnMax(s: SparkSession, sfDir: String, name: String,
+      column: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      else Array(root)
+    val perGroup = files.flatMap { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+          .filter(st => st != null && st.hasNonNullValue)
+          .map(_.genericGetMax.asInstanceOf[Number].longValue)
+      } finally r.close()
+    }
+    if (perGroup.isEmpty || perGroup.exists(_.isEmpty)) None
+    else Some(perGroup.flatten.max)
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

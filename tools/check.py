@@ -106,7 +106,13 @@ print(f"\n{ok} ok, {fail} fail")
 repo = Path(__file__).parent.parent
 bm, blm = repo / "bench_manifest.json", repo / "baseline_manifest.json"
 if bm.exists() and blm.exists():
-    b, bl = json.loads(bm.read_text()), json.loads(blm.read_text())
+    # warn-only guard: a malformed manifest must not flip the
+    # correctness exit status
+    try:
+        b, bl = json.loads(bm.read_text()), json.loads(blm.read_text())
+    except ValueError as e:
+        print(f"WARN unparseable bench/baseline manifest: {e}")
+        b, bl = {}, {}
     if b.get("git_sha") != bl.get("git_sha"):
         print(f"WARN bench/baseline manifests from different commits: "
               f"{b.get('git_sha', '?')[:12]} vs {bl.get('git_sha', '?')[:12]} "
