@@ -306,6 +306,26 @@ object Probe {
         println(f"[ivfpqstats] $sfd macro-recall@5=${nHit / 50.0}%.2f " +
           f"maxcandfrac=${maxCand.toDouble / nTotal}%.3f")
         cand.unpersist()
+      case "fivfpqstats" :: rest =>
+        // filtered IVFPQ vs FILTERED brute force (annFilteredTopk)
+        import org.apache.spark.sql.functions._
+        val sfd = rest.headOption.getOrElse(d)
+        val bf = graft.operators.Similarity.annFilteredTopk(spark, sfd)
+          .select(col("query_id"), col("neighbor_id"))
+        val nTotal = graft.sources.Tables.embeddings(spark, sfd).count()
+        val cand = graft.operators.Similarity.ivfpqFilteredCandidates(spark, sfd).cache()
+        val top = cand.withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("cosine").desc, col("neighbor_id").asc)).cast("long"))
+          .filter(col("rank") <= graft.operators.Similarity.TopK)
+          .select(col("query_id"), col("neighbor_id"))
+        val nHit = bf.join(top, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val maxCand = cand.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect()(0).getLong(0)
+        println(f"[fivfpqstats] $sfd macro-recall@5=${nHit / 50.0}%.2f " +
+          f"maxcandfrac=${maxCand.toDouble / nTotal}%.3f")
+        cand.unpersist()
       case "semstats" :: rest =>
         import org.apache.spark.sql.functions._
         val sfd = rest.headOption.getOrElse(d)

@@ -44,6 +44,7 @@ object Verify {
       ("ann_ivf_topk", () => graft.operators.Similarity.ivfCandidates(spark, sfDir)),
       ("ann_pq_topk", () => graft.operators.Similarity.pqCandidates(spark, sfDir)),
       ("ann_ivfpq_topk", () => graft.operators.Similarity.ivfpqCandidates(spark, sfDir)),
+      ("ann_filtered_ivfpq", () => graft.operators.Similarity.ivfpqFilteredCandidates(spark, sfDir)),
       ("ann_incremental_topk", () => graft.operators.Similarity.incrementalCandidates(spark, sfDir)),
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, gen) =>

@@ -917,8 +917,17 @@ object Similarity {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSeq })
 
+  /** Label-restricted truth for the filtered rows: the exact filtered
+    * top-k ([[annFilteredTopk]]), cached like [[groundTruth]]. */
+  private def filteredGroundTruth(s: SparkSession, d: String): Map[Long, Seq[Long]] =
+    groundTruthCache.getOrElseUpdate((s.sparkContext.applicationId, d + "#filtered"),
+      annFilteredTopk(s, d).select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSeq })
+
   private def recallGate(s: SparkSession, d: String, cand0: DataFrame,
-      recallBar: Double, pruneBar: Double): DataFrame = {
+      recallBar: Double, pruneBar: Double,
+      gt: => Map[Long, Seq[Long]] = null): DataFrame = {
     // the candidate set feeds both the top-k ranking and the volume
     // accounting; materialize it once — it is already the size-bounded
     // object the prune flag certifies. (Measured: dropping this
@@ -929,7 +938,7 @@ object Similarity {
     // ground truth as an in-plan literal map (~q·k ids): hit-marking is
     // a codegen'd map lookup, not a join — one window + one aggregation
     // over the candidate set yields both gate scalars in a single job.
-    val gtCol = typedLit(groundTruth(s, d))
+    val gtCol = typedLit(Option(gt).getOrElse(groundTruth(s, d)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -1222,6 +1231,79 @@ object Similarity {
 
   def annIvfpqRecall(s: SparkSession, d: String): DataFrame =
     recallGate(s, d, ivfpqCandidates(s, d), IvfPqRecallBar, IvfPqPruneBar)
+
+  /** FILTERED IVFPQ candidates — [[annFilteredTopk]]'s
+    * predicate-as-join-key discipline composed with the
+    * [[ivfpqCandidates]] generator: the filtered-vector-search shape
+    * every RAG stack runs at scale ("top-k within my tenant/shard/
+    * modality", served from the compressed index). The label enters
+    * the ADC JOIN KEY alongside the probed cell — candidates are
+    * restricted BEFORE scoring, so the ADC scan reads only
+    * (probed cell ∩ query label) codes; post-filtering the unfiltered
+    * top-k would return < k survivors and waste the scan. At 100 TB
+    * with (cell, label)-partitioned code storage this is partition
+    * pruning on both dimensions. The exact re-rank touches only the
+    * bounded filtered candidate list.
+    */
+  private[graft] def ivfpqFilteredCandidates(s: SparkSession, d: String): DataFrame = {
+    val cents = kmeansCentroids(s, d)
+    val books = pqCodebooks(s, d)
+    // label carried from the scan (map-side), never joined in
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("sims", centroidSims(cents))
+    val cellOf = e
+      .withColumn("cell", (-array_max(col("sims")).getField("negcell")).cast("int"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("label"))
+    val codes = pqAssign(s, d, books)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      .join(cellOf, Seq("neighbor_id"))
+    val probes = e.filter(col("vec_id") < NumQueryVecs)
+      .withColumn("cell", explode(expr(
+        s"transform(slice(reverse(array_sort(sims)), 1, $NumProbe), e -> cast(-e.negcell AS int))")))
+      .select(col("vec_id").as("query_id"), col("cell"), col("label"))
+    val adc = codes.join(broadcast(probes), Seq("cell", "label"))
+      .join(broadcast(pqLut(s, e, books)), Seq("query_id", "m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((sum(col("pdot")) / max(col("nrma")) / sqrt(sum(col("cnorm2")))).as("approx_cos"))
+    refineExact(e.drop("label", "sims"), adcRefineCut(adc))
+  }
+
+  /** CORRECTNESS bars for [[annFilteredIvfpqRecall]], calibrated like
+    * the other ANN bars (Probe fivfpqstats, all three SFs;
+    * deterministic fit ⇒ constants the driver re-verifies) — recall
+    * here is against the FILTERED brute force ([[annFilteredTopk]]),
+    * not the unfiltered truth. The label restriction removes ADC
+    * competitors, so more in-label true neighbors survive the refine
+    * cut than in the unfiltered row — measured macro-recall@5:
+    * 0.78 / 0.74 / 0.80 at sf0.001/0.01/0.1 (vs unfiltered IVFPQ's
+    * 0.84/0.82/0.58). Prune accounting stays corpus-relative: the
+    * label cut alone caps candidates near the ~10% label-block mass,
+    * measured max fraction 0.048 / 0.044 / 0.032.
+    */
+  val FilteredIvfPqRecallBar = 0.6 // min macro-recall@5 vs filtered exact
+  val FilteredIvfPqPruneBar = 0.06 // max per-query candidate fraction
+
+  /** Filtered IVFPQ top-k, labeled like [[annFilteredTopk]] (full
+    * hash oracle via the dumped-candidates replay; the recall row is
+    * the quality gate). */
+  def annFilteredIvfpq(s: SparkSession, d: String): DataFrame = {
+    val qLabels = Tables.embeddings(s, d)
+      .filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("label"))
+    topkOf(ivfpqFilteredCandidates(s, d))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .select(col("query_id"), col("label"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annFilteredIvfpqRecall(s: SparkSession, d: String): DataFrame =
+    recallGate(s, d, ivfpqFilteredCandidates(s, d),
+      FilteredIvfPqRecallBar, FilteredIvfPqPruneBar,
+      gt = filteredGroundTruth(s, d))
 
   /** Int8 embedding quantization: per-vector symmetric max-abs scale
     * (the storage-compression companion to PQ — 4× smaller vectors,
@@ -1550,6 +1632,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_topk" -> annIvfpqTopk _,
     "ann_ivfpq_recall" -> annIvfpqRecall _,
+    "ann_filtered_ivfpq" -> annFilteredIvfpq _,
+    "ann_filtered_ivfpq_recall" -> annFilteredIvfpqRecall _,
     "ann_hybrid_rrf" -> annHybridRrf _,
     "ann_range_search" -> annRangeSearch _,
     "ann_hard_negatives" -> annHardNegatives _,
@@ -1740,6 +1824,31 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, cosine FROM r
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** [[candTopkOracle]] with the label restriction re-verified: the
+    * oracle joins each dumped pair's labels and DROPS any cross-label
+    * candidate, so a predicate leak in the engine's candidate
+    * generation shifts the oracle's ranks and hash-mismatches (the
+    * plain variant would rank the leaked candidate the same way the
+    * engine did). Output labeled like [[annFilteredTopk]]. */
+  private def candTopkFilteredOracle(name: String) =
+    s"""$cosineCte,
+       |lb AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (SELECT DISTINCT query_id, neighbor_id
+       |  FROM read_parquet('{{OUT}}/${name}_pairs/*.parquet')),
+       |c AS (SELECT cand.query_id, la.label AS label, cand.neighbor_id,
+       |  round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) AS cosine
+       | FROM cand JOIN n a ON a.vec_id = cand.query_id
+       |           JOIN n b ON b.vec_id = cand.neighbor_id
+       |           JOIN lb la ON la.vec_id = cand.query_id
+       |           JOIN lb nb ON nb.vec_id = cand.neighbor_id
+       | WHERE la.label = nb.label),
+       |r AS (SELECT query_id, label, neighbor_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       | FROM c)
+       |SELECT query_id, label, rank, neighbor_id, cosine FROM r
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   /** The recall rows' oracle: 10 queries, both flags 1. DuckDB cannot
     * re-run the (non-SQL) LSH/quantizer, but it doesn't need to — the
     * gate is that the deterministic Spark-side measurement clears the
@@ -1837,6 +1946,8 @@ object Similarity {
     "ann_pq_recall" -> recallOracle,
     "ann_ivfpq_recall" -> recallOracle,
     "ann_ivfpq_topk" -> candTopkOracle("ann_ivfpq_topk"),
+    "ann_filtered_ivfpq_recall" -> recallOracle,
+    "ann_filtered_ivfpq" -> candTopkFilteredOracle("ann_filtered_ivfpq"),
     "ann_lsh_topk" -> candTopkOracle("ann_lsh_topk"),
     "ann_ivf_topk" -> candTopkOracle("ann_ivf_topk"),
     "ann_pq_topk" -> candTopkOracle("ann_pq_topk"),

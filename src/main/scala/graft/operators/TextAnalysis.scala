@@ -325,6 +325,86 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated TRIGRAM Kneser-Ney with backoff through the bigram
+    * level to the unigram continuation distribution — the order
+    * production perplexity filters actually run (CCNet/KenLM are
+    * 5-gram; order 3 exercises every backoff mechanism — highest-order
+    * counts, continuation counts at the middle level, type-based
+    * backoff weights — with one recursion step instead of three):
+    *
+    *   P(w3|w1 w2) = (c(w1w2w3) − D)⁺ / c(w1w2·)
+    *               + D · N₁₊(w1w2·) / c(w1w2·) · P(w3|w2)
+    *   P(w3|w2)    = (N₁₊(·w2w3) − D)⁺ / N₁₊(·w2·)
+    *               + D · N₁₊(w2·) / N₁₊(·w2·) · N₁₊(·w3) / T
+    *
+    * (Chen & Goodman 1998 eq. 4.17-4.19; lower orders use TYPE
+    * counts, not token counts — the Kneser-Ney insight.)
+    *
+    * Scale shape: the trigram kernel stream is extracted once and
+    * checkpointed (the [[textLmKnScore]] pattern); the ONLY
+    * corpus-sized shuffle is the trigram-TYPE aggregation. Every
+    * model table derives from that type table: the bigram type set is
+    * the union of the trigram types' (w1,w2) and (w2,w3) projections
+    * (type-table-sized distinct — any bigram occurrence in a ≥3-token
+    * document sits inside some trigram, so only 2-token documents are
+    * invisible, and those produce no scoreable trigram anyway), the
+    * continuation/context tables are type- or vocabulary-sized
+    * aggregates, vocabulary-sized ones broadcast, type-sized ones
+    * join shuffled-hash. Scoring joins the token stream to the
+    * per-TYPE probability table — shuffled-hash, never a broadcast of
+    * a table that is far larger than the vocabulary at web scale.
+    *
+    * Boundary note: no sentence padding (like [[textLmKnScore]]), so
+    * backoff mass at document edges is approximate — the standard
+    * trade of unpadded corpus filters; docs with < 3 tokens have no
+    * trigram and are absent from the output.
+    */
+  def textLmKn3Score(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = KnDiscount
+    val stream = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = if (text == null) Array.empty[String] else text.split(" ", -1)
+        if (t.length < 3) Iterator.empty
+        else (0 until t.length - 2).iterator.map(i => (id, t(i), t(i + 1), t(i + 2)))
+      }
+      .toDF("doc_id", "w1", "w2", "w3")
+      .localCheckpoint()
+    // the one corpus-sized shuffle: trigram types
+    val tc = stream.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c_abc"))
+    // bigram TYPE set from the trigram types' two pair projections
+    val btypes = tc.select(col("w1").as("a"), col("w2").as("b"))
+      .union(tc.select(col("w2").as("a"), col("w3").as("b")))
+      .distinct()
+    val fan2 = btypes.groupBy(col("a")).agg(count(lit(1)).as("n1f2")) // N₁₊(w2 ·)
+    val rev = btypes.groupBy(col("b")).agg(count(lit(1)).as("n1r"))   // N₁₊(· w3)
+    val tot = btypes.agg(count(lit(1)).cast("double").as("t_types")) // T
+    val ctx = tc.groupBy(col("w1"), col("w2"))                        // c(w1w2·), N₁₊(w1w2·)
+      .agg(sum(col("c_abc")).as("c12"), count(lit(1)).as("n1f12"))
+    val mid = tc.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("n1l")) // N₁₊(· w2w3)
+    val midctx = tc.groupBy(col("w2")).agg(count(lit(1)).as("nmid"))  // N₁₊(· w2 ·)
+    val ptype = tc
+      .join(ctx.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(mid.hint("shuffle_hash"), Seq("w2", "w3"))
+      .join(broadcast(midctx), Seq("w2"))
+      .join(broadcast(fan2.withColumnRenamed("a", "w2")), Seq("w2"))
+      .join(broadcast(rev.withColumnRenamed("b", "w3")), Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("w3"),
+        ((greatest(col("c_abc") - lit(D), lit(0.0)) +
+          lit(D) * col("n1f12") *
+            ((greatest(col("n1l") - lit(D), lit(0.0)) +
+              lit(D) * col("n1f2") * (col("n1r") / col("t_types"))) / col("nmid"))) /
+          col("c12")).as("p_kn3"))
+    stream.join(ptype.hint("shuffle_hash"), Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(-avg(log2(col("p_kn3"))), 6).as("xent_kn3"))
+      .orderBy(col("doc_id"))
+  }
+
   val PmiMinCount = 5 // min bigram occurrences for a collocation row
   val PmiTopK = 40
 
@@ -649,6 +729,7 @@ object TextAnalysis {
     "text_entropy" -> textEntropy _,
     "text_lm_score" -> textLmScore _,
     "text_lm_kn" -> textLmKnScore _,
+    "text_lm_kn3" -> textLmKn3Score _,
     "text_pmi_bigrams" -> textPmiBigrams _,
     "text_stem" -> textStem _,
     "text_freq_items" -> textFreqItems _,
@@ -756,6 +837,32 @@ object TextAnalysis {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            | round(-avg(log2(p_kn)), 6) AS xent_kn
            |FROM st JOIN pt USING (w1, w2)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_lm_kn3" ->
+      raw"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 2),
+           |   i -> {'w1': l[i], 'w2': l[i + 1], 'w3': l[i + 2]})) AS u FROM t WHERE len(l) >= 3),
+           |g AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM g0),
+           |tc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c_abc FROM g GROUP BY 1, 2, 3),
+           |bt AS (SELECT DISTINCT a, b FROM
+           |  (SELECT w1 AS a, w2 AS b FROM tc UNION ALL SELECT w2, w3 FROM tc)),
+           |fan2 AS (SELECT a AS w2, CAST(count(*) AS BIGINT) AS n1f2 FROM bt GROUP BY 1),
+           |rev AS (SELECT b AS w3, CAST(count(*) AS BIGINT) AS n1r FROM bt GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t_types FROM bt),
+           |ctx AS (SELECT w1, w2, CAST(sum(c_abc) AS BIGINT) AS c12,
+           |   CAST(count(*) AS BIGINT) AS n1f12 FROM tc GROUP BY 1, 2),
+           |mid AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1l FROM tc GROUP BY 1, 2),
+           |midctx AS (SELECT w2, CAST(count(*) AS BIGINT) AS nmid FROM tc GROUP BY 1),
+           |pt AS (SELECT w1, w2, w3,
+           |   (greatest(c_abc - $KnDiscount, CAST(0 AS DOUBLE))
+           |    + $KnDiscount * n1f12 *
+           |      ((greatest(n1l - $KnDiscount, CAST(0 AS DOUBLE))
+           |        + $KnDiscount * n1f2 * (n1r / t_types)) / nmid)) / c12 AS p_kn3
+           | FROM tc JOIN ctx USING (w1, w2) JOIN mid USING (w2, w3)
+           |  JOIN midctx USING (w2) JOIN fan2 USING (w2) JOIN rev USING (w3) CROSS JOIN tot)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           | round(-avg(log2(p_kn3)), 6) AS xent_kn3
+           |FROM g JOIN pt USING (w1, w2, w3)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_pmi_bigrams" ->
       s"""WITH docs_l AS (SELECT string_split(text, ' ') AS l FROM documents),

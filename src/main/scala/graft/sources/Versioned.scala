@@ -76,6 +76,12 @@ object Versioned {
   /** Snapshot read at `version` (default: latest). The returned frame
     * reads exactly the files the version's manifest lists; `basePath`
     * recovers the hive partition column from the directory names.
+    * `mergeSchema` unions the files' schemas, so after an ADD-COLUMN
+    * upsert ([[upsert]]'s schema evolution) files written before the
+    * widening read the new columns as NULL — Delta/Iceberg read
+    * semantics. (Production logs track the schema in the commit
+    * metadata instead of merging footers at read; footer-merge over
+    * the manifest's file list is the same contract, paid per read.)
     */
   def snapshot(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
     val v = if (version >= 0) version
@@ -83,7 +89,8 @@ object Versioned {
         throw new IllegalArgumentException(s"versioned table $path has no commits"))
     val files = manifestFiles(spark, path, v)
     require(files.nonEmpty, s"version $v of $path lists no files")
-    spark.read.option("basePath", path).parquet(files.map(f => s"$path/$f"): _*)
+    spark.read.option("basePath", path).option("mergeSchema", "true")
+      .parquet(files.map(f => s"$path/$f"): _*)
   }
 
   /** Snapshot diff — what changed between two commits: one row per
@@ -111,7 +118,8 @@ object Versioned {
       if (live.isEmpty)
         // preserve schema for the outer join even when nothing changed
         snapshot(spark, path, v2).limit(0)
-      else spark.read.option("basePath", path).parquet(live.map(f => s"$path/$f"): _*)
+      else spark.read.option("basePath", path).option("mergeSchema", "true")
+        .parquet(live.map(f => s"$path/$f"): _*)
     }
     def keyed(df: DataFrame, tag: String): DataFrame = {
       val payload = df.columns.filterNot(c => c == keyCol || c == partCol).sorted
@@ -228,6 +236,28 @@ object Versioned {
       val merged = prev match {
         case None => inserts
         case Some(v) =>
+          // Schema evolution contract (the ADD COLUMN every
+          // Delta/Iceberg user hits within weeks): the batch must
+          // carry every existing table column with the SAME type (a
+          // type conflict is rejected loudly, never coerced) and may
+          // ADD columns — the widened schema becomes the table's,
+          // carried-over files read the new columns as NULL via
+          // [[snapshot]]'s mergeSchema. The table schema comes from
+          // the snapshot (all live footers), not just the affected
+          // partitions, so a conflict with an untouched partition's
+          // column is caught too.
+          val tableSchema = snapshot(spark, path, v).schema
+          tableSchema.foreach { f =>
+            inserts.schema.find(_.name == f.name) match {
+              case None => throw new IllegalArgumentException(
+                s"versioned upsert: batch is missing table column ${f.name} — " +
+                  "schema evolution only ADDS columns")
+              case Some(g) => require(g.dataType == f.dataType,
+                s"versioned upsert: type conflict on ${f.name} — " +
+                  s"table ${f.dataType} vs batch ${g.dataType}")
+            }
+          }
+          val added = inserts.schema.filterNot(g => tableSchema.exists(_.name == g.name))
           // ALL change keys (upserts AND deletes) claim their partition
           val parts = u.select(col(partCol)).distinct().collect()
             .map(r => s"$partCol=${r.get(0)}").toSet
@@ -236,11 +266,15 @@ object Versioned {
           val affectedFiles = prevFiles.filter(f => parts.contains(f.split('/').head))
           if (affectedFiles.isEmpty) inserts
           else {
-            val affected = spark.read.option("basePath", path)
+            val affected = spark.read.option("basePath", path).option("mergeSchema", "true")
               .parquet(affectedFiles.map(f => s"$path/$f"): _*)
-            val survivors = affected.join(
+            val survivors0 = affected.join(
               u.select(col(keyCol), col(partCol)), Seq(keyCol, partCol), "left_anti")
-            survivors.unionByName(inserts.select(affected.columns.map(col).toIndexedSeq: _*))
+            // widen survivors with the batch's added columns as NULL
+            val survivors = added.foldLeft(survivors0)((df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType)))
+            survivors.unionByName(
+              inserts.select((affected.columns ++ added.map(_.name)).map(col).toIndexedSeq: _*))
           }
       }
       merged.write.partitionBy(partCol).parquet(tmp.toString)
@@ -286,7 +320,7 @@ object Versioned {
     val tag = "c" + java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root.getParent, root.getName + "_vtmp_" + tag)
     fs.delete(tmp, true)
-    val affected = spark.read.option("basePath", path)
+    val affected = spark.read.option("basePath", path).option("mergeSchema", "true")
       .parquet(toCompact.values.flatten.map(f => s"$path/$f").toSeq: _*)
     affected.repartition(col(partCol)).write.partitionBy(partCol).parquet(tmp.toString)
     val newFiles = moveIn(fs, tmp, root, tag)

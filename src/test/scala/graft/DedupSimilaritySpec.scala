@@ -198,6 +198,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("filtered ivfpq: label respected, ranks dense, candidates label-pure, gate flags green") {
+    val rows = Similarity.annFilteredIvfpq(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("neighbor_id")
+      // the predicate held: every result shares its query's label,
+      // and the row's label column IS that label
+      assert(labels(n) == labels(q), s"cross-label result $q -> $n")
+      assert(r.getAs[Int]("label") == labels(q))
+      assert(q != n)
+    }
+    // ranks dense 1..k per query (the filtered block is larger than k
+    // for every label at this SF, so a full top-k must come back)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to Similarity.TopK).toSeq, s"ranks not dense for query $q")
+    }
+    // candidate generation itself never leaks a cross-label pair
+    val cands = Similarity.ivfpqFilteredCandidates(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+    cands.foreach { r =>
+      assert(labels(r.getLong(1)) == labels(r.getLong(0)), "cross-label candidate")
+    }
+    // quality/prune gate green at this SF
+    val gate = Similarity.annFilteredIvfpqRecall(spark, sf).collect().head
+    assert(gate.getAs[Long]("recall_ok") == 1L && gate.getAs[Long]("prune_ok") == 1L)
+  }
+
   test("mmr: rank-1 is the relevance argmax, scores non-increasing, picks diversify vs top-k") {
     val mmr = Similarity.annMmrDiversify(spark, sf).collect()
       .groupBy(_.getAs[Long]("query_id"))

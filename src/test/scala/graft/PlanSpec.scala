@@ -313,10 +313,12 @@ class PlanSpec extends AnyFunSuite {
         "ann_mmr_diversify",
         "ann_range_search", "ann_hard_negatives",
         "ann_lsh_recall", "ann_ivf_recall",
-        "ann_pq_recall", "ann_ivfpq_recall", "dedup_semantic_gate", "q24_revenue_share",
-        // text_lm_kn: same corpus-total-scalar (T types) broadcast
-        // onto the bigram-type table as the LM/PMI rows
-        "cur_tfidf_topterms", "text_lm_score", "text_lm_kn", "text_pmi_bigrams",
+        "ann_pq_recall", "ann_ivfpq_recall", "ann_filtered_ivfpq_recall",
+        "dedup_semantic_gate", "q24_revenue_share",
+        // text_lm_kn/_kn3: same corpus-total-scalar (T types)
+        // broadcast onto the gram-type table as the LM/PMI rows
+        "cur_tfidf_topterms", "text_lm_score", "text_lm_kn", "text_lm_kn3",
+        "text_pmi_bigrams",
         // scalar avgdl aggregate broadcast onto the term stream —
         // the same share-of-total shape as the LM/PMI rows above
         "text_bm25_topk",

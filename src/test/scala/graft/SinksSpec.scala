@@ -404,6 +404,63 @@ class SinksSpec extends AnyFunSuite {
     assert(d(0, 0) == Set.empty)
   }
 
+  test("versioned schema evolution: add-column upsert widens, old snapshots keep their shape, conflicts rejected") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val path = tmp("versioned-evo")
+    val v0 = Versioned.upsert(spark, path,
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2")).toDF("id", "v", "part"),
+      "id", "part")
+    assert(v0 == 0)
+    // v1: the batch ADDS a `score` column while updating key 2 (p1
+    // only — p2's files are carried over with the OLD schema)
+    val v1 = Versioned.upsert(spark, path,
+      Seq((2L, "B", 0.9, "p1")).toDF("id", "v", "score", "part"), "id", "part")
+    assert(v1 == 1)
+    // latest snapshot: widened schema; pre-widening rows (carried p2
+    // file AND the rewritten p1 survivors) read score as NULL
+    val s1 = Versioned.snapshot(spark, path, v1)
+    assert(s1.columns.contains("score"))
+    val rows = s1.select(col("id"), col("v"), col("score"), col("part"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3))).toSet
+    assert(rows == Set(
+      (1L, "a", None, "p1"), (2L, "B", Some(0.9), "p1"), (3L, "c", None, "p2")))
+    // snapshot BEFORE the widening keeps the original shape
+    assert(!Versioned.snapshot(spark, path, v0).columns.contains("score"))
+    // a later batch WITHOUT the added column is rejected (evolution
+    // only adds; silently nulling an existing column is data loss)
+    intercept[IllegalArgumentException] {
+      Versioned.upsert(spark, path,
+        Seq((5L, "e", "p1")).toDF("id", "v", "part"), "id", "part")
+    }
+    // a type conflict on an existing column is rejected loudly, even
+    // when the conflicting column lives only in UNTOUCHED partitions'
+    // files (the check runs against the full snapshot schema)
+    intercept[IllegalArgumentException] {
+      Versioned.upsert(spark, path,
+        Seq((6L, "f", "high", "p3")).toDF("id", "v", "score", "part"), "id", "part")
+    }
+    // the widened table keeps evolving: CDC over it works and a
+    // second add-column round composes
+    val v2 = Versioned.applyCdc(spark, path,
+      Seq((3L, Option("C"), Option(0.1), "p2", "upsert"),
+          (1L, Option.empty[String], Option.empty[Double], "p1", "delete"))
+        .toDF("id", "v", "score", "part", "op"),
+      "id", "part", "op")
+    val s2 = Versioned.snapshot(spark, path, v2)
+      .select(col("id"), col("v"), col("score"), col("part"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3))).toSet
+    assert(s2 == Set((2L, "B", Some(0.9), "p1"), (3L, "C", Some(0.1), "p2")))
+    // diff across the schema boundary still classifies correctly
+    // (null-dropping JSON payload hashes make pre/post-widening rows
+    // with no score compare equal)
+    val changes = Versioned.diff(spark, path, v0, v1, "id", "part")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(changes == Set((2L, "update")))
+  }
+
   test("versioned compact: fewer files, identical contents, history intact") {
     import spark.implicits._
     import graft.sources.Versioned

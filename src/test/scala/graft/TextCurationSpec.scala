@@ -189,6 +189,50 @@ class TextCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("trigram kneser-ney: engine scores equal an independent plain-Scala backoff model fit") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+    val tris = docs.flatMap { case (id, t) =>
+      (0 until t.length - 2).map(i => (id, (t(i), t(i + 1), t(i + 2)))) }
+    val cAbc = tris.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // bigram TYPE set = the trigram types' two pair projections
+    val btypes = cAbc.keySet.flatMap(tg => Set((tg._1, tg._2), (tg._2, tg._3)))
+    val fan2 = btypes.groupBy(_._1).view.mapValues(_.size.toLong).toMap // N1+(w2 .)
+    val rev = btypes.groupBy(_._2).view.mapValues(_.size.toLong).toMap  // N1+(. w3)
+    val tTypes = btypes.size.toDouble
+    val c12 = cAbc.groupBy(k => (k._1._1, k._1._2)).view.mapValues(_.values.sum).toMap
+    val n1f12 = cAbc.groupBy(k => (k._1._1, k._1._2)).view.mapValues(_.size.toLong).toMap
+    val n1l = cAbc.groupBy(k => (k._1._2, k._1._3)).view.mapValues(_.size.toLong).toMap
+    val nmid = cAbc.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val D = TextAnalysis.KnDiscount
+    def pKn3(tg: (String, String, String)): Double = {
+      val pl = (math.max(n1l((tg._2, tg._3)) - D, 0.0) +
+        D * fan2(tg._2) * (rev(tg._3) / tTypes)) / nmid(tg._2)
+      (math.max(cAbc(tg) - D, 0.0) + D * n1f12((tg._1, tg._2)) * pl) / c12((tg._1, tg._2))
+    }
+    val expected = tris.groupBy(_._1).view.mapValues { ts =>
+      val xs = ts.map(tg => math.log(pKn3(tg._2)) / math.log(2.0))
+      (ts.length.toLong, -xs.sum / xs.length)
+    }.toMap
+    val got = TextAnalysis.textLmKn3Score(spark, sf).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val (n, x) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_trigrams") == n)
+      assert(math.abs(r.getAs[Double]("xent_kn3") - x) < 1e-5,
+        s"doc ${r.getAs[Long]("doc_id")}: got ${r.getAs[Double]("xent_kn3")} expected $x")
+      assert(r.getAs[Double]("xent_kn3") > 0.0)
+    }
+    // per-context sanity on the refit model itself: for a sampled
+    // seen context, total probability over its SEEN continuations
+    // stays under 1 (the held-out mass is what backoff redistributes)
+    val some = cAbc.keySet.groupBy(k => (k._1, k._2)).take(20)
+    some.foreach { case (_, tgs) =>
+      val mass = tgs.toSeq.map(pKn3).sum
+      assert(mass > 0.0 && mass <= 1.0 + 1e-9, s"seen-continuation mass $mass out of range")
+    }
+  }
+
   test("substring dedup: engine output equals an independent brute-force span recomputation") {
     import graft.operators.Dedup
     val k = Dedup.SubstrK
