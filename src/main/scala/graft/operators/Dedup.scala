@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -638,19 +638,41 @@ object Dedup {
   /** Tokens per paragraph block for [[dedupParagraph]]. */
   val ParaBlockTokens = 8
 
+  /** Salt buckets for the keep-first mark join: a hot boilerplate
+    * key's probe rows spread across this many partitions BY
+    * CONSTRUCTION. Salting is used instead of trusting AQE because
+    * OptimizeSkewedJoin only rewrites joins whose children are BARE
+    * shuffle stages — the firsts build side carries its final
+    * aggregate above its exchange, so the skew rule never fires on
+    * this join shape; a deterministic salt needs no runtime
+    * pattern-match (and survives AQE being disabled). */
+  val KeepFirstSaltBuckets = 8
+
   /** The keep-first mark join: shuffled-hash with the
-    * duplicated-key-sized firsts table as build side. NOT broadcast —
-    * the build can be billions of rows on a boilerplate-heavy corpus,
-    * and (measured at sf0.1) even when it provably fits, a plan-level
-    * broadcast is SLOWER than SHJ here: the build subtree (gram pass +
-    * aggregation) then runs as a serial driver-collected job ahead of
-    * the probe stage instead of overlapping with it. NOT sort-merge —
-    * that would re-pay the whole-stream sort the window rank was
-    * removed for. AQE skew-splits SHJ partitions, so a hot
-    * boilerplate key's probe rows split across tasks. */
+    * duplicated-key-sized firsts table as build side, SALTED on a
+    * per-occurrence value so a hot key's probe rows land in
+    * [[KeepFirstSaltBuckets]] partitions instead of one (the build
+    * side replicates ×S — duplicated-key-sized, so the replication is
+    * bounded). NOT broadcast — the build can be billions of rows on a
+    * boilerplate-heavy corpus, and (measured at sf0.1) even when it
+    * provably fits, a plan-level broadcast is SLOWER than SHJ here:
+    * the build subtree (gram pass + aggregation) runs as a serial
+    * driver-collected job ahead of the probe stage instead of
+    * overlapping with it. NOT sort-merge — that would re-pay the
+    * whole-stream sort the window rank was removed for.
+    * `saltOf` must be deterministic per probe row and uniform within
+    * a key (the packed (doc_id, pos) key is: consecutive positions
+    * round-robin across buckets). */
   private def markJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
-      joinType: String = "inner"): DataFrame =
-    probe.join(build.hint("shuffle_hash"), keys, joinType)
+      saltOf: Column, joinType: String = "inner"): DataFrame = {
+    val s = KeepFirstSaltBuckets
+    probe.withColumn("kf_salt", pmod(saltOf, lit(s.toLong)).cast("int"))
+      .join(
+        build.withColumn("kf_salt", explode(typedLit((0 until s).toArray)))
+          .hint("shuffle_hash"),
+        keys :+ "kf_salt", joinType)
+      .drop("kf_salt")
+  }
 
   /** Fail fast when a corpus could overflow the packed keep-first key:
     * per-doc positions must stay below 2^[[PackPosBits]], and
@@ -704,12 +726,13 @@ object Dedup {
     * one-row-per-block firsts table joined back to mark non-firsts.
     * NOT a `row_number()` window partitioned by block content: a
     * boilerplate block present in 10% of a 100 TB corpus would funnel
-    * billions of rows into ONE task's window sort, and AQE's skew
-    * optimization splits skewed JOIN partitions (OptimizeSkewedJoin),
-    * never WindowExec. With the argmax shape the hot key collapses
-    * map-side in the partial aggregation (one row per input partition
-    * reaches the exchange), and the mark join IS skew-splittable by
-    * AQE. PlanSpec pins the absence of a content-keyed Window.
+    * billions of rows into ONE task's window sort, and NOTHING splits
+    * a skewed WindowExec partition. With the argmax shape the hot key
+    * collapses map-side in the partial aggregation (one row per input
+    * partition reaches the exchange), and the mark join spreads it
+    * across [[KeepFirstSaltBuckets]] tasks deterministically (see
+    * [[markJoin]] for why salting, not AQE, carries this). PlanSpec
+    * pins the absence of a content-keyed Window.
     */
   /** (doc_id, block_idx, block): each consecutive [[ParaBlockTokens]]-token
     * block of every document — the shared "paragraph" extraction for
@@ -743,7 +766,7 @@ object Dedup {
       .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .drop("cnt")
-    val marked = markJoin(blocks, firsts, Seq("block"), "left")
+    val marked = markJoin(blocks, firsts, Seq("block"), packed, "left")
       .withColumn("is_first", col("first_pk").isNull || packed === col("first_pk"))
     marked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
@@ -801,8 +824,10 @@ object Dedup {
     * join build side is duplicated-hash-sized, not corpus-sized),
     * joined back to mark non-first occurrences. NOT a window rank: a
     * boilerplate window in 10% of a 100 TB corpus would put billions
-    * of rows through one task's sort, and AQE skew-splits joins, not
-    * WindowExec (PlanSpec pins the shape). Interval merge and
+    * of rows through one task's sort, and nothing splits a skewed
+    * WindowExec partition — the salted [[markJoin]] spreads a hot
+    * key's probe rows across tasks by construction (PlanSpec pins the
+    * shape). Interval merge and
     * reassembly are doc_id-local (one second exchange); the
     * gaps-and-islands windows scan each doc's dup intervals once. The
     * span join-back is doc-count-sized on both sides, so Catalyst
@@ -928,7 +953,7 @@ object Dedup {
       .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .drop("cnt")
-    val dup = markJoin(grams, firsts, Seq("gh"))
+    val dup = markJoin(grams, firsts, Seq("gh"), packed)
       .filter(packed =!= col("first_pk"))
       .select(col("doc_id"), col("pos").as("a"))
     substrAssemble(docs, dup, k)
@@ -977,7 +1002,7 @@ object Dedup {
     // so neither a broadcast nor a per-partition hash relation of the
     // index is memory-safe the way the duplicated-key firsts build is.
     val probed = shard.hint("merge").join(corpusIdx, Seq("gh"), "left")
-    val dup = markJoin(probed, shardFirsts, Seq("gh"), "left")
+    val dup = markJoin(probed, shardFirsts, Seq("gh"), packed, "left")
       .filter(col("in_corpus").isNotNull ||
         (col("first_pk").isNotNull && packed =!= col("first_pk")))
       .select(col("doc_id"), col("pos").as("a"))

@@ -254,20 +254,20 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup_substring: content+doc hash exchanges only, no nested loop, no corpus broadcast") {
     // Design: the global keep-first is the argmax aggregation
-    // (gh exchange with map-side partial) plus the gh-keyed mark join
-    // (one more gh exchange of the gram stream), then doc_id-local
-    // windows/aggregates that all reuse ONE doc_id exchange
-    // (HashPartitioning(doc_id) satisfies the (doc_id, isl)
-    // clustering), plus the scan side of the doc_id join-back.
-    // Anything beyond 4 hash exchanges means a doc-local stage
-    // re-shuffled; a BroadcastExchange means a corpus-sized side
-    // (span table or firsts table) was broadcast.
+    // (gh exchange with map-side partial), the salted mark join (a
+    // (gh, kf_salt) exchange of the gram stream plus one of the
+    // duplicated-hash-sized firsts x S build — the ONLY exchange that
+    // is not corpus- or doc-keyed, and it is dup-key-bounded), then
+    // doc_id-local aggregates on ONE doc_id exchange plus the scan
+    // side of the doc_id join-back. Anything beyond 5 hash exchanges
+    // means a doc-local stage re-shuffled; a BroadcastExchange means
+    // a corpus-sized side (span table or firsts table) was broadcast.
     val p = planOf("dedup_substring")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"nested-loop join:\n$p")
     assert(!p.contains("BroadcastExchange"), s"corpus-sized side broadcast:\n$p")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hashEx <= 4, s"$hashEx hash exchanges, expected <= 4:\n$p")
+    assert(hashEx <= 5, s"$hashEx hash exchanges, expected <= 5:\n$p")
   }
 
   test("keep-first dedup rows: no Window partitioned by a content key") {
@@ -288,6 +288,11 @@ class PlanSpec extends AnyFunSuite {
       // dedup_paragraph has no doc-local window at all
       if (q == "dedup_paragraph")
         assert(windowLines.isEmpty, s"$q grew a window:\n$p")
+      // the mark join is SALTED: its shuffle keys carry kf_salt, so a
+      // hot content key spreads across KeepFirstSaltBuckets tasks by
+      // construction (AQE's skew rule cannot fire on this join — the
+      // build side's final aggregate sits above its exchange)
+      assert(p.contains("kf_salt"), s"$q: mark join lost its salt:\n$p")
     }
   }
 
