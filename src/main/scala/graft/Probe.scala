@@ -480,6 +480,20 @@ object Probe {
           time("full query") { noop(graft.operators.Dedup.dedupSubstring(spark, d)) }
         }
 
+      case "substrk" :: kk :: Nil =>
+        // dedup_substring at an arbitrary window width (e.g. the
+        // paper's k=50) against SPARK_GRAFT_SF_DIR — the probe behind
+        // SURVEY's "only the splitter changes with k" claim.
+        val k = kk.toInt
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        (1 to 2).foreach { i =>
+          time(s"dedup_substring k=$k run$i") {
+            noop(graft.operators.Dedup.dedupSubstringAt(spark, d, k))
+          }
+        }
+
       case "times" :: qs =>
         val targets = if (qs.nonEmpty) qs else SparkEntry.queries.keys.toList.sorted
         targets.foreach { q =>

@@ -45,6 +45,7 @@ object Verify {
       ("ann_pq_topk", () => graft.operators.Similarity.pqCandidates(spark, sfDir)),
       ("ann_ivfpq_topk", () => graft.operators.Similarity.ivfpqCandidates(spark, sfDir)),
       ("ann_filtered_ivfpq", () => graft.operators.Similarity.ivfpqFilteredCandidates(spark, sfDir)),
+      ("ann_binary_topk", () => graft.operators.Similarity.binaryCandidates(spark, sfDir)),
       ("ann_incremental_topk", () => graft.operators.Similarity.incrementalCandidates(spark, sfDir)),
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, gen) =>

@@ -423,15 +423,23 @@ object Etl {
       lit("event: message"), line1,
       lit("""data: {"code": 1, "message": "transient error"}"""),
       line2, lit("data: [DONE]"))
-    // Early repartition with an EXPLICIT partition count: the source
-    // is a single parquet split locally, so without it the whole
-    // parse phase runs in ONE task — and a bare repartition(col) gets
-    // AQE-coalesced back to ~1 partition at this data size. A
-    // user-specified count is exempt from AQE coalescing.
+    // ONE range exchange, placed BEFORE the kernel: the source is a
+    // single parquet split locally, so some explicit repartition is
+    // needed for parse parallelism anyway (a bare repartition(col)
+    // gets AQE-coalesced back to ~1 partition at this size; a
+    // user-specified count is exempt). Making that exchange a RANGE
+    // partition on the final sort key means the kernel's output is
+    // already globally range-placed — the query ends with a map-side
+    // sortWithinPartitions instead of a second (sampling + exchange)
+    // orderBy over the parsed rows, and the localCheckpoint barrier
+    // the old plan needed (so the orderBy's sampling pass wouldn't
+    // re-run the kernel) disappears with the pass it guarded. The
+    // range sampler only re-scans the cheap 3-column parquet input,
+    // never the Jackson kernel.
     val nPart = s.sessionState.conf.numShufflePartitions
     val base = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("props"))
-      .repartition(nPart, col("event_id"))
+      .repartitionByRange(nPart, col("event_id"))
       .select(col("event_id"), raw.as("raw"))
     // GENERIC per-line parse as a typed kernel — the reference's own
     // loop shape (test_chat_assistant.py:36-103: iterate lines, keep
@@ -448,17 +456,16 @@ object Etl {
     // no exchange, no aggregate; Jackson parses only surviving
     // `data:` payloads.
     import s.implicits._
-    val parsed = base.as[(Long, String)]
+    base.as[(Long, String)]
       .mapPartitions(_.map { case (id, transcript) =>
         val (answer, session, total) = parseSseTranscript(transcript)
         (id, answer, session, total)
       })
       .toDF("event_id", "answer", "session_id", "total_references")
-      // Materialization barrier so the range exchange's sampling pass
-      // samples parsed one-row-per-event tuples, not the kernel
-      // (see curPiiRedact).
-      .localCheckpoint(eager = false)
-    parsed.orderBy(col("event_id"))
+      // Range placement happened upstream of the kernel, so a
+      // map-side sort completes the same global order orderBy gave:
+      // partitions are range-disjoint and ascending by construction.
+      .sortWithinPartitions(col("event_id"))
   }
 
   /** The reference's record-summarization model call

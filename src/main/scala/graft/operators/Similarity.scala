@@ -1477,30 +1477,183 @@ object Similarity {
     * consumers use the component SET, not its exact order; the spec
     * pins dominance of component 1 and ordering within a 5%
     * tolerance. */
-  def embPcaTopr(s: SparkSession, d: String): DataFrame = {
+  /** The deflated power-iteration trajectory shared by [[embPcaTopr]]
+    * and [[embWhiten]]: for each of the [[PcaTopR]] components, the
+    * (L∞-normalized, 1e-9-rounded) loading vector and its Rayleigh
+    * (numerator, denominator) on the covariance as deflated so far —
+    * the exact sequence the unrolled oracle CTEs replay. */
+  private def pcaDeflatedComponents(
+      c0: Array[Array[Double]]): Seq[(Array[Double], Double, Double)] = {
+    val dims = c0.length
+    var c = c0
+    (1 to PcaTopR).map { r =>
+      val v = pcaPowerIterate(c)
+      val (num, den) = pcaRayleigh(c, v)
+      if (r < PcaTopR) {
+        val eig9 = rnd(num / den, 9)
+        val vhat = v.map(x => rnd(x / math.sqrt(den), 9))
+        c = Array.tabulate(dims, dims)((i, j) => rnd(c(i)(j) - eig9 * vhat(i) * vhat(j), 9))
+      }
+      (v, num, den)
+    }
+  }
+
+  /** Covariance of the int8-quantized [[PcaDims]]-dim prefix from the
+    * ONE integer-Gram corpus pass: (n, per-dim integer sums, c). */
+  private def pcaCovariance(s: SparkSession, d: String): (Long, Array[Long], Array[Array[Double]]) = {
     val dims = PcaDims
     val (n, sum, gram) = pcaIntGram(s, d)
     val c0 = Array.tabulate(dims, dims)((i, j) =>
       (gram(i * dims + j) - (sum(i) * sum(j)).toDouble / n) / (n - 1))
+    (n, sum, c0)
+  }
+
+  def embPcaTopr(s: SparkSession, d: String): DataFrame = {
+    val dims = PcaDims
+    val (_, _, c0) = pcaCovariance(s, d)
     val trace = (0 until dims).map(i => c0(i)(i)).sum
-    var c = c0
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double, Double)]
-    for (r <- 1 to PcaTopR) {
-      val v = pcaPowerIterate(c)
-      val (num, den) = pcaRayleigh(c, v)
+    val rows = pcaDeflatedComponents(c0).zipWithIndex.flatMap { case ((v, num, den), idx) =>
       val eigval = num / den
-      for (i <- 0 until dims)
-        rows += ((r.toLong, (i + 1).toLong, rnd(v(i), 6), rnd(eigval, 6), rnd(eigval / trace, 6)))
-      if (r < PcaTopR) {
-        val eig9 = rnd(eigval, 9)
-        val vhat = v.map(x => rnd(x / math.sqrt(den), 9))
-        c = Array.tabulate(dims, dims)((i, j) => rnd(c(i)(j) - eig9 * vhat(i) * vhat(j), 9))
-      }
+      (0 until dims).map(i =>
+        ((idx + 1).toLong, (i + 1).toLong, rnd(v(i), 6), rnd(eigval, 6), rnd(eigval / trace, 6)))
     }
-    s.createDataFrame(rows.toSeq)
+    s.createDataFrame(rows)
       .toDF("component", "dim", "loading", "eigval", "var_frac")
       .orderBy(col("component"), col("dim"))
   }
+
+  /** PCA WHITENING over the [[PcaDims]]-dim embedding prefix — the
+    * preprocessing SemDedup/DSIR-style pipelines run before cosine
+    * thresholding (dominant directions carry corpus-wide boilerplate
+    * variance; whitening equalizes them so semantic distance isn't
+    * swamped by the top component). Each vector's int8-quantized
+    * prefix (the SAME quantization as the PCA fit) is projected onto
+    * the [[PcaTopR]] L2-normalized components and scaled by
+    * 1/√λᵣ: output (vec_id, component, w) with per-component
+    * ~zero mean and ~unit variance (spec-pinned).
+    *
+    * Scale shape: the FIT is [[pcaIntGram]]'s one
+    * map-side-partial-only corpus pass (273 longs per partition to
+    * the driver); the APPLY is an embarrassingly-parallel typed
+    * kernel with the 4×16 projection matrix broadcast in the
+    * closure — no shuffle at any width, so the operator is a single
+    * map stage at 100 TB. Determinism: loadings/λ are 1e-9-rounded
+    * driver scalars; the per-vector sum runs in ascending-dimension
+    * order on BOTH sides (sequential kernel loop here, ordered
+    * `list_reduce` in the oracle), so every product and partial sum
+    * is bitwise identical before the final 1e-6 rounding.
+    */
+  def embWhiten(s: SparkSession, d: String): DataFrame = {
+    val dims = PcaDims
+    val (n, sum, c0) = pcaCovariance(s, d)
+    val mu = Array.tabulate(dims)(i => sum(i).toDouble / n)
+    // (component, L2-normalized 1e-9-rounded loadings, √λ with λ 1e-9-rounded)
+    val proj = pcaDeflatedComponents(c0).zipWithIndex.map { case ((v, num, den), idx) =>
+      ((idx + 1).toLong, v.map(x => rnd(x / math.sqrt(den), 9)), math.sqrt(rnd(num / den, 9)))
+    }.toArray
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        s"transform(slice(embedding, 1, $dims), x -> cast(round(cast(x AS double) * 127, 0) AS bigint))")
+        .as("q"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, qv) =>
+          proj.iterator.map { case (r, vhat, sdev) =>
+            var acc = 0.0
+            var i = 0
+            while (i < dims) { acc += vhat(i) * (qv(i) - mu(i)); i += 1 }
+            (id, r, rnd(acc / sdev, 6))
+          }
+        }
+      }
+      .toDF("vec_id", "component", "w")
+      .orderBy(col("vec_id"), col("component"))
+  }
+
+  /** Exact-rerank depth of the binary-quantization first stage. */
+  val BinaryRerankDepth = 40
+  /** Calibrated quality bars for [[annBinaryRecall]]: measured
+    * macro-recall@[[TopK]] 0.90 / 0.88 / 0.72 at sf0.001/0.01/0.1
+    * (asymmetric scoring; the symmetric-Hamming first cut measured
+    * 0.64 / 0.44 at sf0.01/0.1 and was redesigned). */
+  val BinaryRecallBar = 0.6 // min macro-recall@5 vs exact
+  val BinaryPruneBar = 0.1 // max per-query rerank fraction
+
+  /** Binary (sign-bit) quantization candidates — the
+    * binary-embedding retrieval shape production vector stores ship
+    * (32× smaller index than float32): each 64-dim vector
+    * compresses to ONE 64-bit signature (bit i = sign of dim i);
+    * stage 1 scores the corpus per query ASYMMETRICALLY — the
+    * full-precision query dotted against the neighbor's ±1 sign
+    * pattern, unpacked on the fly FROM THE SIGNATURE (symmetric
+    * Hamming was measured first: recall@5 0.44 at sf0.1; keeping
+    * the query float lifts it to 0.72 at the same 8-byte/vector
+    * scan) — and keeps the [[BinaryRerankDepth]] best; stage 2
+    * re-scores only those with the exact float cosine. The stage-1
+    * scan reads the signature column alone (queries broadcast), its
+    * exchange carries (query, neighbor, score) rows — never
+    * vectors — and the per-query cut compiles to a WindowGroupLimit
+    * partial/final pair (PlanSpec-pinned), so map tasks pre-prune
+    * to the rerank depth; float vectors are touched again only for
+    * the depth×queries bounded rerank join. The depth self-caps to
+    * the prune budget (⌈[[BinaryPruneBar]]·n⌉, measured corpus
+    * count — the house derive-geometry-from-n discipline) so the
+    * prune certificate holds by construction at toy corpus sizes;
+    * at any real n the fixed depth IS the budget and the scanned
+    * fraction vanishes as n grows.
+    */
+  private[graft] def binaryCandidates(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d)
+    val nTotal = e.count()
+    val depth = math.min(BinaryRerankDepth.toLong,
+      math.max(TopK.toLong, math.ceil(BinaryPruneBar * nTotal).toLong))
+    // Pack the 64 sign bits into ONE long, then unpack to the ±1
+    // scoring pattern — a typed kernel, not an interpreted
+    // aggregate/transform lambda (the shingle lesson: higher-order
+    // SQL lambdas never enter codegen and storm the cold interpreter
+    // at scale). The scan's only per-neighbor input is the 8-byte
+    // signature; `v` exists here solely to BUILD it (at scale the
+    // sig column is the persisted index).
+    val nsig: DataFrame = {
+      import s.implicits._
+      e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+        .mapPartitions(_.map { case (id, v) =>
+          var sig = 0L
+          var i = 0
+          while (i < 64) { if (v(i) >= 0) sig |= (1L << i); i += 1 }
+          val sv = new Array[Double](64)
+          i = 0
+          while (i < 64) { sv(i) = if (((sig >> i) & 1L) == 1L) 1.0 else -1.0; i += 1 }
+          (id, sv)
+        }).toDF("neighbor_id", "sv")
+    }
+    val qside = e.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("v").as("qa"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("neighbor_id").asc)
+    val hcand = broadcast(qside).join(nsig, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qa"), col("sv")).as("ascore"))
+      .withColumn("hrank", row_number().over(w))
+      .filter(col("hrank") <= depth)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = e.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("nrma"))
+    val nv = e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nrmb"))
+    hcand.join(nv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Binary-quantization ANN top-k (full hash oracle via
+    * [[candTopkOracle]]; [[annBinaryRecall]] is the quality gate). */
+  def annBinaryTopk(s: SparkSession, d: String): DataFrame =
+    topkOf(binaryCandidates(s, d))
+
+  def annBinaryRecall(s: SparkSession, d: String): DataFrame =
+    recallGate(s, d, binaryCandidates(s, d), BinaryRecallBar, BinaryPruneBar)
 
   /** Filtered vector search: exact cosine top-[[TopK]] per query among
     * only the corpus vectors satisfying a metadata predicate (here:
@@ -1654,7 +1807,10 @@ object Similarity {
     "ann_pq_recall" -> annPqRecall _,
     "emb_quantize_int8" -> embQuantizeInt8 _,
     "emb_pca_power" -> embPcaPower _,
-    "emb_pca_topr" -> embPcaTopr _)
+    "emb_pca_topr" -> embPcaTopr _,
+    "emb_whiten" -> embWhiten _,
+    "ann_binary_topk" -> annBinaryTopk _,
+    "ann_binary_recall" -> annBinaryRecall _)
 
   private val cosineCte =
     """WITH n AS (SELECT vec_id,
@@ -1746,6 +1902,52 @@ object Similarity {
        |${parts.map(_._1).mkString(",\n")}
        |${parts.map(_._2).mkString("\nUNION ALL ")}
        |ORDER BY component, dim""".stripMargin
+  }
+
+  /** Unrolled replay for [[embWhiten]]: the [[pcaToprOracleSql]]
+    * trajectory CTEs rebuild every component's (deflated) loading
+    * vector, then each vector's whitened coordinate is recomputed
+    * with an ORDERED `list_reduce` over ascending dimensions — the
+    * same operands in the same order as the kernel's sequential
+    * loop, so the sum is bitwise identical before the 1e-6 round.
+    */
+  private def whitenOracleSql: String = {
+    val dims = PcaDims
+    val parts = (1 to PcaTopR).map { r =>
+      val cn = if (r == 1) "c" else s"c$r"
+      val sfx = s"r${r}_"
+      val vf = s"v$sfx$PcaIters"
+      val rayleigh =
+        s"""rn$r AS (SELECT sum(va.v * $cn.c * vb.v) AS num
+           |  FROM $cn JOIN $vf va ON va.i = $cn.i JOIN $vf vb ON vb.i = $cn.j),
+           |rd$r AS (SELECT sum(v * v) AS den FROM $vf),
+           |lm$r AS (SELECT round(rn$r.num / rd$r.den, 9) AS l FROM rn$r, rd$r),
+           |whl$r AS (SELECT list(round(v / sqrt(rd$r.den), 9) ORDER BY i) AS vh
+           |  FROM $vf, rd$r GROUP BY rd$r.den)""".stripMargin
+      val deflate =
+        if (r == PcaTopR) ""
+        else s""",
+                |eg$r AS (SELECT round(rn$r.num / rd$r.den, 9) AS e FROM rn$r, rd$r),
+                |vh$r AS (SELECT i, round(v / sqrt(rd$r.den), 9) AS v FROM $vf, rd$r),
+                |c${r + 1} AS MATERIALIZED (SELECT $cn.i AS i, $cn.j AS j,
+                |  round($cn.c - eg$r.e * vhi.v * vhj.v, 9) AS c
+                |  FROM $cn JOIN vh$r vhi ON vhi.i = $cn.i
+                |  JOIN vh$r vhj ON vhj.i = $cn.j CROSS JOIN eg$r)""".stripMargin
+      val select =
+        s"""SELECT qv.vec_id, CAST($r AS BIGINT) AS component,
+           | round(list_reduce(list_transform(generate_series(1, $dims),
+           |     i -> whl$r.vh[i] * (qv.q[i] - mu.mu[i])), (a, b) -> a + b)
+           |   / sqrt(lm$r.l), 6) AS w
+           | FROM qv, whl$r, mu, lm$r""".stripMargin
+      (pcaStepCtes(cn, sfx) + ",\n" + rayleigh + deflate, select)
+    }
+    s"""WITH $pcaBaseCte,
+       |qv AS MATERIALIZED (SELECT vec_id, list_transform(embedding[1:$dims],
+       |   x -> CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS q FROM embeddings),
+       |mu AS (SELECT list(CAST(s AS DOUBLE) / nn.n ORDER BY i) AS mu FROM sv, nn GROUP BY nn.n),
+       |${parts.map(_._1).mkString(",\n")}
+       |${parts.map(_._2).mkString("\nUNION ALL ")}
+       |ORDER BY vec_id, component""".stripMargin
   }
 
   /** Unrolled greedy-MMR replay for [[annMmrDiversify]]: step t's
@@ -2004,6 +2206,9 @@ object Similarity {
     // per-iteration rounding) and Rayleigh quotient, unrolled.
     "emb_pca_power" -> pcaOracleSql,
     "emb_pca_topr" -> pcaToprOracleSql,
+    "emb_whiten" -> whitenOracleSql,
+    "ann_binary_topk" -> candTopkOracle("ann_binary_topk"),
+    "ann_binary_recall" -> recallOracle,
     "ann_bruteforce_topk" ->
       s"""$cosineCte,
          |c AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -406,7 +406,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("ANN recall gates: both flags pass at the calibrated bars") {
     Seq(Similarity.annLshRecall(spark, sf), Similarity.annIvfRecall(spark, sf),
-      Similarity.annPqRecall(spark, sf), Similarity.annIvfpqRecall(spark, sf))
+      Similarity.annPqRecall(spark, sf), Similarity.annIvfpqRecall(spark, sf),
+      Similarity.annBinaryRecall(spark, sf))
       .foreach { gate =>
         val r = gate.collect()
         assert(r.length == 1)
@@ -414,6 +415,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
         assert(r(0).getAs[Long]("recall_ok") == 1L, "macro-recall under bar")
         assert(r(0).getAs[Long]("prune_ok") == 1L, "candidate volume over bar")
       }
+  }
+
+  test("binary ANN: well-formed top-k, candidates within the rerank budget, exact cosines") {
+    val rows = Similarity.annBinaryTopk(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == Similarity.NumQueryVecs)
+    // exact brute-force cosines for cross-checking the rerank scores
+    val bf = Similarity.annBruteforceTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to Similarity.TopK).toSeq)
+      val cosines = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, "cosine not descending")
+    }
+    // any binary hit that IS an exact top-k neighbor must carry the
+    // identical rounded cosine (the rerank is exact, not approximate)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bf.get(k).foreach(c => assert(c == r.getAs[Double]("cosine"), s"$k rerank drifted"))
+    }
+  }
+
+  test("whitening: per-component ~zero mean / ~unit variance, components decorrelated") {
+    val rows = Similarity.embWhiten(spark, sf).collect()
+    val n = sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length == (n * Similarity.PcaTopR).toInt)
+    val byComp = rows.groupBy(_.getAs[Long]("component"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("vec_id")).map(_.getAs[Double]("w"))).toMap
+    assert(byComp.keySet == (1L to Similarity.PcaTopR).toSet)
+    byComp.foreach { case (c, ws) =>
+      val mean = ws.sum / ws.length
+      val varr = ws.map(x => (x - mean) * (x - mean)).sum / (ws.length - 1)
+      assert(math.abs(mean) < 0.05, s"component $c mean $mean")
+      assert(math.abs(varr - 1.0) < 0.1, s"component $c variance $varr")
+    }
+    // deflation-orthogonal components stay decorrelated after scaling
+    for (a <- 1 to Similarity.PcaTopR; b <- (a + 1) to Similarity.PcaTopR) {
+      val (wa, wb) = (byComp(a.toLong), byComp(b.toLong))
+      val (ma, mb) = (wa.sum / wa.length, wb.sum / wb.length)
+      val cov = wa.zip(wb).map { case (x, y) => (x - ma) * (y - mb) }.sum / (wa.length - 1)
+      assert(math.abs(cov) < 0.1, s"components $a,$b correlated: $cov")
+    }
   }
 
   test("incremental dedup: batch verdicts agree with a full recomputation") {

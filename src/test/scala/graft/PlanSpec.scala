@@ -317,6 +317,11 @@ class PlanSpec extends AnyFunSuite {
         // is per-query local (kernel), join-free
         "ann_mmr_diversify",
         "ann_range_search", "ann_hard_negatives",
+        // ann_binary_topk/_recall: stage 1 is the intentional
+        // broadcast-query scan over 8-byte signatures (the binary
+        // index's whole point); the cut before the exchange is the
+        // WindowGroupLimit pair pinned in its own plan test
+        "ann_binary_topk", "ann_binary_recall",
         "ann_lsh_recall", "ann_ivf_recall",
         "ann_pq_recall", "ann_ivfpq_recall", "ann_filtered_ivfpq_recall",
         "dedup_semantic_gate", "q24_revenue_share",
@@ -415,6 +420,18 @@ class PlanSpec extends AnyFunSuite {
   test("similarity: custom DotProduct expression is in the plan (codegen path)") {
     val p = planOf("ann_bruteforce_topk")
     assert(p.contains("dotproduct") || p.contains("DotProduct"), p)
+  }
+
+  test("binary ANN: stage-1 cut is a WindowGroupLimit pair; scan scores via DotProduct") {
+    val p = planOf("ann_binary_topk")
+    // the per-query rerank-depth cut must pre-prune map-side
+    // (Partial) before the exchange and finish after it (Final) —
+    // without the pushdown every corpus row reaches the window sort
+    assert(p.contains("WindowGroupLimit"), s"rank cut not pushed down\n$p")
+    assert(p.contains("dotproduct") || p.contains("DotProduct"),
+      s"asymmetric scoring lost the codegen'd DotProduct\n$p")
+    // the signature build is a typed kernel, not an interpreted lambda
+    assert(!p.contains("aggregate(sequence"), s"interpreted sig lambda resurfaced\n$p")
   }
 
   test("shingling is a typed kernel, no interpreted lambda in its plan") {
