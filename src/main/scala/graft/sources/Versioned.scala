@@ -41,6 +41,35 @@ object Versioned {
 
   private val LogDir = "_graft_log"
 
+  /** One manifest line: a live data file plus (optionally) its
+    * per-file min/max key statistics — the Delta/Iceberg
+    * data-skipping core. Stats are collected at WRITE time for the
+    * merge key when it is integral; readers prune files driver-side
+    * on the manifest alone ([[snapshotRange]]), so a selective key
+    * predicate reads only the files whose range intersects it — at
+    * any scale the prune is metadata-only, no storage listing and no
+    * footer IO. Files without stats (pre-stats manifests, non-integral
+    * keys, all-null key files) are conservatively kept. min/max
+    * ignore nulls (Spark agg semantics), which is SAFE for pruning: a
+    * range predicate never selects null keys, so a pruned file cannot
+    * hide a qualifying row.
+    */
+  private[graft] case class FileEntry(path: String, statsCol: Option[String],
+      min: Option[Long], max: Option[Long]) {
+    def render: String = statsCol match {
+      case Some(c) if min.isDefined && max.isDefined =>
+        s"$path\t$c\t${min.get}\t${max.get}"
+      case _ => path
+    }
+  }
+
+  private[graft] object FileEntry {
+    def parse(line: String): FileEntry = line.split('\t') match {
+      case Array(p, c, mn, mx) => FileEntry(p, Some(c), Some(mn.toLong), Some(mx.toLong))
+      case _ => FileEntry(line, None, None, None)
+    }
+  }
+
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -63,15 +92,20 @@ object Versioned {
     versions(spark, path).lastOption
 
   /** The relative data-file paths live at `version`. */
-  private[graft] def manifestFiles(spark: SparkSession, path: String, version: Int): Seq[String] = {
+  private[graft] def manifestEntries(spark: SparkSession, path: String,
+      version: Int): Seq[FileEntry] = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val mp = manifestPath(root, version)
     require(fs.exists(mp), s"versioned table $path has no version $version")
     val in = fs.open(mp)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty)
+      .map(FileEntry.parse).toList
     finally in.close()
   }
+
+  private[graft] def manifestFiles(spark: SparkSession, path: String, version: Int): Seq[String] =
+    manifestEntries(spark, path, version).map(_.path)
 
   /** Snapshot read at `version` (default: latest). The returned frame
     * reads exactly the files the version's manifest lists; `basePath`
@@ -91,6 +125,43 @@ object Versioned {
     require(files.nonEmpty, s"version $v of $path lists no files")
     spark.read.option("basePath", path).option("mergeSchema", "true")
       .parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  /** Manifest entries surviving data skipping for
+    * `keyCol BETWEEN lo AND hi`: a file is pruned only when it
+    * carries stats ON THAT COLUMN and its [min, max] provably misses
+    * the range; stats-less files are kept. Driver-side metadata
+    * only. */
+  private[graft] def pruneEntries(entries: Seq[FileEntry], keyCol: String,
+      lo: Long, hi: Long): Seq[FileEntry] =
+    entries.filter { e =>
+      e.statsCol != Some(keyCol) || (e.min.get <= hi && e.max.get >= lo)
+    }
+
+  /** Snapshot read restricted to `keyCol BETWEEN lo AND hi` with
+    * manifest data skipping: the manifest's per-file min/max stats
+    * prune non-intersecting files BEFORE any storage IO (the
+    * Delta/Iceberg data-skipping read path), then the surviving files
+    * are read with the same residual filter applied — so the result
+    * is identical to `snapshot(...).filter(between)` while a
+    * selective key predicate touches only the files that can hold
+    * qualifying rows. At 100 TB this is the difference between a key
+    * lookup reading one file and reading the table.
+    */
+  def snapshotRange(spark: SparkSession, path: String, keyCol: String,
+      lo: Long, hi: Long, version: Int = -1): DataFrame = {
+    val v = if (version >= 0) version
+      else latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"versioned table $path has no commits"))
+    val keep = pruneEntries(manifestEntries(spark, path, v), keyCol, lo, hi)
+    val pred = col(keyCol).between(lo, hi)
+    if (keep.isEmpty)
+      // every file provably misses the range: preserve the schema,
+      // return no rows, read nothing at runtime
+      snapshot(spark, path, v).filter(pred).limit(0)
+    else spark.read.option("basePath", path).option("mergeSchema", "true")
+      .parquet(keep.map(e => s"$path/${e.path}"): _*)
+      .filter(pred)
   }
 
   /** Snapshot diff — what changed between two commits: one row per
@@ -139,7 +210,7 @@ object Versioned {
     * tmp-write + rename-without-overwrite makes a racing second
     * writer fail its rename instead of silently clobbering.
     */
-  private def commit(fs: FileSystem, root: Path, files: Seq[String]): Int = {
+  private def commit(fs: FileSystem, root: Path, files: Seq[FileEntry]): Int = {
     val next = {
       val log = new Path(root, LogDir)
       fs.mkdirs(log)
@@ -152,7 +223,7 @@ object Versioned {
     val tmp = new Path(target.getParent, target.getName + ".tmp" +
       java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, false)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((files.map(_.render).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, true)
@@ -180,6 +251,49 @@ object Versioned {
           s"${dir.getPath.getName}/$name"
         }
     }.toIndexedSeq
+  }
+
+  /** Per-file min/max of `statsKey` for freshly written files — ONE
+    * column-pruned Spark scan over only the new files (the merge
+    * already paid the write amplification for exactly these files;
+    * the stats pass re-reads one column of them — production formats
+    * lift the same numbers from the parquet footers they just
+    * wrote). Files are matched back by their `dir/name` tail — the
+    * part-file NAME alone is ambiguous because a dynamic-partition
+    * write reuses the same part-file name across partition dirs. A
+    * file whose key values are all NULL gets no stats (min/max
+    * ignore nulls) and is never pruned.
+    */
+  private def entriesWithStats(spark: SparkSession, path: String,
+      newFiles: Seq[String], statsKey: Option[String]): Seq[FileEntry] = statsKey match {
+    case Some(k) if newFiles.nonEmpty =>
+      def tail2(p: String) = p.split('/').takeRight(2).mkString("/")
+      val byTail = spark.read.option("basePath", path)
+        .parquet(newFiles.map(f => s"$path/$f"): _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(k).cast("long")).as("mn"), max(col(k).cast("long")).as("mx"))
+        .collect()
+        .map(r => tail2(r.getString(0)) ->
+          (Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .toMap
+      newFiles.map { f =>
+        byTail.get(tail2(f)) match {
+          case Some((Some(mn), Some(mx))) => FileEntry(f, Some(k), Some(mn), Some(mx))
+          case _ => FileEntry(f, None, None, None)
+        }
+      }
+    case _ => newFiles.map(FileEntry(_, None, None, None))
+  }
+
+  /** The merge key qualifies for manifest stats when it is integral
+    * (long-renderable losslessly). */
+  private def statsKeyFor(schema: org.apache.spark.sql.types.StructType,
+      keyCol: String): Option[String] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    schema.find(_.name == keyCol).map(_.dataType).collect {
+      case LongType | IntegerType | ShortType | ByteType => keyCol
+    }
   }
 
   /** Keyed MERGE producing a new version; returns the committed
@@ -287,10 +401,14 @@ object Versioned {
         .map(r => s"$partCol=${r.get(0)}").toSet
       val newParts = newFiles.map(_.split('/').head).toSet ++
         (if (prev.isDefined) changedParts else Set.empty[String])
+      // carried files KEEP their recorded stats; new files get theirs
+      // from the one-column stats pass
+      val newEntries = entriesWithStats(spark, path, newFiles,
+        statsKeyFor(merged.schema, keyCol))
       val carried = prev.map(v =>
-        manifestFiles(spark, path, v).filterNot(f => newParts.contains(f.split('/').head)))
+        manifestEntries(spark, path, v).filterNot(e => newParts.contains(e.path.split('/').head)))
         .getOrElse(Seq.empty)
-      commit(fs, root, carried ++ newFiles)
+      commit(fs, root, carried ++ newEntries)
     } finally u.unpersist()
   }
 
@@ -313,21 +431,27 @@ object Versioned {
     val fs = fsOf(spark, root)
     val v = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"versioned table $path has no commits"))
-    val files = manifestFiles(spark, path, v)
-    val byPart = files.groupBy(_.split('/').head)
+    val entries = manifestEntries(spark, path, v)
+    val byPart = entries.groupBy(_.path.split('/').head)
     val toCompact = byPart.filter(_._2.size > maxFiles)
     if (toCompact.isEmpty) return v
     val tag = "c" + java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root.getParent, root.getName + "_vtmp_" + tag)
     fs.delete(tmp, true)
     val affected = spark.read.option("basePath", path).option("mergeSchema", "true")
-      .parquet(toCompact.values.flatten.map(f => s"$path/$f").toSeq: _*)
+      .parquet(toCompact.values.flatten.map(e => s"$path/${e.path}").toSeq: _*)
     affected.repartition(col(partCol)).write.partitionBy(partCol).parquet(tmp.toString)
     val newFiles = moveIn(fs, tmp, root, tag)
     fs.delete(tmp, true)
     val compacted = toCompact.keySet
-    val carried = files.filterNot(f => compacted.contains(f.split('/').head))
-    commit(fs, root, carried ++ newFiles)
+    // compacted files get fresh stats on the stats column the table
+    // already tracks (inherited from the live entries — compact has
+    // no key parameter of its own)
+    val inheritedKey = entries.flatMap(_.statsCol).headOption
+      .flatMap(k => statsKeyFor(affected.schema, k))
+    val newEntries = entriesWithStats(spark, path, newFiles, inheritedKey)
+    val carried = entries.filterNot(e => compacted.contains(e.path.split('/').head))
+    commit(fs, root, carried ++ newEntries)
   }
 
   /** Retire all but the last `keepVersions` manifests and delete the

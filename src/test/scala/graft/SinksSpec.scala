@@ -555,6 +555,81 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned data skipping: manifest min/max stats prune files, stats-less entries kept") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val path = tmp("versioned-skip")
+    // v0: two partitions with disjoint key ranges → per-file stats
+    val v0 = Versioned.upsert(spark, path,
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (100L, "c", "p2"), (200L, "d", "p2"))
+        .toDF("id", "v", "part"), "id", "part")
+    val e0 = Versioned.manifestEntries(spark, path, v0)
+    assert(e0.nonEmpty && e0.forall(_.statsCol.contains("id")), s"all files carry id stats: $e0")
+    val p1 = e0.filter(_.path.startsWith("part=p1"))
+    assert(p1.map(_.min.get).min == 1L && p1.map(_.max.get).max == 2L)
+    // manifest line round-trip (render → parse) is lossless
+    e0.foreach(e => assert(Versioned.FileEntry.parse(e.render) == e))
+
+    // the pruned read is semantically identical to snapshot + filter...
+    def rng(lo: Long, hi: Long) =
+      Versioned.snapshotRange(spark, path, "id", lo, hi)
+        .select(col("id"), col("v"), col("part")).as[(Long, String, String)].collect().toSet
+    def full(lo: Long, hi: Long) =
+      Versioned.snapshot(spark, path).filter(col("id").between(lo, hi))
+        .select(col("id"), col("v"), col("part")).as[(Long, String, String)].collect().toSet
+    for ((lo, hi) <- Seq((1L, 2L), (2L, 100L), (0L, 500L), (50L, 60L), (200L, 200L)))
+      assert(rng(lo, hi) == full(lo, hi), s"range [$lo,$hi]")
+    // ...while actually skipping non-intersecting files driver-side
+    assert(Versioned.pruneEntries(e0, "id", 1L, 2L).forall(_.path.startsWith("part=p1")))
+    assert(Versioned.pruneEntries(e0, "id", 50L, 60L).isEmpty)
+    // inclusive boundaries: a file's exact min/max still intersects
+    assert(Versioned.pruneEntries(e0, "id", 2L, 2L).nonEmpty)
+    // stats on a DIFFERENT column never prune
+    assert(Versioned.pruneEntries(e0, "v", 50L, 60L).size == e0.size)
+    // empty prune result still yields the right (empty) frame + schema
+    assert(Versioned.snapshotRange(spark, path, "id", 50L, 60L).count() == 0)
+    assert(Versioned.snapshotRange(spark, path, "id", 50L, 60L).columns.contains("v"))
+
+    // a pre-stats manifest line (bare path) parses stats-less and is kept
+    val legacy = Versioned.FileEntry.parse("part=p9/old-file.parquet")
+    assert(legacy == Versioned.FileEntry("part=p9/old-file.parquet", None, None, None))
+    assert(Versioned.pruneEntries(Seq(legacy), "id", 50L, 60L) == Seq(legacy))
+
+    // v1: upsert touching only p1 — p2's carried entries KEEP their stats
+    val v1 = Versioned.upsert(spark, path,
+      Seq((3L, "e", "p1")).toDF("id", "v", "part"), "id", "part")
+    val e1 = Versioned.manifestEntries(spark, path, v1)
+    assert(e1.filter(_.path.startsWith("part=p2")).toSet == e0.filter(_.path.startsWith("part=p2")).toSet)
+    assert(e1.filter(_.path.startsWith("part=p1")).forall(_.statsCol.contains("id")))
+    assert(rng(1L, 3L) == full(1L, 3L))
+
+    // compact inherits the tracked stats column onto the rewritten files
+    val v2 = Versioned.compact(spark, path, "part")
+    assert(v2 > v1)
+    val e2 = Versioned.manifestEntries(spark, path, v2)
+    assert(e2.forall(_.statsCol.contains("id")), s"compacted files re-stat: $e2")
+    val p1c = e2.filter(_.path.startsWith("part=p1"))
+    assert(p1c.map(_.min.get).min == 1L && p1c.map(_.max.get).max == 3L)
+    assert(rng(0L, 500L) == full(0L, 500L))
+
+    // a string-keyed table records no stats and still reads correctly
+    val spath = tmp("versioned-skip-str")
+    Versioned.upsert(spark, spath,
+      Seq(("k1", 10L, "p1"), ("k2", 20L, "p2")).toDF("k", "n", "part"), "k", "part")
+    val se = Versioned.manifestEntries(spark, spath, 0)
+    assert(se.forall(_.statsCol.isEmpty))
+    assert(Versioned.snapshotRange(spark, spath, "n", 0L, 15L)
+      .select(col("k")).as[String].collect().toSet == Set("k1"))
+
+    // all-null key file: no stats, conservatively kept
+    val npath = tmp("versioned-skip-null")
+    Versioned.upsert(spark, npath,
+      Seq((Option.empty[Long], "x", "p1")).toDF("id", "v", "part"), "id", "part")
+    val ne = Versioned.manifestEntries(spark, npath, 0)
+    assert(ne.forall(_.statsCol.isEmpty))
+    assert(Versioned.pruneEntries(ne, "id", 0L, 9L) == ne)
+  }
+
   test("per-record text sink writes one file per row and resumes idempotently") {
     import spark.implicits._
     val dir = tmp("txtsink")
