@@ -848,6 +848,153 @@ object Relational {
           col("true_distinct").cast("double") * 100.0, 2).as("err_pct"))
   }
 
+  /** Triangle count + global clustering coefficient over the part
+    * co-purchase graph — the standard graph-health statistic
+    * (cohesion of the co-occurrence structure), computed by
+    * DEGREE-ORIENTED wedge counting (Schank & Wagner 2005; the
+    * MapReduce form is Suri & Vassilvitskii 2011's "Counting
+    * triangles and the curse of the last reducer").
+    *
+    * Why orientation matters at 100 TB: a naive wedge join fans every
+    * node out by deg², so one celebrity node with 1e6 neighbors
+    * produces 1e12 wedges in a single task — the "last reducer"
+    * curse. Orienting every undirected edge from its (degree, id)-
+    * smaller endpoint to its larger one bounds EVERY node's
+    * out-degree by O(√m), so the oriented wedge join's total size is
+    * O(m^1.5) and no single key is hot, regardless of the degree
+    * distribution. Each triangle then has exactly ONE node whose two
+    * oriented out-edges span it, and the closing edge is oriented
+    * (v1 → v2) consistently with the same total order — so one
+    * equi-join on the wedge's outer pair counts each triangle exactly
+    * once, no division by 3, no double counting.
+    *
+    * All counts are integers; the clustering coefficient is the one
+    * float op (3T/W, single division, both engines identical). Plan:
+    * the edge list is built once (hash self-join on order key, the
+    * corpus-sized exchange), persisted, and reused by the degree,
+    * wedge and closing stages; degree/orientation joins are
+    * shuffle-hash with the node-sized side as build (broadcastable in
+    * the small regime, but the shuffle-hash form survives a 1e9-node
+    * graph unchanged — the q37 strategy-flip lesson baked in).
+    */
+  def q48Triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // undirected distinct edges, one row per pair with a < b
+    val e = li.select(col("ok"), col("pk").as("a"))
+      .hint("shuffle_hash")
+      .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .dropDuplicates(Seq("a", "b"))
+      .cache()
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .cache()
+    // orient each edge from the (deg, id)-smaller endpoint to the
+    // larger; the node-sized degree table is the hinted BUILD side
+    val o = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")).hint("shuffle_hash"), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")).hint("shuffle_hash"), Seq("b"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("v"))
+    // wedges (u → v1, u → v2, v1 ≠ v2, both orders) closed by the
+    // oriented edge (v1 → v2): only the order-consistent wedge matches
+    val w1 = o.select(col("u"), col("v").as("v1"))
+    val w2 = o.select(col("u"), col("v").as("v2"))
+    // both joins BUILD on the edge-sized oriented list and STREAM the
+    // wedges (the O(m^1.5) side never enters a hash map)
+    val triRows = w1.join(w2.hint("shuffle_hash"), Seq("u"))
+      .filter(col("v1") =!= col("v2"))
+      .select(col("v1").as("u"), col("v2").as("v"))
+      .join(o.hint("shuffle_hash"), Seq("u", "v"))
+      .select(lit(0L).as("deg"), lit(1L).as("is_tri"))
+    // single-row combine by CONDITIONAL AGG over a tagged union (the
+    // q46 idiom) — never a scalar cross join, which would plan a
+    // BroadcastNestedLoopJoin; map-side partials collapse both the
+    // triangle matches and the node dimension before one exchange.
+    // n_wedges = Σ C(deg, 2) over nodes — the cc denominator.
+    triRows.unionAll(deg.select(col("deg"), lit(0L).as("is_tri")))
+      .agg(
+        count(when(col("is_tri") === 0, lit(1))).as("n_nodes"),
+        expr("sum(CASE WHEN is_tri = 0 THEN deg ELSE 0 END) DIV 2").as("n_edges"),
+        sum(when(col("is_tri") === 0, expr("deg * (deg - 1) DIV 2"))
+          .otherwise(lit(0L))).as("n_wedges"),
+        sum(col("is_tri")).as("n_triangles"))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(col("n_triangles").cast("double") * 3.0 /
+            col("n_wedges").cast("double"), 4))
+          .otherwise(lit(0.0)).as("global_cc"))
+  }
+
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+    * production cardinality estimator (Redis PFCOUNT, BigQuery
+    * APPROX_COUNT_DISTINCT, Spark's own HLL++ core), complementing
+    * [[q38KmvDistinct]]'s bottom-k form: m = 256 registers, each
+    * holding the max leading-zero rank of the hash suffix.
+    *
+    * Engine-portable determinism: register ranks are integers
+    * (rho = 41 − bitlength of the 40-bit suffix, string-length math —
+    * no float log2 at any point), and the harmonic-mean denominator
+    * Z = Σ 2^−Mj is summed as INTEGER numerators 2^(50−Mj) (≤ 2^58
+    * total, exact in a BIGINT, order-invariant) so the only float ops
+    * are the final constant·/Z division and the err_pct rounding —
+    * bit-identical across engines regardless of aggregation order.
+    * The small-range linear-counting branch (est ≤ 2.5m with empty
+    * registers) is implemented on both engines but cannot fire at the
+    * tested scales (n ≥ 1.5k ≫ 640 with all registers occupied).
+    *
+    * Scale shape: ONE pass — distinct hashes (the only corpus-sized
+    * exchange, shared with the exact count the report needs anyway),
+    * then a 256-group aggregation whose map-side partial max/count
+    * collapses every task's input to ≤ 256 rows BEFORE the exchange;
+    * the sketch is mergeable by elementwise register max, which is
+    * exactly what the partial aggregation does. At 100 TB the
+    * register table is still 256 rows.
+    */
+  def q47HllDistinct(s: SparkSession, d: String): DataFrame = {
+    val M = 256               // 2^8 registers
+    val W = 40                // 48-bit hash = 8 index bits + 40 suffix bits
+    val Scale = 50            // Z numerator scale: 2^(Scale − rho)
+    val Dom = 1L << Scale
+    // alpha_m · m² · 2^Scale, one double constant shared verbatim
+    // with the oracle SQL (same literal, same parse)
+    val alphaC = 0.7213 / (1.0 + 1.079 / M) * M * M * Dom
+    Tables.orders(s, d)
+      .select(conv(substring(md5(col("o_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+      .select(shiftrightunsigned(col("h"), W).as("idx"),
+        col("h").bitwiseAND(lit((1L << W) - 1)).as("w"))
+      .select(col("idx"),
+        when(col("w") === 0, lit(W + 1))
+          .otherwise(lit(W + 1) - length(conv(col("w"), 10, 2))).as("rho"))
+      .groupBy(col("idx"))
+      .agg(max(col("rho")).as("mj"), count(lit(1)).as("cnt"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($Scale - mj AS INT))")).as("zp"),
+        count(lit(1)).as("mp"),
+        sum(col("cnt")).as("true_distinct"))
+      .select(col("true_distinct"),
+        (col("zp") + (lit(M.toLong) - col("mp")) * lit(Dom)).as("z_num"),
+        (lit(M.toLong) - col("mp")).as("v"))
+      .select(col("true_distinct"), col("v"),
+        (lit(alphaC) / col("z_num").cast("double")).as("est_raw"))
+      .select(
+        lit(M.toLong).as("m"),
+        floor(when(col("v") > 0 && col("est_raw") <= lit(2.5 * M),
+            lit(M.toDouble) * log(lit(M.toDouble) / col("v").cast("double")))
+          .otherwise(col("est_raw"))).cast("long").as("est_distinct"),
+        col("true_distinct"))
+      .select(col("m"), col("est_distinct"), col("true_distinct"),
+        round((col("est_distinct") - col("true_distinct")).cast("double") /
+          col("true_distinct").cast("double") * 100.0, 2).as("err_pct"))
+  }
+
   /** CDC log compaction (last-write-wins): the event stream read as a
     * change log keyed by user_id — `error` events are tombstones,
     * everything else an upsert. The final state is one hash
@@ -1092,6 +1239,8 @@ object Relational {
     "q36_histogram" -> q36Histogram _,
     "q37_pagerank" -> q37Pagerank _,
     "q38_kmv_distinct" -> q38KmvDistinct _,
+    "q47_hll_distinct" -> q47HllDistinct _,
+    "q48_triangles" -> q48Triangles _,
     "q31_funnel" -> q31Funnel _,
     "q30_grouping_sets" -> q30GroupingSets _,
     "q29_correlated" -> q29Correlated _,
@@ -1345,6 +1494,60 @@ object Relational {
         | round(CAST((255 * 281474976710656) // kv.hk - st.true_distinct AS DOUBLE) /
         |   CAST(st.true_distinct AS DOUBLE) * 100.0, 2) AS err_pct
         |FROM kv, st""".stripMargin,
+    "q48_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs) GROUP BY n),
+        |o AS (SELECT
+        |   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+        |     THEN p.a ELSE p.b END AS u,
+        |   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+        |     THEN p.b ELSE p.a END AS v
+        |  FROM pairs p JOIN deg da ON p.a = da.n JOIN deg db ON p.b = db.n),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v <> w2.v
+        |  JOIN o c ON c.u = w1.v AND c.v = w2.v),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |   CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+        |   CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT st.n_nodes, st.n_edges, st.n_wedges, tri.n_triangles,
+        | CASE WHEN st.n_wedges > 0
+        |   THEN round(CAST(tri.n_triangles AS DOUBLE) * 3.0 /
+        |     CAST(st.n_wedges AS DOUBLE), 4)
+        |   ELSE 0.0 END AS global_cc
+        |FROM tri, st""".stripMargin,
+    "q47_hll_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT
+        |   CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT)
+        |     AS h FROM orders),
+        |r AS (SELECT h >> 40 AS idx,
+        |   h & ((1::BIGINT << 40) - 1) AS w FROM h),
+        |rho AS (SELECT idx,
+        |   CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END AS rho FROM r),
+        |reg AS (SELECT idx, max(rho) AS mj, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM rho GROUP BY idx),
+        |agg AS (SELECT
+        |   sum(1::BIGINT << CAST(50 - mj AS INT)) AS zp,
+        |   CAST(count(*) AS BIGINT) AS mp,
+        |   CAST(sum(cnt) AS BIGINT) AS true_distinct FROM reg),
+        |est AS (SELECT true_distinct,
+        |   256 - mp AS v,
+        |   ${0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * (1L << 50)} /
+        |     CAST(zp + (256 - mp) * (1::BIGINT << 50) AS DOUBLE) AS est_raw
+        |  FROM agg)
+        |SELECT CAST(256 AS BIGINT) AS m,
+        | CAST(floor(CASE WHEN v > 0 AND est_raw <= 640.0
+        |   THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE est_raw END) AS BIGINT)
+        |   AS est_distinct,
+        | true_distinct,
+        | round(CAST(CAST(floor(CASE WHEN v > 0 AND est_raw <= 640.0
+        |     THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE est_raw END) AS BIGINT)
+        |     - true_distinct AS DOUBLE) /
+        |   CAST(true_distinct AS DOUBLE) * 100.0, 2) AS err_pct
+        |FROM est""".stripMargin,
     "q31_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

@@ -67,6 +67,19 @@ class PlanSpec extends AnyFunSuite {
       assert(p.toLowerCase.contains("topkids"), s"$q lost the heap aggregate\n$p")
       assert(!p.contains("Window"), s"$q sorts globally via a window\n$p")
     }
+    // HLL sketch: pure hash aggregations (distinct → 256 registers →
+    // scalar), never a window or per-register sort
+    val hll = planOf("q47_hll_distinct")
+    assert(!hll.contains("Window") && !hll.contains("CartesianProduct"),
+      s"q47 plan regressed\n$hll")
+    assert(hll.contains("HashAggregate"), s"q47 lost hash aggregation\n$hll")
+    // triangle counting: the wedge side must never be a hash-map
+    // build side (only shuffled-hash joins with bounded builds, no
+    // nested loop, no window)
+    val tri = planOf("q48_triangles")
+    assert(tri.contains("ShuffledHashJoin"), s"q48 lost shuffled-hash joins\n$tri")
+    assert(!tri.contains("CartesianProduct") && !tri.contains("BroadcastNestedLoopJoin")
+      && !tri.contains("Window"), s"q48 plan regressed\n$tri")
     // retention / funnel-family aggregates: no window over the raw
     // event stream (per-user and dimension aggs only)
     Seq("q32_retention", "q43_cumulative_users", "q45_sliding_distinct").foreach { q =>

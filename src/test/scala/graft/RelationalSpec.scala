@@ -207,6 +207,65 @@ class RelationalSpec extends AnyFunSuite {
       s"KMV estimate $est vs exact $exact")
   }
 
+  test("hll sketch: matches an independent plain-Scala refit exactly, error within 20%") {
+    val r = SparkEntry.queries("q47_hll_distinct")(spark, sf).head()
+    val est = r.getAs[Long]("est_distinct")
+    val exact = r.getAs[Long]("true_distinct")
+    // m=256 registers give ~1.04/sqrt(m) ≈ 6.5% relative error; 20% is loose
+    assert(math.abs(est - exact).toDouble / exact < 0.20, s"HLL estimate $est vs exact $exact")
+
+    // independent refit: same md5-prefix hashes, registers and
+    // estimator recomputed in plain Scala — must agree bit-for-bit
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = graft.sources.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderkey").cast("string"))
+      .collect().map(_.getString(0))
+      .map { s =>
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 12), 16)
+      }.distinct
+    val regs = Array.fill(256)(0)
+    hashes.foreach { h =>
+      val idx = (h >>> 40).toInt
+      val w = h & ((1L << 40) - 1)
+      val rho = if (w == 0) 41 else 41 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(idx)) regs(idx) = rho
+    }
+    val zNum = regs.map(mj => 1L << (50 - mj)).sum
+    val v = regs.count(_ == 0)
+    val estRaw = 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * (1L << 50) / zNum.toDouble
+    val estModel =
+      if (v > 0 && estRaw <= 640.0) 256.0 * math.log(256.0 / v) else estRaw
+    assert(exact == hashes.length.toLong, "distinct-hash count mismatch")
+    assert(est == math.floor(estModel).toLong,
+      s"engine est $est vs plain-Scala refit ${math.floor(estModel).toLong}")
+    // the linear-counting branch must be out of range at every tested
+    // SF (its ln() is the one non-portable float op in the algorithm)
+    assert(estRaw > 640.0, "small-range branch unexpectedly reachable")
+  }
+
+  test("triangle count: matches a brute-force plain-Scala recount") {
+    val r = SparkEntry.queries("q48_triangles")(spark, sf).head()
+    // brute force on the collected edge set (test SF only)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val edges = byOrder.values.flatMap(ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))).toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    val wedges = nodes.toSeq.map { n => val d = adj(n).size.toLong; d * (d - 1) / 2 }.sum
+    val triangles = edges.toSeq.map { case (a, b) => (adj(a) & adj(b)).count(c => c > b) }.sum
+    assert(r.getAs[Long]("n_nodes") == nodes.size.toLong)
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(r.getAs[Long]("n_triangles") == triangles.toLong,
+      s"engine ${r.getAs[Long]("n_triangles")} vs brute force $triangles")
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
