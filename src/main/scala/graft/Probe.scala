@@ -459,24 +459,20 @@ object Probe {
           .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
           .withColumn("n_tokens", size(col("toks")))
         val k = graft.operators.Dedup.SubstrK
-        val grams = docs.filter(col("n_tokens") >= k)
-          .select(col("doc_id"),
-            posexplode(expr(
-              s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
-              .as(Seq("pos0", "gh")))
-          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gh"))
+        val grams = graft.operators.Dedup.substrGrams(spark, d, k)
         val packed = shiftleft(col("doc_id"), graft.operators.Dedup.PackPosBits) + col("pos")
         (1 to 2).foreach { _ =>
           time("docs tokenized") { noop(docs) }
-          time("grams") { noop(grams) }
+          time("grams kernel") { noop(grams) }
           val firsts = grams.groupBy(col("gh"))
             .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
             .filter(col("cnt") > 1).drop("cnt")
           time("firsts agg") { noop(firsts) }
-          val dup = grams.join(firsts.hint("shuffle_hash"), Seq("gh"))
+          val dup = graft.operators.Dedup.markJoin(grams, firsts, Seq("gh"), packed)
             .filter(packed =!= col("first_pk"))
-            .select(col("doc_id"), col("pos").as("a"), (col("pos") + (k - 1)).as("b"))
+            .select(col("doc_id"), col("pos").as("a"))
           time("dup marks") { noop(dup) }
+          time("assemble") { noop(graft.operators.Dedup.substrAssemble(docs, dup, k)) }
           time("full query") { noop(graft.operators.Dedup.dedupSubstring(spark, d)) }
         }
 

@@ -663,7 +663,7 @@ object Dedup {
     * `saltOf` must be deterministic per probe row and uniform within
     * a key (the packed (doc_id, pos) key is: consecutive positions
     * round-robin across buckets). */
-  private def markJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+  private[graft] def markJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
       saltOf: Column, joinType: String = "inner"): DataFrame = {
     val s = KeepFirstSaltBuckets
     probe.withColumn("kf_salt", pmod(saltOf, lit(s.toLong)).cast("int"))
@@ -673,6 +673,7 @@ object Dedup {
         keys :+ "kf_salt", joinType)
       .drop("kf_salt")
   }
+
 
   /** Fail fast when a corpus could overflow the packed keep-first key:
     * per-doc positions must stay below 2^[[PackPosBits]], and
@@ -751,6 +752,7 @@ object Dedup {
   }
 
   def dedupParagraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     requirePackable(s, d)
     val blocks = paraBlocks(s, d)
     // Keep-first argmax over a PACKED key: (doc_id, block_idx) fits
@@ -758,27 +760,68 @@ object Dedup {
     // lexicographic order, so the aggregate compiles to HashAggregate
     // with a true map-side partial — min(struct(...)) would force
     // SortAggregate and re-pay the whole-stream sort-by-content the
-    // window rank was removed for.
+    // window rank was removed for. The argmax partial collapses
+    // map-side on the block scan; the salted [[markJoin]] marks
+    // non-firsts.
     val packed = shiftleft(col("doc_id"), PackPosBits) + col("block_idx")
-    // cnt>1 filter: singleton blocks (the vast majority) never reach
-    // the mark join — the build side is duplicated-block-sized
     val firsts = blocks.groupBy(col("block"))
       .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .drop("cnt")
-    val marked = markJoin(blocks, firsts, Seq("block"), packed, "left")
-      .withColumn("is_first", col("first_pk").isNull || packed === col("first_pk"))
-    marked.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_blocks"),
-        sum(when(!col("is_first"), 1L).otherwise(0L)).as("n_dup_blocks"),
-        // struct sorts by field order, block_idx first → kept blocks
-        // re-assemble in document order deterministically.
-        array_sort(collect_list(when(col("is_first"), struct(col("block_idx"), col("block")))))
-          .as("kept"))
-      .select(col("doc_id"), col("n_blocks"), col("n_dup_blocks"),
-        round(col("n_dup_blocks").cast("double") / col("n_blocks"), 6).as("dup_frac"),
-        when(size(col("kept")) === 0, lit(null).cast("string"))
-          .otherwise(md5(concat_ws(" ", expr("transform(kept, x -> x.block)")))).as("kept_md5"))
+    val dup = markJoin(blocks, firsts, Seq("block"), packed)
+      .filter(packed =!= col("first_pk"))
+      .select(col("doc_id"), col("block_idx"))
+    val byDoc = dup.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("block_idx"))).as("dups"))
+    val b = ParaBlockTokens
+    // Reassembly is a TYPED KERNEL over (toks, dup block indices):
+    // blocks derive deterministically from the token stream, so the
+    // kept-block concatenation (= the kept blocks' tokens joined by
+    // single spaces) recomputes locally — no block strings shuffled
+    // to this stage, no interpreted transform/concat lambda.
+    substrDocs(s, d).select(col("doc_id"), col("toks"))
+      .join(byDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .as[(Long, Seq[String], Seq[Int])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, toksIn, dupsIn) =>
+          val toks = if (toksIn == null) Seq.empty[String] else toksIn
+          val n = toks.length
+          val nBlocks = (n + b - 1) / b
+          val dups: Set[Int] =
+            if (dupsIn == null) Set.empty else dupsIn.toSet
+          val kept = new StringBuilder
+          var keptCount = 0
+          var blk = 1
+          while (blk <= nBlocks) {
+            if (!dups.contains(blk)) {
+              var i = (blk - 1) * b
+              val end = math.min(blk * b, n)
+              while (i < end) {
+                if (keptCount > 0) kept.append(' ')
+                kept.append(toks(i))
+                keptCount += 1
+                i += 1
+              }
+            }
+            blk += 1
+          }
+          val nDup = dups.size.toLong
+          val frac =
+            if (nBlocks == 0) 0.0
+            else java.math.BigDecimal.valueOf(nDup.toDouble / nBlocks)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val keptMd5 =
+            if (keptCount == 0) null
+            else {
+              md.reset()
+              md.digest(kept.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .map("%02x".format(_)).mkString
+            }
+          (id, nBlocks.toLong, nDup, frac, keptMd5)
+        }
+      }
+      .toDF("doc_id", "n_blocks", "n_dup_blocks", "dup_frac", "kept_md5")
       .orderBy(col("doc_id"))
   }
 
@@ -835,39 +878,81 @@ object Dedup {
     */
   /** documents + token arrays + counts — the shared base for the
     * substring-dedup family. */
-  private def substrDocs(s: SparkSession, d: String): DataFrame =
+  private[graft] def substrDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
 
   /** (doc_id, pos, gh): every sliding [[SubstrK]]-token window of
-    * every document, keyed by its 8-byte xxhash64 — one map-side
-    * pass. The window STRING never leaves the scan: hashing inside
-    * the projection means the rank/probe exchanges downstream carry
-    * (long, long, int) rows instead of ~25-byte window text — the
-    * round-3 jaccard shuffle-key discipline applied at the source.
+    * every document, keyed by an 8-byte ROLLING hash — one map-side
+    * typed kernel. The window STRING never leaves the scan: hashing
+    * inside the kernel means the rank/probe exchanges downstream
+    * carry (long, int, long) rows instead of ~25-byte window text —
+    * the round-3 jaccard shuffle-key discipline applied at the
+    * source.
+    *
+    * Typed kernel, not `transform(..., i -> xxhash64(...))`: Catalyst
+    * higher-order lambdas run INTERPRETED (no codegen), and the
+    * per-window lambda was the single largest cost of the whole query
+    * (measured 0.40 s of the 1.4 s warm total at sf0.1 — the same
+    * reason the shingle path is a kernel, PlanSpec-pinned). The
+    * kernel hashes each token ONCE (xxhash64 of its UTF-8 bytes, the
+    * engine's own XXH64) and combines k consecutive token hashes with
+    * a polynomial rolling hash in an odd 64-bit multiplier — O(n) per
+    * document for ANY window width (the SQL form was O(n·k), which is
+    * why the paper-scale k=50 carried a 12× cost), token-boundary-
+    * safe by construction (token hashes, not joined strings).
+    *
     * A 64-bit collision merges two window groups (one extra dup
     * mark), the accepted trade of every hash-keyed line dedup. NOTE
     * this makes the CORRECTNESS GATE itself collision-sensitive, not
-    * just output quality: the DuckDB oracle ranks window STRINGS
-    * (xxhash64 is not available there), so a colliding corpus would
-    * hash-mismatch against the oracle rather than silently agree. At
-    * sf0.01 (~300k windows) the birthday bound puts a collision at
-    * ~2⁻⁴⁵; if the gate ever flakes here, suspect this first. */
-  private def substrGrams(docs: DataFrame, k: Int = SubstrK): DataFrame = {
-    // hash the k tokens as k xxhash64 ARGUMENTS rather than
-    // concat_ws(' ', slice(...)): one fewer array copy and one fewer
-    // string build per window, and token-boundary-safe ("a b"+"c" and
-    // "a"+"b c" hash differently where the joined string collides)
-    val args = (0 until k)
-      .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i + $j)")
-      .mkString(", ")
-    docs.filter(col("n_tokens") >= k)
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64($args))"))
-          .as(Seq("pos0", "gh")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gh"))
+    * just output quality: the DuckDB oracle ranks window STRINGS, so
+    * a colliding corpus would hash-mismatch against the oracle rather
+    * than silently agree. At sf0.01 (~300k windows) the birthday
+    * bound puts a collision at ~2⁻⁴⁵; if the gate ever flakes here,
+    * suspect this first. */
+  private[graft] def substrGrams(s: SparkSession, d: String, k: Int = SubstrK): DataFrame = {
+    import s.implicits._
+    // odd multiplier (2^64 / phi) — multiplication is a bijection mod
+    // 2^64, so the rolling recurrence loses no entropy
+    val B = -7046029254386353131L
+    var bk = 1L // B^(k-1): the drop term of the rolling update
+    var j = 0
+    while (j < k - 1) { bk *= B; j += 1 }
+    val bkFinal = bk
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = if (text == null) Array.empty[String] else text.split(" ", -1)
+          val n = toks.length
+          if (n < k) Iterator.empty
+          else {
+            val th = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              val b = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              th(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+                b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+              i += 1
+            }
+            val out = new Array[(Long, Int, Long)](n - k + 1)
+            var h = 0L
+            i = 0
+            while (i < k) { h = h * B + th(i); i += 1 }
+            out(0) = (id, 1, h)
+            i = 1
+            while (i <= n - k) {
+              h = (h - th(i - 1) * bkFinal) * B + th(i + k - 1)
+              out(i) = (id, i + 1, h)
+              i += 1
+            }
+            out.iterator
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "gh")
   }
 
   /** Merge duplicated-window start positions `(doc_id, a)` (window
@@ -885,49 +970,83 @@ object Dedup {
     * passes + two aggregations of the gaps-and-islands formulation
     * with a single aggregate and no per-doc sort machinery beyond
     * sort_array. */
-  private def substrAssemble(docs: DataFrame, dup: DataFrame, k: Int): DataFrame = {
-    val spanTy = "array<struct<s: int, e: int>>"
+  private[graft] def substrAssemble(docs: DataFrame, dup: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // ONE doc-keyed aggregation carrying just the sorted dup-start
+    // positions (collect_list is bounded by the doc's own token count
+    // — the same per-doc boundedness [[dedupParagraph]]'s kept-block
+    // list rests on). Span merging and text reassembly happen in the
+    // TYPED KERNEL below, not in `aggregate(...)` higher-order
+    // lambdas: Catalyst lambdas run interpreted, and the two folds
+    // (gaps-and-islands + gap slicing) were the largest cost of the
+    // whole query after the gram kernel landed (0.6 s of the 1.2 s
+    // warm total at sf0.1).
     val byDoc = dup.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("a"))).as("pos"))
-      .select(col("doc_id"), expr(
-        s"""aggregate(pos,
-           |  named_struct('sp', cast(array() as $spanTy), 'cs', -1, 'ce', -1),
-           |  (acc, p) -> CASE
-           |    WHEN acc.cs < 0 THEN named_struct('sp', acc.sp, 'cs', p, 'ce', p + ${k - 1})
-           |    WHEN p <= acc.ce + 1
-           |      THEN named_struct('sp', acc.sp, 'cs', acc.cs, 'ce', p + ${k - 1})
-           |    ELSE named_struct(
-           |      'sp', concat(acc.sp, array(named_struct('s', acc.cs, 'e', acc.ce))),
-           |      'cs', p, 'ce', p + ${k - 1}) END,
-           |  acc -> concat(acc.sp, array(named_struct('s', acc.cs, 'e', acc.ce))))"""
-          .stripMargin).as("spans"))
-      .select(col("doc_id"), col("spans"),
-        size(col("spans")).cast("long").as("n_dup_spans"),
-        expr("aggregate(spans, 0L, (a, sp) -> a + sp.e - sp.s + 1)").as("dup_tokens"))
     // The span table is corpus-sized (one row per doc with any dup
     // span), so the join-back must never be a broadcast. shuffle_hash
     // rather than sort-merge: doc_id keys are unique (no skew to
     // split), and SHJ skips sorting both corpus-sized sides.
-    docs.join(byDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
-      // kept = tokens outside the spans, reassembled by slicing the
-      // gaps BETWEEN sorted non-overlapping spans — O(n + spans) with
-      // arraycopy slices, vs the O(n x spans) per-token exists() scan
-      // this replaces (higher-order lambdas run interpreted, so the
-      // per-token constant dominates on long documents).
-      .withColumn("kept", expr(
-        """aggregate(
-          |  coalesce(spans, cast(array() as array<struct<s: int, e: int>>)),
-          |  named_struct('last', 0, 'parts', cast(array() as array<string>)),
-          |  (acc, sp) -> named_struct('last', sp.e,
-          |    'parts', concat(acc.parts, slice(toks, acc.last + 1, sp.s - acc.last - 1))),
-          |  acc -> concat(acc.parts, slice(toks, acc.last + 1, n_tokens - acc.last)))""".stripMargin))
-      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
-        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 6)
-          .as("dup_frac"),
-        when(size(col("kept")) === 0, lit(null).cast("string"))
-          .otherwise(md5(concat_ws(" ", col("kept")))).as("clean_md5"))
+    docs.select(col("doc_id"), col("toks"))
+      .join(byDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .as[(Long, Seq[String], Seq[Int])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, toksIn, posIn) =>
+          val toks = if (toksIn == null) Seq.empty[String] else toksIn
+          val n = toks.length
+          // merge sorted fixed-width windows into maximal [s, e] spans
+          // (1-based inclusive): position p extends the current span
+          // iff p <= cur_end + 1
+          var nSpans = 0L
+          var dupToks = 0L
+          val kept = new StringBuilder
+          var keptCount = 0 // separator bookkeeping: empty-string tokens count too
+          var last = 0      // 0-based index of the next token to consider
+          def keepThrough(until: Int): Unit = {
+            var i = last
+            while (i < until) {
+              if (keptCount > 0) kept.append(' ')
+              kept.append(toks(i))
+              keptCount += 1
+              i += 1
+            }
+          }
+          if (posIn != null && posIn.nonEmpty) {
+            var cs = -1
+            var ce = -1
+            def close(): Unit = {
+              nSpans += 1
+              dupToks += ce - cs + 1
+              keepThrough(cs - 1)
+              last = ce
+            }
+            posIn.foreach { p =>
+              if (cs < 0) { cs = p; ce = p + k - 1 }
+              else if (p <= ce + 1) ce = p + k - 1
+              else { close(); cs = p; ce = p + k - 1 }
+            }
+            close()
+          }
+          keepThrough(n)
+          // round exactly as Spark's round(col, 6) does on doubles:
+          // BigDecimal.valueOf (canonical repr) then HALF_UP
+          val frac =
+            if (n == 0) 0.0
+            else java.math.BigDecimal.valueOf(dupToks.toDouble / n)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val cleanMd5 =
+            if (keptCount == 0) null
+            else {
+              md.reset()
+              md.digest(kept.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .map("%02x".format(_)).mkString
+            }
+          (id, n.toLong, nSpans, dupToks, frac, cleanMd5)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_dup_spans", "dup_tokens", "dup_frac", "clean_md5")
       .orderBy(col("doc_id"))
   }
 
@@ -942,12 +1061,20 @@ object Dedup {
   private[graft] def dedupSubstringAt(s: SparkSession, d: String, k: Int): DataFrame = {
     requirePackable(s, d)
     val docs = substrDocs(s, d)
-    val grams = substrGrams(docs, k)
+    val grams = substrGrams(s, d, k)
     // Keep-first argmax over the packed (doc_id, pos) long key (see
     // [[PackPosBits]]): HashAggregate with map-side partial — one row
     // per duplicated window hash survives the exchange; the cnt>1
     // filter keeps singleton hashes — the vast majority — out of the
-    // mark join entirely.
+    // mark join entirely. The kernel scan feeds the aggregation
+    // map-side (its partial collapses BEFORE any exchange — the raw
+    // gram stream never crosses the wire for the argmax) and runs a
+    // second time for the salted mark-join probe; recomputing the
+    // pure map kernel beats materializing the corpus-sized gram
+    // stream or forcing a shared raw exchange (measured: a common
+    // (gh, salt) repartition consumed by both stages added a raw
+    // corpus exchange and column pruning defeated ReuseExchange —
+    // 1.2 s → 1.8 s at sf0.1).
     val packed = shiftleft(col("doc_id"), PackPosBits) + col("pos")
     val firsts = grams.groupBy(col("gh"))
       .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
@@ -983,7 +1110,10 @@ object Dedup {
     requirePackable(s, d)
     val k = SubstrK
     val docs = substrDocs(s, d)
-    val grams = substrGrams(docs)
+    // three consumers (corpus index, shard argmax, shard probe) — the
+    // kernel map scan recomputes per consumer (see [[dedupSubstringAt]]
+    // for why recompute beats materialization here)
+    val grams = substrGrams(s, d)
     // the "persisted" corpus window index: distinct window hashes of
     // the existing corpus (in production this is a table on disk) —
     // 8 bytes per entry, never the window text
