@@ -754,7 +754,15 @@ object Dedup {
   def dedupParagraph(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     requirePackable(s, d)
+    // Blocks keyed by the 8-byte xxhash64 of the block STRING — the
+    // block text never leaves the scan (the [[substrGrams]] shuffle-
+    // key discipline): both the argmax exchange and the mark join
+    // carry (long, int, long) rows instead of ~50-byte block text.
+    // Same collision sensitivity as the substring gate (see
+    // [[substrGrams]]'s note); reassembly below recomputes block text
+    // from the token stream, so the string is never needed downstream.
     val blocks = paraBlocks(s, d)
+      .select(col("doc_id"), col("block_idx"), xxhash64(col("block")).as("bh"))
     // Keep-first argmax over a PACKED key: (doc_id, block_idx) fits
     // one long (see [[PackPosBits]]) and long-min preserves the
     // lexicographic order, so the aggregate compiles to HashAggregate
@@ -764,11 +772,11 @@ object Dedup {
     // map-side on the block scan; the salted [[markJoin]] marks
     // non-firsts.
     val packed = shiftleft(col("doc_id"), PackPosBits) + col("block_idx")
-    val firsts = blocks.groupBy(col("block"))
+    val firsts = blocks.groupBy(col("bh"))
       .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .drop("cnt")
-    val dup = markJoin(blocks, firsts, Seq("block"), packed)
+    val dup = markJoin(blocks, firsts, Seq("bh"), packed)
       .filter(packed =!= col("first_pk"))
       .select(col("doc_id"), col("block_idx"))
     val byDoc = dup.groupBy(col("doc_id"))
