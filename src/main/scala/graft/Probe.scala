@@ -7,11 +7,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // dev-only: SPARK_GRAFT_EVENTLOG=<dir> dumps the event log for
+    // per-stage timing forensics (the forked JVM ignores sbt -J flags)
+    val spark = sys.env.get("SPARK_GRAFT_EVENTLOG").fold(b0)(dir =>
+      b0.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", dir))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // shared engine warmup (see Bench.warmup): probe first-run numbers
@@ -474,6 +478,66 @@ object Probe {
           time("dup marks") { noop(dup) }
           time("assemble") { noop(graft.operators.Dedup.substrAssemble(docs, dup, k)) }
           time("full query") { noop(graft.operators.Dedup.dedupSubstring(spark, d)) }
+        }
+
+      case "kn5bits" :: Nil =>
+        // stage costs of text_lm_kn5 at the current SF (hashed tokens,
+        // mirrors the real pipeline stage by stage)
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        def noop(df: org.apache.spark.sql.DataFrame): Long = {
+          df.write.format("noop").mode("overwrite").save(); 0L
+        }
+        val stream = graft.sources.Tables.documents(spark, d)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, text) =>
+              val t = if (text == null) Array.empty[String] else text.split(" ", -1)
+              if (t.length < 5) Iterator.empty
+              else {
+                val th = new Array[Long](t.length)
+                var i = 0
+                while (i < t.length) {
+                  val b = t(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  th(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+                    b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+                  i += 1
+                }
+                (0 until t.length - 4).iterator.map(i =>
+                  (id, th(i), th(i + 1), th(i + 2), th(i + 3), th(i + 4)))
+              }
+            }
+          }
+          .toDF("doc_id", "w1", "w2", "w3", "w4", "w5")
+        (1 to 2).foreach { _ =>
+          time("kn5 stream raw") { noop(stream) }
+          val ck = stream.localCheckpoint()
+          time("kn5 ckpt read") { noop(ck) }
+          val t5 = ck.groupBy(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
+            .agg(count(lit(1)).as("c5")).localCheckpoint()
+          time("kn5 t5 (agg+ckpt)") { noop(t5) }
+          val b4 = t5.select(col("w1").as("g1"), col("w2").as("g2"), col("w3").as("g3"), col("w4").as("g4"))
+            .union(t5.select(col("w2").as("g1"), col("w3").as("g2"), col("w4").as("g3"), col("w5").as("g4")))
+            .distinct().localCheckpoint()
+          time("kn5 b4 (dist+ckpt)") { noop(b4) }
+          val b3 = b4.select(col("g1"), col("g2"), col("g3"))
+            .union(b4.select(col("g2").as("g1"), col("g3").as("g2"), col("g4").as("g3")))
+            .distinct().localCheckpoint()
+          time("kn5 b3 (dist+ckpt)") { noop(b3) }
+          val b2 = b3.select(col("g1"), col("g2"))
+            .union(b3.select(col("g2").as("g1"), col("g3").as("g2")))
+            .distinct().localCheckpoint()
+          time("kn5 b2 (dist+ckpt)") { noop(b2) }
+          val n1l4 = t5.groupBy(col("w2"), col("w3"), col("w4"), col("w5"))
+            .agg(count(lit(1)).as("n1l4"))
+          time("kn5 n1l4") { noop(n1l4) }
+          val ctx4 = t5.groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
+            .agg(sum(col("c5")).as("c1234"), count(lit(1)).as("n1f1234"))
+          time("kn5 ctx4") { noop(ctx4) }
+          val j1 = t5.join(ctx4.hint("shuffle_hash"), Seq("w1", "w2", "w3", "w4"))
+          time("kn5 t5*ctx4") { noop(j1) }
+          time("full") { noop(graft.operators.TextAnalysis.textLmKn5Score(spark, d)) }
         }
 
       case "substrk" :: kk :: Nil =>

@@ -995,6 +995,82 @@ object Relational {
           col("true_distinct").cast("double") * 100.0, 2).as("err_pct"))
   }
 
+  /** HLL sketch set algebra — [[q47HllDistinct]]'s registers made
+    * mergeable, the production cross-shard rollup pattern: one sketch
+    * per population from ONE pass over its hash set, the union sketch
+    * by ELEMENTWISE REGISTER MAX of the two sketches — the merge that
+    * makes HLL the estimator behind every distributed distinct-count
+    * rollup; NO rescan of either population builds it — and
+    * intersection by inclusion–exclusion (the KMV [[q46SketchSetops]]
+    * algebra on the register sketch). Estimators are the q47
+    * integer-register form (exact-BIGINT harmonic numerators, one
+    * constant/Z float division per estimate), bit-identical across
+    * engines. Exact counts ride alongside as gate truth (the exact
+    * union count is one more bounded aggregation the production path
+    * never runs); the single-row combine is a conditional agg over
+    * the tagged sketch frame — the q46/q48 discipline, no scalar
+    * cross join.
+    */
+  def q49HllSetops(s: SparkSession, d: String): DataFrame = {
+    val M = 256
+    val W = 40
+    val Scale = 50
+    val Dom = 1L << Scale
+    val alphaC = 0.7213 / (1.0 + 1.079 / M) * M * M * Dom
+    def hashes(lo: String, hi: String): DataFrame =
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+        .distinct()
+    val ha = hashes("1995-01-01", "1998-01-01")
+    val hb = hashes("1998-01-01", "2002-01-01")
+    val regsAB = ha.withColumn("tag", lit("a"))
+      .unionAll(hb.withColumn("tag", lit("b")))
+      .select(col("tag"), shiftrightunsigned(col("h"), W).as("idx"),
+        col("h").bitwiseAND(lit((1L << W) - 1)).as("w"))
+      .select(col("tag"), col("idx"),
+        when(col("w") === 0, lit(W + 1))
+          .otherwise(lit(W + 1) - length(conv(col("w"), 10, 2))).as("rho"))
+      .groupBy(col("tag"), col("idx"))
+      .agg(max(col("rho")).as("mj"), count(lit(1)).as("cnt"))
+    // the union sketch: register-max MERGE of the two sketches (512
+    // input rows — the cost of a cross-shard rollup is sketch-sized,
+    // never corpus-sized)
+    val regsU = regsAB.groupBy(col("idx"))
+      .agg(max(col("mj")).as("mj"))
+      .select(lit("u").as("tag"), col("idx"), col("mj"), lit(0L).as("cnt"))
+    val trueU = ha.unionAll(hb).distinct()
+      .agg(count(lit(1)).as("tn"))
+      .select(lit("tu").as("tag"), col("tn"), lit(0L).as("est"))
+    val perTag = regsAB.unionAll(regsU)
+      .groupBy(col("tag"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($Scale - mj AS INT))")).as("zp"),
+        count(lit(1)).as("mp"),
+        sum(col("cnt")).as("tn"))
+      .select(col("tag"), col("tn"),
+        (lit(M.toLong) - col("mp")).as("v"),
+        (lit(alphaC) / (col("zp") + (lit(M.toLong) - col("mp")) * lit(Dom)).cast("double"))
+          .as("est_raw"))
+      .select(col("tag"), col("tn"),
+        floor(when(col("v") > 0 && col("est_raw") <= lit(2.5 * M),
+            lit(M.toDouble) * log(lit(M.toDouble) / col("v").cast("double")))
+          .otherwise(col("est_raw"))).cast("long").as("est"))
+    def pick(c: String, t: String): Column = max(when(col("tag") === t, col(c)))
+    perTag.select(col("tag"), col("tn"), col("est"))
+      .unionAll(trueU)
+      .agg(
+        pick("est", "a").as("est_a"), pick("tn", "a").as("true_a"),
+        pick("est", "b").as("est_b"), pick("tn", "b").as("true_b"),
+        pick("est", "u").as("est_union"), pick("tn", "tu").as("true_union"))
+      .select(col("est_a"), col("true_a"), col("est_b"), col("true_b"),
+        col("est_union"), col("true_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersect"),
+        (col("true_a") + col("true_b") - col("true_union")).as("true_intersect"))
+  }
+
   /** CDC log compaction (last-write-wins): the event stream read as a
     * change log keyed by user_id — `error` events are tombstones,
     * everything else an upsert. The final state is one hash
@@ -1241,6 +1317,7 @@ object Relational {
     "q38_kmv_distinct" -> q38KmvDistinct _,
     "q47_hll_distinct" -> q47HllDistinct _,
     "q48_triangles" -> q48Triangles _,
+    "q49_hll_setops" -> q49HllSetops _,
     "q31_funnel" -> q31Funnel _,
     "q30_grouping_sets" -> q30GroupingSets _,
     "q29_correlated" -> q29Correlated _,
@@ -1318,6 +1395,54 @@ object Relational {
         |   + max(CASE WHEN tag = 'b' THEN true_n END)
         |   - max(CASE WHEN tag = 'u' THEN true_n END) AS true_intersect
         |FROM sk""".stripMargin,
+    "q49_hll_setops" ->
+      s"""WITH ha AS (SELECT DISTINCT
+        |   CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |hb AS (SELECT DISTINCT
+        |   CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o_orderdate < TIMESTAMP '2002-01-01'),
+        |t AS (SELECT 'a' AS tag, h FROM ha UNION ALL SELECT 'b', h FROM hb),
+        |r AS (SELECT tag, h >> 40 AS idx, h & ((1::BIGINT << 40) - 1) AS w FROM t),
+        |rho AS (SELECT tag, idx,
+        |   CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END AS rho FROM r),
+        |reg AS (SELECT tag, idx, max(rho) AS mj, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM rho GROUP BY 1, 2),
+        |regu AS (SELECT 'u' AS tag, idx, max(mj) AS mj, CAST(0 AS BIGINT) AS cnt
+        |  FROM reg GROUP BY 2),
+        |allr AS (SELECT * FROM reg UNION ALL SELECT * FROM regu),
+        |agg AS (SELECT tag,
+        |   sum(1::BIGINT << CAST(50 - mj AS INT)) AS zp,
+        |   CAST(count(*) AS BIGINT) AS mp,
+        |   CAST(sum(cnt) AS BIGINT) AS tn FROM allr GROUP BY 1),
+        |este AS (SELECT tag, tn,
+        |   CAST(floor(CASE WHEN 256 - mp > 0 AND
+        |       ${0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * (1L << 50)} /
+        |         CAST(zp + (256 - mp) * (1::BIGINT << 50) AS DOUBLE) <= 640.0
+        |     THEN 256.0 * ln(256.0 / CAST(256 - mp AS DOUBLE))
+        |     ELSE ${0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * (1L << 50)} /
+        |       CAST(zp + (256 - mp) * (1::BIGINT << 50) AS DOUBLE) END) AS BIGINT) AS est
+        |  FROM agg),
+        |tu AS (SELECT 'tu' AS tag,
+        |   CAST(count(*) AS BIGINT) AS tn, CAST(0 AS BIGINT) AS est
+        |  FROM (SELECT h FROM ha UNION SELECT h FROM hb)),
+        |rows_ AS (SELECT tag, tn, est FROM este UNION ALL SELECT tag, tn, est FROM tu)
+        |SELECT
+        | max(CASE WHEN tag = 'a' THEN est END) AS est_a,
+        | max(CASE WHEN tag = 'a' THEN tn END) AS true_a,
+        | max(CASE WHEN tag = 'b' THEN est END) AS est_b,
+        | max(CASE WHEN tag = 'b' THEN tn END) AS true_b,
+        | max(CASE WHEN tag = 'u' THEN est END) AS est_union,
+        | max(CASE WHEN tag = 'tu' THEN tn END) AS true_union,
+        | greatest(0, max(CASE WHEN tag = 'a' THEN est END)
+        |   + max(CASE WHEN tag = 'b' THEN est END)
+        |   - max(CASE WHEN tag = 'u' THEN est END)) AS est_intersect,
+        | max(CASE WHEN tag = 'a' THEN tn END)
+        |   + max(CASE WHEN tag = 'b' THEN tn END)
+        |   - max(CASE WHEN tag = 'tu' THEN tn END) AS true_intersect
+        |FROM rows_""".stripMargin,
     "q43_cumulative_users" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
         |           FROM events GROUP BY user_id),

@@ -73,6 +73,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!hll.contains("Window") && !hll.contains("CartesianProduct"),
       s"q47 plan regressed\n$hll")
     assert(hll.contains("HashAggregate"), s"q47 lost hash aggregation\n$hll")
+    // HLL set algebra: pure hash aggregations + the tagged-union
+    // combine — never a window, cartesian, or nested loop
+    val hs = planOf("q49_hll_setops")
+    assert(!hs.contains("Window") && !hs.contains("CartesianProduct")
+      && !hs.contains("BroadcastNestedLoopJoin"), s"q49 plan regressed\n$hs")
+    assert(hs.contains("HashAggregate"), s"q49 lost hash aggregation\n$hs")
     // triangle counting: the wedge side must never be a hash-map
     // build side (only shuffled-hash joins with bounded builds, no
     // nested loop, no window)
@@ -338,10 +344,10 @@ class PlanSpec extends AnyFunSuite {
         "ann_lsh_recall", "ann_ivf_recall",
         "ann_pq_recall", "ann_ivfpq_recall", "ann_filtered_ivfpq_recall",
         "dedup_semantic_gate", "q24_revenue_share",
-        // text_lm_kn/_kn3: same corpus-total-scalar (T types)
+        // text_lm_kn/_kn3/_kn5: same corpus-total-scalar (T types)
         // broadcast onto the gram-type table as the LM/PMI rows
         "cur_tfidf_topterms", "text_lm_score", "text_lm_kn", "text_lm_kn3",
-        "text_pmi_bigrams",
+        "text_lm_kn5", "text_pmi_bigrams",
         // scalar avgdl aggregate broadcast onto the term stream —
         // the same share-of-total shape as the LM/PMI rows above
         "text_bm25_topk",

@@ -244,6 +244,53 @@ class RelationalSpec extends AnyFunSuite {
     assert(estRaw > 640.0, "small-range branch unexpectedly reachable")
   }
 
+  test("hll setops: union registers are the elementwise max merge; estimates within 20%") {
+    val r = SparkEntry.queries("q49_hll_setops")(spark, sf).head()
+    val (ta, tb, tu, ti) = (r.getAs[Long]("true_a"), r.getAs[Long]("true_b"),
+      r.getAs[Long]("true_union"), r.getAs[Long]("true_intersect"))
+    // set-algebra sanity on the exact counts
+    assert(tu <= ta + tb && tu >= math.max(ta, tb) && ti >= 0 && ti == ta + tb - tu)
+    // each estimate within the loose 20% bar (1.04/sqrt(256) = 6.5% expected)
+    for ((e, t) <- Seq(("est_a", ta), ("est_b", tb), ("est_union", tu))) {
+      val est = r.getAs[Long](e)
+      assert(math.abs(est - t).toDouble / t < 0.20, s"$e=$est vs true=$t")
+    }
+    // independent plain-Scala refit: registers per population, union
+    // by elementwise max, the exact q47 estimator — engine must agree
+    // bit-for-bit on all three estimates
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def regsOf(lo: String, hi: String): Array[Int] = {
+      val hs = graft.sources.Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderdate") >= lo &&
+          org.apache.spark.sql.functions.col("o_orderdate") < hi)
+        .select(org.apache.spark.sql.functions.col("o_custkey").cast("string"))
+        .collect().map(_.getString(0)).map { s =>
+          val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.substring(0, 12), 16)
+        }.distinct
+      val regs = Array.fill(256)(0)
+      hs.foreach { h =>
+        val idx = (h >>> 40).toInt
+        val w = h & ((1L << 40) - 1)
+        val rho = if (w == 0) 41 else 41 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(idx)) regs(idx) = rho
+      }
+      regs
+    }
+    def estOf(regs: Array[Int]): Long = {
+      val zNum = regs.map(mj => 1L << (50 - mj)).sum
+      val v = regs.count(_ == 0)
+      val raw = 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * (1L << 50) / zNum.toDouble
+      math.floor(if (v > 0 && raw <= 640.0) 256.0 * math.log(256.0 / v) else raw).toLong
+    }
+    val ra = regsOf("1995-01-01", "1998-01-01")
+    val rb = regsOf("1998-01-01", "2002-01-01")
+    val ru = ra.zip(rb).map { case (x, y) => math.max(x, y) }
+    assert(r.getAs[Long]("est_a") == estOf(ra))
+    assert(r.getAs[Long]("est_b") == estOf(rb))
+    assert(r.getAs[Long]("est_union") == estOf(ru), "union sketch is not the register-max merge")
+  }
+
   test("triangle count: matches a brute-force plain-Scala recount") {
     val r = SparkEntry.queries("q48_triangles")(spark, sf).head()
     // brute force on the collected edge set (test SF only)

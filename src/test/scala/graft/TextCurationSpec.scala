@@ -233,6 +233,61 @@ class TextCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("5-gram kneser-ney: engine scores equal an independent plain-Scala backoff model fit") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+    val g5 = docs.flatMap { case (id, t) =>
+      (0 until t.length - 4).map(i =>
+        (id, List(t(i), t(i + 1), t(i + 2), t(i + 3), t(i + 4)))) }
+    val c5 = g5.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // order-k type sets by projection of the order-(k+1) type set
+    val b4 = c5.keySet.flatMap(g => Set(g.take(4), g.drop(1)))
+    val b3 = b4.flatMap(g => Set(g.take(3), g.drop(1)))
+    val b2 = b3.flatMap(g => Set(g.take(2), g.drop(1)))
+    val c1234 = c5.groupBy(_._1.take(4)).view.mapValues(_.values.sum).toMap
+    val n1f1234 = c5.groupBy(_._1.take(4)).view.mapValues(_.size.toLong).toMap
+    val n1l4 = c5.groupBy(_._1.drop(1)).view.mapValues(_.size.toLong).toMap
+    val nmid4 = c5.groupBy(k => k._1.slice(1, 4)).view.mapValues(_.size.toLong).toMap
+    val n1f234 = b4.groupBy(_.take(3)).view.mapValues(_.size.toLong).toMap
+    val n1l3 = b4.groupBy(_.drop(1)).view.mapValues(_.size.toLong).toMap
+    val nmid3 = b4.groupBy(_.slice(1, 3)).view.mapValues(_.size.toLong).toMap
+    val n1f34 = b3.groupBy(_.take(2)).view.mapValues(_.size.toLong).toMap
+    val n1l2 = b3.groupBy(_.drop(1)).view.mapValues(_.size.toLong).toMap
+    val nmid2 = b3.groupBy(_.slice(1, 2)).view.mapValues(_.size.toLong).toMap
+    val n1f4 = b2.groupBy(_.take(1)).view.mapValues(_.size.toLong).toMap
+    val n1r = b2.groupBy(_.drop(1)).view.mapValues(_.size.toLong).toMap
+    val tTypes = b2.size.toDouble
+    val D = TextAnalysis.KnDiscount
+    def pKn5(g: List[String]): Double = {
+      val p2 = (math.max(n1l2(g.slice(3, 5)) - D, 0.0) +
+        D * n1f4(g.slice(3, 4)) * (n1r(g.slice(4, 5)) / tTypes)) / nmid2(g.slice(3, 4))
+      val p3 = (math.max(n1l3(g.slice(2, 5)) - D, 0.0) +
+        D * n1f34(g.slice(2, 4)) * p2) / nmid3(g.slice(2, 4))
+      val p4 = (math.max(n1l4(g.drop(1)) - D, 0.0) +
+        D * n1f234(g.slice(1, 4)) * p3) / nmid4(g.slice(1, 4))
+      (math.max(c5(g) - D, 0.0) + D * n1f1234(g.take(4)) * p4) / c1234(g.take(4))
+    }
+    val expected = g5.groupBy(_._1).view.mapValues { gs =>
+      val xs = gs.map(g => math.log(pKn5(g._2)) / math.log(2.0))
+      (gs.length.toLong, -xs.sum / xs.length)
+    }.toMap
+    val got = TextAnalysis.textLmKn5Score(spark, sf).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val (n, x) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_grams5") == n)
+      assert(math.abs(r.getAs[Double]("xent_kn5") - x) < 1e-5,
+        s"doc ${r.getAs[Long]("doc_id")}: got ${r.getAs[Double]("xent_kn5")} expected $x")
+      assert(r.getAs[Double]("xent_kn5") > 0.0)
+    }
+    // seen-continuation mass per sampled 4-token context stays < 1
+    val some = c5.keySet.groupBy(_.take(4)).take(20)
+    some.foreach { case (_, gs) =>
+      val mass = gs.toSeq.map(pKn5).sum
+      assert(mass > 0.0 && mass <= 1.0 + 1e-9, s"seen-continuation mass $mass out of range")
+    }
+  }
+
   test("substring dedup: engine output equals an independent brute-force span recomputation") {
     import graft.operators.Dedup
     val k = Dedup.SubstrK
