@@ -838,7 +838,9 @@ object Relational {
         count(lit(1)).as("true_distinct"),
         graft.functions.TopKIds.topKIds(-col("h").cast("double"), col("h"), K).as("mins"))
       .select(col("true_distinct"),
-        expr(s"CAST((${K - 1} * CAST($Dom AS BIGINT)) DIV element_at(mins, $K) AS BIGINT)")
+        // KMV rule (q46): a non-full sketch holds the whole set — exact
+        expr(s"CAST(CASE WHEN size(mins) < $K THEN true_distinct ELSE " +
+          s"(${K - 1} * CAST($Dom AS BIGINT)) DIV element_at(mins, $K) END AS BIGINT)")
           .as("est_distinct"))
       .select(
         lit(K.toLong).as("k"),
@@ -1071,6 +1073,66 @@ object Relational {
         (col("true_a") + col("true_b") - col("true_union")).as("true_intersect"))
   }
 
+  /** Synchronous label-propagation rounds for community detection. */
+  val LpaRounds = 3
+
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al. 2007) over the part co-purchase graph — the linear-time
+    * community algorithm production graph stacks run when modularity
+    * optimization is too expensive (GraphFrames ships exactly this
+    * form). Every node starts as its own label; each round, every
+    * node adopts the MOST FREQUENT label among its neighbors, ties
+    * broken by the smallest label — the deterministic synchronous
+    * variant (async/random variants are irreproducible across
+    * cluster runs; fixed [[LpaRounds]] synchronous sweeps give the
+    * same labels under any partitioning, which is what a correctness
+    * gate and an incremental re-run both need).
+    *
+    * Scale shape: each round is ONE shuffle-hash join (the node-sized
+    * label table is the hinted build side; the cached 2|E| directed
+    * neighbor list streams) + TWO hash aggregations — (node, label)
+    * counts, then the per-node argmax via `max(struct(cnt, −label))`
+    * (the house q39/keep-first idiom: map-side partials collapse
+    * every task's contribution to one row per node BEFORE the
+    * exchange, so a celebrity node never funnels its neighbor list
+    * into one task's window sort — there is NO Window in this plan).
+    * The neighbor list is built once and cache-shared across rounds;
+    * a production run at 100 TB would checkpoint the label table
+    * every few rounds to cut lineage, exactly like [[q37Pagerank]].
+    * Output: the community-size census (size, n_communities) — the
+    * bounded aggregate a pipeline dashboards; per-node labels stay
+    * distributed.
+    */
+  def q50LabelPropagation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.select(col("ok"), col("pk").as("a"))
+      .hint("shuffle_hash")
+      .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .dropDuplicates(Seq("a", "b"))
+    // both directions: u's neighbor multiset is every v with {u,v} ∈ E
+    val nbr = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .cache()
+    val init = nbr.select(col("u").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl"))
+    val labels = (1 to LpaRounds).foldLeft(init) { (lbl, _) =>
+      nbr
+        .join(lbl.select(col("n").as("v"), col("lbl")).hint("shuffle_hash"), Seq("v"))
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("u").as("n"), (-col("m.neg")).as("lbl"))
+    }
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_communities"))
+      .select(col("sz").as("community_size"), col("n_communities"))
+      .orderBy(col("community_size"))
+  }
+
   /** CDC log compaction (last-write-wins): the event stream read as a
     * change log keyed by user_id — `error` events are tombstones,
     * everything else an upsert. The final state is one hash
@@ -1280,11 +1342,15 @@ object Relational {
     val tagged = ha.withColumn("tag", lit("a"))
       .unionAll(hb.withColumn("tag", lit("b")))
       .unionAll(hu.withColumn("tag", lit("u")))
+    // KMV rule: a sketch that never filled holds the ENTIRE hash set,
+    // so the estimate is the exact count (the k-th-minimum formula
+    // would index past the array — and over-estimate even if guarded).
     val sk = tagged.groupBy(col("tag"))
       .agg(count(lit(1)).as("true_n"),
         graft.functions.TopKIds.topKIds(-col("h").cast("double"), col("h"), K).as("mins"))
       .select(col("tag"), col("true_n"),
-        expr(s"CAST((${K - 1} * CAST($Dom AS BIGINT)) DIV element_at(mins, $K) AS BIGINT)")
+        expr(s"CAST(CASE WHEN size(mins) < $K THEN true_n ELSE " +
+          s"(${K - 1} * CAST($Dom AS BIGINT)) DIV element_at(mins, $K) END AS BIGINT)")
           .as("est"))
     def pick(c: String, t: String): Column = max(when(col("tag") === t, col(c)))
     sk.agg(
@@ -1318,6 +1384,7 @@ object Relational {
     "q47_hll_distinct" -> q47HllDistinct _,
     "q48_triangles" -> q48Triangles _,
     "q49_hll_setops" -> q49HllSetops _,
+    "q50_label_propagation" -> q50LabelPropagation _,
     "q31_funnel" -> q31Funnel _,
     "q30_grouping_sets" -> q30GroupingSets _,
     "q29_correlated" -> q29Correlated _,
@@ -1378,8 +1445,9 @@ object Relational {
         |r AS (SELECT tag, h,
         |   row_number() OVER (PARTITION BY tag ORDER BY h) AS rn FROM t),
         |sk AS (SELECT tag, CAST(count(*) AS BIGINT) AS true_n,
-        |   CAST((255 * 281474976710656) //
-        |     max(CASE WHEN rn = 256 THEN h END) AS BIGINT) AS est
+        |   CAST(CASE WHEN count(*) < 256 THEN count(*)
+        |     ELSE (255 * 281474976710656) //
+        |       max(CASE WHEN rn = 256 THEN h END) END AS BIGINT) AS est
         |  FROM r GROUP BY tag)
         |SELECT
         | max(CASE WHEN tag = 'a' THEN est END) AS est_a,
@@ -1611,14 +1679,16 @@ object Relational {
       """WITH h AS (SELECT DISTINCT
         |   CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT)
         |     AS h FROM orders),
-        |kv AS (SELECT max(h) AS hk FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM h)
-        |SELECT CAST(256 AS BIGINT) AS k,
-        | CAST((255 * 281474976710656) // kv.hk AS BIGINT) AS est_distinct,
-        | st.true_distinct,
-        | round(CAST((255 * 281474976710656) // kv.hk - st.true_distinct AS DOUBLE) /
-        |   CAST(st.true_distinct AS DOUBLE) * 100.0, 2) AS err_pct
-        |FROM kv, st""".stripMargin,
+        |kv AS (SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS nk
+        |  FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM h),
+        |e AS (SELECT CAST(CASE WHEN kv.nk < 256 THEN kv.nk
+        |   ELSE (255 * 281474976710656) // kv.hk END AS BIGINT) AS est_distinct,
+        |  st.true_distinct FROM kv, st)
+        |SELECT CAST(256 AS BIGINT) AS k, est_distinct, true_distinct,
+        | round(CAST(est_distinct - true_distinct AS DOUBLE) /
+        |   CAST(true_distinct AS DOUBLE) * 100.0, 2) AS err_pct
+        |FROM e""".stripMargin,
     "q48_triangles" ->
       """WITH pairs AS (
         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -1644,6 +1714,33 @@ object Relational {
         |     CAST(st.n_wedges AS DOUBLE), 4)
         |   ELSE 0.0 END AS global_cc
         |FROM tri, st""".stripMargin,
+    "q50_label_propagation" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT li1.l_partkey AS a, li2.l_partkey AS b
+        |  FROM lineitem li1 JOIN lineitem li2 ON li1.l_orderkey = li2.l_orderkey
+        |  WHERE li1.l_partkey < li2.l_partkey),
+        |nbr AS (SELECT a AS u, b AS v FROM pairs
+        |        UNION ALL SELECT b AS u, a AS v FROM pairs),
+        |lp0 AS (SELECT DISTINCT u AS n, u AS lbl FROM nbr),
+        |cnt1 AS (SELECT nbr.u, l.lbl, count(*) AS c
+        |  FROM nbr JOIN lp0 l ON nbr.v = l.n GROUP BY 1, 2),
+        |lp1 AS (SELECT u AS n, lbl FROM (SELECT u, lbl,
+        |    row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+        |  FROM cnt1) WHERE rn = 1),
+        |cnt2 AS (SELECT nbr.u, l.lbl, count(*) AS c
+        |  FROM nbr JOIN lp1 l ON nbr.v = l.n GROUP BY 1, 2),
+        |lp2 AS (SELECT u AS n, lbl FROM (SELECT u, lbl,
+        |    row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+        |  FROM cnt2) WHERE rn = 1),
+        |cnt3 AS (SELECT nbr.u, l.lbl, count(*) AS c
+        |  FROM nbr JOIN lp2 l ON nbr.v = l.n GROUP BY 1, 2),
+        |lp3 AS (SELECT u AS n, lbl FROM (SELECT u, lbl,
+        |    row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+        |  FROM cnt3) WHERE rn = 1),
+        |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+        |  FROM lp3 GROUP BY lbl)
+        |SELECT community_size, CAST(count(*) AS BIGINT) AS n_communities
+        |FROM sz GROUP BY community_size ORDER BY community_size""".stripMargin,
     "q47_hll_distinct" ->
       s"""WITH h AS (SELECT DISTINCT
         |   CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT)

@@ -656,6 +656,75 @@ object TextAnalysis {
       .limit(PmiTopK)
   }
 
+  val LlrMinCount = 5 // min bigram occurrences for an LLR row
+  val LlrTopK = 40
+
+  /** Bigram collocations by Dunning's log-likelihood ratio (Dunning
+    * 1993) — the collocation test production phrase miners prefer
+    * over [[textPmiBigrams]]'s PMI because it does not over-reward
+    * rare pairs (PMI is maximal for two hapaxes that co-occur once;
+    * LLR weighs the evidence mass). The 2×2 contingency per bigram
+    * (w1w2 / w1¬w2 / ¬w1w2 / ¬w1¬w2) uses the EXACT bigram-margin
+    * counts — k1• = bigrams starting with w1, k•2 = bigrams ending
+    * with w2 — not the unigram approximation, so all four cells are
+    * non-negative integers by construction and
+    * `llr = 2·(Σ xlx(k_ij) − Σ xlx(rowsum) − Σ xlx(colsum) + xlx(N))`
+    * is a per-row scalar over exact integers (xlx(x) = x·ln x,
+    * xlx(0) = 0) — both engines evaluate the identical expression
+    * tree on identical integers, same discipline as the PMI row's
+    * rounded log2.
+    *
+    * Scale shape: ONE corpus-sized shuffle (the bigram count
+    * aggregation, typed one-pass kernel extraction exactly like PMI);
+    * both margin tables are vocabulary-bounded re-aggregations OF THE
+    * BIGRAM COUNT TABLE (at 100 TB that table is the persisted model
+    * artifact and the margins are cheap rollups of it, never corpus
+    * rescans) and broadcast into the scoring join; N reuses the PMI
+    * row's footer identity (n_bigrams = n_tokens − n_docs), so no
+    * extra corpus pass for the total either.
+    */
+  def textLlrBigrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val bi = docs.select(col("doc_id"), col("text"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .as[(Long, String)]
+      .flatMap { case (_, text) =>
+        val t = if (text == null) Array.empty[String] else text.split(" ", -1)
+        if (t.length < 2) Iterator.empty
+        else (0 until t.length - 1).iterator.map(i => (t(i), t(i + 1)))
+      }
+      .toDF("w1", "w2")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val mA = bi.groupBy(col("w1")).agg(sum(col("c_ab")).as("ka"))
+    val mB = bi.groupBy(col("w2")).agg(sum(col("c_ab")).as("kb"))
+    val uni = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nDocs = Tables.parquetRowCount(s, d, "documents")
+    val tot = uni.agg(sum(col("c")).as("n_uni"))
+      .select((col("n_uni") - lit(nDocs)).as("n_bi"))
+    def xlx(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    bi.filter(col("c_ab") >= LlrMinCount)
+      .join(broadcast(mA), Seq("w1"))
+      .join(broadcast(mB), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        col("c_ab").as("k11"),
+        (col("ka") - col("c_ab")).as("k12"),
+        (col("kb") - col("c_ab")).as("k21"),
+        (col("n_bi") - col("ka") - col("kb") + col("c_ab")).as("k22"),
+        col("n_bi"))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(lit(2.0) * (xlx(col("k11")) + xlx(col("k12")) + xlx(col("k21"))
+          + xlx(col("k22"))
+          - xlx(col("k11") + col("k12")) - xlx(col("k21") + col("k22"))
+          - xlx(col("k11") + col("k21")) - xlx(col("k12") + col("k22"))
+          + xlx(col("n_bi"))), 4).as("llr"))
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
+      .limit(LlrTopK)
+  }
+
   /** Corpus top-k frequent tokens via the Misra-Gries sketch
     * ([[graft.functions.FreqItems]], a TypedImperativeAggregate).
     *
@@ -930,6 +999,7 @@ object TextAnalysis {
     "text_lm_kn3" -> textLmKn3Score _,
     "text_lm_kn5" -> textLmKn5Score _,
     "text_pmi_bigrams" -> textPmiBigrams _,
+    "text_llr_bigrams" -> textLlrBigrams _,
     "text_stem" -> textStem _,
     "text_freq_items" -> textFreqItems _,
     "text_ngram_freq" -> textNgramFreq _,
@@ -1139,6 +1209,35 @@ object TextAnalysis {
          |         CROSS JOIN tot
          |WHERE c_ab >= $PmiMinCount
          |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin,
+    "text_llr_bigrams" ->
+      s"""WITH docs_l AS (SELECT string_split(text, ' ') AS l FROM documents),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(l) AS w FROM docs_l) GROUP BY w),
+         |big0 AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+         |  i -> l[i] || ' ' || l[i + 1])) AS bg FROM docs_l),
+         |big AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         |  CAST(count(*) AS BIGINT) AS c_ab FROM big0 GROUP BY 1, 2),
+         |ma AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS ka FROM big GROUP BY w1),
+         |mb AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS kb FROM big GROUP BY w2),
+         |tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM big),
+         |cell AS (SELECT big.w1, big.w2, c_ab,
+         |   c_ab AS k11, ka - c_ab AS k12, kb - c_ab AS k21,
+         |   tot.n_bi - ka - kb + c_ab AS k22, tot.n_bi AS n_bi
+         |  FROM big JOIN ma ON big.w1 = ma.w1 JOIN mb ON big.w2 = mb.w2
+         |  CROSS JOIN tot WHERE c_ab >= $LlrMinCount)
+         |SELECT w1, w2, c_ab,
+         | round(2.0 * (
+         |   (CASE WHEN k11 > 0 THEN k11 * ln(CAST(k11 AS DOUBLE)) ELSE 0.0 END)
+         | + (CASE WHEN k12 > 0 THEN k12 * ln(CAST(k12 AS DOUBLE)) ELSE 0.0 END)
+         | + (CASE WHEN k21 > 0 THEN k21 * ln(CAST(k21 AS DOUBLE)) ELSE 0.0 END)
+         | + (CASE WHEN k22 > 0 THEN k22 * ln(CAST(k22 AS DOUBLE)) ELSE 0.0 END)
+         | - (CASE WHEN k11 + k12 > 0 THEN (k11 + k12) * ln(CAST(k11 + k12 AS DOUBLE)) ELSE 0.0 END)
+         | - (CASE WHEN k21 + k22 > 0 THEN (k21 + k22) * ln(CAST(k21 + k22 AS DOUBLE)) ELSE 0.0 END)
+         | - (CASE WHEN k11 + k21 > 0 THEN (k11 + k21) * ln(CAST(k11 + k21 AS DOUBLE)) ELSE 0.0 END)
+         | - (CASE WHEN k12 + k22 > 0 THEN (k12 + k22) * ln(CAST(k12 + k22 AS DOUBLE)) ELSE 0.0 END)
+         | + n_bi * ln(CAST(n_bi AS DOUBLE))), 4) AS llr
+         |FROM cell
+         |ORDER BY llr DESC, w1, w2 LIMIT $LlrTopK""".stripMargin,
     "text_stem" ->
       raw"""SELECT doc_id,
            | array_to_string(list_transform(string_split(text, ' '),
@@ -1163,8 +1262,17 @@ object TextAnalysis {
     // longest-match via list_reduce with a (pos, n) struct — the
     // list_prepend carries the initial accumulator, and a NULL vocab
     // level (impossible here, but type-safe) simply never matches.
+    // The greedy apply is a RECURSIVE CTE over plain equi-joins
+    // against the vocab table, NOT a list_reduce lambda: DuckDB
+    // 1.0.0 mis-evaluates a list_reduce whose lambda captures
+    // cross-joined list columns plus an outer scalar when the input
+    // has many rows (observed: the same `tok` CTE segments
+    // 'customer' as 5 pieces when filtered to one row — the correct
+    // greedy trace — but 4 in whole-table vectorized evaluation, a
+    // silent wrong answer the engine then "mismatches" against).
+    // Relational joins have no such failure mode on either engine.
     "text_bpe_tokens" ->
-      s"""WITH wx AS (SELECT doc_id, w FROM
+      s"""WITH RECURSIVE wx AS (SELECT doc_id, w FROM
          |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
          |  WHERE w <> ''),
          |occ AS (SELECT w, count(*) AS occ FROM wx GROUP BY w),
@@ -1181,22 +1289,20 @@ object TextAnalysis {
          |top AS (SELECT l, gm FROM (SELECT l, gm,
          |    row_number() OVER (PARTITION BY l ORDER BY cnt DESC, gm) AS rk FROM gc)
          |  WHERE rk <= $BpeVocabPerLen),
-         |v AS (SELECT list(gm) FILTER (WHERE l = 2) AS v2,
-         |             list(gm) FILTER (WHERE l = 3) AS v3,
-         |             list(gm) FILTER (WHERE l = 4) AS v4 FROM top),
-         |tok AS (SELECT w, struct_extract(list_reduce(
-         |    list_prepend({'pos': 1, 'n': 0},
-         |      list_transform(generate_series(1, strlen(w)), i -> {'pos': 0, 'n': 0})),
-         |    (acc, x) -> CASE
-         |      WHEN acc.pos > strlen(w) THEN acc
-         |      WHEN list_contains(v4, substring(w, acc.pos, 4))
-         |        THEN {'pos': acc.pos + 4, 'n': acc.n + 1}
-         |      WHEN list_contains(v3, substring(w, acc.pos, 3))
-         |        THEN {'pos': acc.pos + 3, 'n': acc.n + 1}
-         |      WHEN list_contains(v2, substring(w, acc.pos, 2))
-         |        THEN {'pos': acc.pos + 2, 'n': acc.n + 1}
-         |      ELSE {'pos': acc.pos + 1, 'n': acc.n + 1} END), 'n') AS nsub
-         |  FROM occ, v),
+         |walk AS (
+         |  SELECT w, 1 AS pos, 0 AS n FROM occ
+         |  UNION ALL
+         |  SELECT walk.w,
+         |    walk.pos + CASE WHEN t4.gm IS NOT NULL THEN 4
+         |      WHEN t3.gm IS NOT NULL THEN 3
+         |      WHEN t2.gm IS NOT NULL THEN 2 ELSE 1 END,
+         |    walk.n + 1
+         |  FROM walk
+         |  LEFT JOIN top t4 ON t4.l = 4 AND t4.gm = substring(walk.w, walk.pos, 4)
+         |  LEFT JOIN top t3 ON t3.l = 3 AND t3.gm = substring(walk.w, walk.pos, 3)
+         |  LEFT JOIN top t2 ON t2.l = 2 AND t2.gm = substring(walk.w, walk.pos, 2)
+         |  WHERE walk.pos <= strlen(walk.w)),
+         |tok AS (SELECT w, max(n) AS nsub FROM walk GROUP BY w),
          |per AS (SELECT doc_id, w, count(*) AS c FROM wx GROUP BY 1, 2),
          |res AS (SELECT doc_id, sum(c) AS n_words, sum(c * nsub) AS n_subwords
          |        FROM per JOIN tok USING (w) GROUP BY 1)

@@ -347,7 +347,7 @@ class PlanSpec extends AnyFunSuite {
         // text_lm_kn/_kn3/_kn5: same corpus-total-scalar (T types)
         // broadcast onto the gram-type table as the LM/PMI rows
         "cur_tfidf_topterms", "text_lm_score", "text_lm_kn", "text_lm_kn3",
-        "text_lm_kn5", "text_pmi_bigrams",
+        "text_lm_kn5", "text_pmi_bigrams", "text_llr_bigrams",
         // scalar avgdl aggregate broadcast onto the term stream —
         // the same share-of-total shape as the LM/PMI rows above
         "text_bm25_topk",

@@ -313,6 +313,48 @@ class RelationalSpec extends AnyFunSuite {
       s"engine ${r.getAs[Long]("n_triangles")} vs brute force $triangles")
   }
 
+  test("label propagation: 3 synchronous rounds recomputed in plain Scala") {
+    val out = SparkEntry.queries("q50_label_propagation")(spark, sf).collect()
+      .map(r => r.getAs[Long]("community_size") -> r.getAs[Long]("n_communities"))
+      .toMap
+    // plain-Scala synchronous LPA on the collected edge set
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl: Map[Long, Long] = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to graft.operators.Relational.LpaRounds) {
+      lbl = adj.map { case (n, nbrs) =>
+        // most frequent neighbor label, smallest label on ties
+        val best = nbrs.map(lbl).groupBy(identity).view.mapValues(_.size)
+          .toSeq.maxBy { case (l, c) => (c, -l) }._1
+        n -> best
+      }
+    }
+    val census = lbl.values.groupBy(identity).view.mapValues(_.size.toLong)
+      .values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out == census, s"engine $out vs recompute $census")
+  }
+
+  test("kmv: a sketch that never filled estimates exactly (q46 sub-populations)") {
+    // at sf0.001 both date slices hold < 256 distinct customer hashes,
+    // so every estimate must equal its exact count — the KMV non-full
+    // rule (the k-th-minimum formula would read past the sketch)
+    val r = SparkEntry.queries("q46_sketch_setops")(spark, sf).head()
+    assert(r.getAs[Long]("true_a") < 256 && r.getAs[Long]("true_b") < 256,
+      "fixture drifted: sub-populations no longer exercise the non-full branch")
+    assert(r.getAs[Long]("est_a") == r.getAs[Long]("true_a"))
+    assert(r.getAs[Long]("est_b") == r.getAs[Long]("true_b"))
+    assert(r.getAs[Long]("est_union") == r.getAs[Long]("true_union"))
+    assert(r.getAs[Long]("est_intersect") == r.getAs[Long]("true_intersect"))
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

@@ -64,6 +64,48 @@ class TextCurationSpec extends AnyFunSuite {
     assert(math.abs(head.getAs[Double]("pmi") - expected) < 1e-5)
   }
 
+  test("llr bigrams: full plain-Scala Dunning refit matches the engine") {
+    val out = TextAnalysis.textLlrBigrams(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= TextAnalysis.LlrTopK)
+    out.foreach(r => assert(r.getAs[Long]("c_ab") >= TextAnalysis.LlrMinCount))
+    val llrs = out.map(_.getAs[Double]("llr")).toSeq
+    assert(llrs == llrs.sorted.reverse)
+    // independent refit: exact bigram contingency from the raw texts
+    val docs = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0))
+    val bis = docs.flatMap { t =>
+      val a = t.split(" ", -1); a.zip(a.drop(1))
+    }
+    val cab = bis.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ka = bis.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val kb = bis.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = bis.length.toLong
+    def xlx(x: Long): Double = if (x > 0) x.toDouble * math.log(x.toDouble) else 0.0
+    val expected = cab.toSeq.collect {
+      case ((w1, w2), k11) if k11 >= TextAnalysis.LlrMinCount =>
+        val k12 = ka(w1) - k11
+        val k21 = kb(w2) - k11
+        val k22 = n - ka(w1) - kb(w2) + k11
+        val llr = 2.0 * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+          - xlx(k11 + k12) - xlx(k21 + k22) - xlx(k11 + k21) - xlx(k12 + k22)
+          + xlx(n))
+        (w1, w2, k11, BigDecimal(llr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (w1, w2, _, llr) => (-llr, w1, w2) }
+      .take(TextAnalysis.LlrTopK)
+    val got = out.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+      r.getAs[Long]("c_ab"), r.getAs[Double]("llr"))).toSeq
+    // the refit rounds independently, so allow 1e-4 slack on the score
+    // while pinning the pair set and counts exactly
+    assert(got.map(t => (t._1, t._2, t._3)) == expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case (g, e) => assert(math.abs(g._4 - e._4) <= 1e-4) }
+    // all four contingency cells are non-negative by construction —
+    // the exact-margin property the unigram approximation lacks
+    got.foreach { case (w1, w2, k11, _) =>
+      assert(ka(w1) - k11 >= 0 && kb(w2) - k11 >= 0 &&
+        n - ka(w1) - kb(w2) + k11 >= 0)
+    }
+  }
+
   test("gopher rules: flags re-derivable from the text, keep is the conjunction") {
     val rows = Curation.curGopherRules(spark, sf).collect()
     assert(rows.nonEmpty)
