@@ -104,6 +104,39 @@ object Probe {
           max_by(col("p.data.reference.total"), when(col("p.data.reference.total").isNotNull, col("line_no"))).as("t"))
         time("aggd") { noop2(aggd2) }
         time("aggd x2") { noop2(aggd2) }
+      case "ab" :: reps :: qs =>
+        // interleaved A/B of registered queries in ONE JVM (cross-JVM
+        // host noise is ±30% at these durations)
+        for (rep <- 1 to reps.toInt; q <- qs) {
+          time(s"$q #$rep") {
+            SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save(); 0L
+          }
+          spark.sharedState.cacheManager.clearCache()
+          StateRegistry.sweep(spark)
+        }
+      case "knjobs" :: q :: Nil =>
+        // per-job wall breakdown for one query (dev forensics)
+        val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        val done = new scala.collection.mutable.ArrayBuffer[(Int, Double, String)]()
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.put(js.jobId, (System.nanoTime(),
+              js.stageInfos.map(si => s"${si.name.takeWhile(_ != '\n').take(40)}x${si.numTasks}").mkString("|").take(120)))
+          override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val v = jobs.get(je.jobId)
+            if (v != null) done.synchronized {
+              done += ((je.jobId, (System.nanoTime() - v._1) / 1e9, v._2))
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(l)
+        time(s"$q full") {
+          SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save(); 0L
+        }
+        Thread.sleep(500)
+        done.sortBy(_._1).foreach { case (id, s, st) =>
+          println(f"[probe] job $id%3d ${s}%7.2f s  $st")
+        }
       case "explain" :: q :: Nil =>
         SparkEntry.queries(q)(spark, d).explain("formatted")
       case "explainrt" :: q :: Nil =>

@@ -359,6 +359,39 @@ object TextAnalysis {
     * trade of unpadded corpus filters; docs with < 3 tokens have no
     * trigram and are absent from the output.
     */
+  /** xxhash64 of each space-delimited token, computed directly over
+    * the document's UTF-8 bytes — `split(" ", -1)` semantics (single
+    * space delimiter, empty tokens kept) WITHOUT allocating a String
+    * and a re-encoded byte[] per token: 0x20 never occurs inside a
+    * multi-byte UTF-8 sequence, so byte-level splitting is exact, and
+    * each token hashes as the same byte slice the per-String path
+    * hashed (identical values, so the DuckDB oracles are unaffected).
+    * Returns null when the document has fewer than `minTokens` tokens
+    * (callers emit no grams for it). */
+  private[graft] def tokenHashes(text: String, minTokens: Int): Array[Long] = {
+    if (text == null) return null
+    val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var spaces = 0
+    var i = 0
+    while (i < b.length) { if (b(i) == ' ') spaces += 1; i += 1 }
+    val n = spaces + 1
+    if (n < minTokens) return null
+    val th = new Array[Long](n)
+    var start = 0
+    var k = 0
+    i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        th(k) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        k += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    th
+  }
+
   def textLmKn3Score(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val D = KnDiscount
@@ -370,19 +403,9 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val t = if (text == null) Array.empty[String] else text.split(" ", -1)
-          if (t.length < 3) Iterator.empty
-          else {
-            val th = new Array[Long](t.length)
-            var i = 0
-            while (i < t.length) {
-              val b = t(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              th(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-                b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
-              i += 1
-            }
-            (0 until t.length - 2).iterator.map(i => (id, th(i), th(i + 1), th(i + 2)))
-          }
+          val th = tokenHashes(text, 3)
+          if (th == null) Iterator.empty
+          else (0 until th.length - 2).iterator.map(i => (id, th(i), th(i + 1), th(i + 2)))
         }
       }
       .toDF("doc_id", "w1", "w2", "w3")
@@ -474,20 +497,10 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val t = if (text == null) Array.empty[String] else text.split(" ", -1)
-          if (t.length < 5) Iterator.empty
-          else {
-            val th = new Array[Long](t.length)
-            var i = 0
-            while (i < t.length) {
-              val b = t(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              th(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-                b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
-              i += 1
-            }
-            (0 until t.length - 4).iterator.map(i =>
-              (id, th(i), th(i + 1), th(i + 2), th(i + 3), th(i + 4)))
-          }
+          val th = tokenHashes(text, 5)
+          if (th == null) Iterator.empty
+          else (0 until th.length - 4).iterator.map(i =>
+            (id, th(i), th(i + 1), th(i + 2), th(i + 3), th(i + 4)))
         }
       }
       .toDF("doc_id", "w1", "w2", "w3", "w4", "w5")

@@ -595,4 +595,28 @@ class TextCurationSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("tokenHashes: byte-level split+hash equals the per-String path") {
+    // the allocation-free kernel must produce the SAME hash per token
+    // as split(" ", -1) + per-token UTF-8 xxhash64 — including empty
+    // tokens (double/leading/trailing spaces) and multi-byte UTF-8
+    def ref(text: String): Array[Long] =
+      text.split(" ", -1).map { t =>
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      }
+    val cases = Seq(
+      "plain ascii tokens here",
+      "a", "", " ", "  ", "lead  double", "trail ",
+      " leading space", "naïve café über tokens",
+      "emoji 🙂 and ¢ñ mixed 漢字 ok",
+      "x " * 40 + "y")
+    cases.foreach { t =>
+      assert(TextAnalysis.tokenHashes(t, 1).toSeq == ref(t).toSeq, s"mismatch for '$t'")
+    }
+    // minTokens gate: below-threshold docs return null
+    assert(TextAnalysis.tokenHashes("one two", 3) == null)
+    assert(TextAnalysis.tokenHashes(null, 1) == null)
+  }
 }
