@@ -426,6 +426,36 @@ object Curation {
       .orderBy(col("doc_id"))
 
   // ------------------------------------------------------------------
+  // Deterministic, leakage-safe train/val/test split.
+  // ------------------------------------------------------------------
+
+  val SplitTrainPct = 80
+  val SplitValPct = 10 // test = the remaining 10
+
+  /** Deterministic train/val/test assignment, keyed by CONTENT hash:
+    * bucket = 48-bit md5 prefix of the text modulo 100, cut at
+    * [[SplitTrainPct]] / +[[SplitValPct]] — so (a) the split is
+    * reproducible across runs and engines with no stored state,
+    * (b) growing the corpus never reassigns an existing document
+    * (hash of the row, not of its position or a global count), and
+    * (c) EXACT DUPLICATES always land in the same split: hashing
+    * doc_id instead would scatter a duplicated document across
+    * train and test — the classic evaluation-leakage bug this
+    * operator exists to prevent. Pure map-side assignment; the only
+    * exchange is the gate's deterministic output sort.
+    */
+  def curSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < SplitTrainPct, lit("train"))
+          .when(col("bucket") < SplitTrainPct + SplitValPct, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("source"), col("lang"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------------
   // In-engine quality-classifier training (distributed GD).
   // ------------------------------------------------------------------
 
@@ -1301,6 +1331,7 @@ object Curation {
     "cur_repetition" -> curRepetition _,
     "cur_chunk" -> curChunk _,
     "cur_sample_stratified" -> curSampleStratified _,
+    "cur_split" -> curSplit _,
     "cur_shard_shuffle" -> curShardShuffle _,
     "cur_quality_lr_fit" -> curQualityLrFit _,
     "cur_mix_sources" -> curMixSources _,
@@ -1645,6 +1676,15 @@ object Curation {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
         |  CASE WHEN lang = 'en' THEN '33' ELSE '7f' END
         |ORDER BY doc_id""".stripMargin,
+    "cur_split" ->
+      s"""WITH b AS (SELECT doc_id, source, lang,
+         |  CAST('0x' || substring(md5(text), 1, 12) AS BIGINT) % 100 AS bucket
+         | FROM documents)
+         |SELECT doc_id, source, lang, bucket,
+         | CASE WHEN bucket < $SplitTrainPct THEN 'train'
+         |      WHEN bucket < ${SplitTrainPct + SplitValPct} THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     // The whole fit replayed: three unrolled GD iterations, each one
     // corpus aggregation with the previous weights as scalars, rounded
     // to 9 decimals at every step exactly like the engine (the sync

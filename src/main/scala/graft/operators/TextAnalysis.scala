@@ -760,6 +760,68 @@ object TextAnalysis {
       .select((col("rank0") + 1).cast("long").as("rank"),
         col("e.item").as("token"), col("e.cnt").as("cnt"))
 
+  val CmsRows = 4      // d: independent hash rows (error prob ~ e^-d)
+  val CmsWidth = 2048  // w: buckets per row (overestimate ~ N_tokens/w)
+  val CmsTopK = 20
+
+  /** Per-row CMS bucket of a token: the md5-hex-prefix hash both
+    * engines compute identically (the q38_kmv convention), salted by
+    * the row index so the [[CmsRows]] hash functions are independent. */
+  private def cmsBucket(r: Int, tok: Column): Column =
+    pmod(conv(substring(md5(concat(lit(s"$r|"), tok)), 1, 12), 16, 10).cast("long"),
+      lit(CmsWidth.toLong))
+
+  /** Count-Min sketch heavy-hitter estimates (Cormode & Muthukrishnan
+    * 2005) — the streaming/sharded counterpart of exact token counts:
+    * a fixed d×w count matrix whose cell (r, h_r(x)) accumulates every
+    * occurrence of x, with count(x) estimated as min_r over the x's
+    * cells — an OVERESTIMATE by construction (collisions only add),
+    * within N/w with probability 1-e^-d. Completes the mergeable
+    * sketch family (KMV q38, HLL q47/q49, Bloom cur_decontaminate_bloom,
+    * Misra-Gries text_freq_items): two CMS matrices built on disjoint
+    * shards merge by cell-wise ADDITION, so a 100 TB corpus builds one
+    * sketch per shard and reduces — the (d·w)-cell matrix is the only
+    * state that ever crosses shard boundaries.
+    *
+    * The row reports the corpus head (exact top-k via the Misra-Gries
+    * bounded-heap aggregate, the [[textFreqItems]] idiom) next to its
+    * CMS estimates, the production sanity report for a sketch-counted
+    * pipeline. Scale shape: ONE corpus pass emits d skinny (r, bucket)
+    * rows per token occurrence into one count aggregation whose
+    * map-side partial collapses to ≤ d×w cells per task regardless of
+    * corpus size; the finished sketch is d×w rows → broadcast to the
+    * k probe tokens. Nothing vocabulary-sized shuffles except the
+    * Misra-Gries per-partition summaries (capacity-bounded).
+    */
+  def textCmsTopk(s: SparkSession, d: String): DataFrame = {
+    // token stream feeds both the sketch build and the exact head;
+    // materialize the kernel output once (the kn-family discipline)
+    val toks = withToks(Tables.documents(s, d))
+      .select(explode(col("toks")).as("tok"))
+      .localCheckpoint()
+    val cms = toks
+      .select(posexplode(array((0 until CmsRows).map(r => cmsBucket(r, col("tok"))): _*))
+        .as(Seq("r", "b")))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("n"))
+    val top = toks
+      .agg(graft.functions.FreqItems.freqItems(col("tok"), FreqItemsCapacity, CmsTopK).as("top"))
+      .select(posexplode(col("top")).as(Seq("rank0", "e")))
+      .select((col("rank0") + 1).cast("long").as("rank"),
+        col("e.item").as("token"), col("e.cnt").as("true_count"))
+    top
+      .select(col("rank"), col("token"), col("true_count"),
+        explode(array((0 until CmsRows).map(r =>
+          struct(lit(r).as("r"), cmsBucket(r, col("token")).as("b"))): _*)).as("rb"))
+      .select(col("rank"), col("token"), col("true_count"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(cms), Seq("r", "b"))
+      .groupBy(col("rank"), col("token"), col("true_count"))
+      .agg(min(col("n")).as("cms_est"))
+      .select(col("rank"), col("token"), col("true_count"), col("cms_est"),
+        (col("cms_est") - col("true_count")).as("overestimate"))
+      .orderBy(col("rank"))
+  }
+
   /** Light suffix-stripping stemmer over every token (plural / -ing),
     * rejoined in order — one regexp per token via a transform over the
     * split, no UDF.
@@ -1015,6 +1077,7 @@ object TextAnalysis {
     "text_llr_bigrams" -> textLlrBigrams _,
     "text_stem" -> textStem _,
     "text_freq_items" -> textFreqItems _,
+    "text_cms_topk" -> textCmsTopk _,
     "text_ngram_freq" -> textNgramFreq _,
     "text_token_count" -> textTokenCount _,
     "text_langid" -> textLangid _,
@@ -1262,6 +1325,26 @@ object TextAnalysis {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
         |       token, cnt
         |FROM c ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+    "text_cms_topk" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |rs AS (SELECT unnest([${(0 until CmsRows).mkString(", ")}]) AS r),
+        |cms AS (SELECT r,
+        |   CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 12) AS BIGINT)
+        |     % $CmsWidth AS b,
+        |   CAST(count(*) AS BIGINT) AS n
+        | FROM toks, rs GROUP BY 1, 2),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+        |topk AS (SELECT tok, c,
+        |   CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rank
+        | FROM cnt ORDER BY c DESC, tok LIMIT $CmsTopK),
+        |est AS (SELECT t.rank, t.tok, t.c, min(m.n) AS cms_est
+        | FROM topk t JOIN cms m
+        |   ON m.b = CAST('0x' || substring(md5(CAST(m.r AS VARCHAR) || '|' || t.tok), 1, 12)
+        |            AS BIGINT) % $CmsWidth
+        | GROUP BY 1, 2, 3)
+        |SELECT rank, tok AS token, c AS true_count, cms_est,
+        | cms_est - c AS overestimate
+        |FROM est ORDER BY rank""".stripMargin,
     "text_ngram_freq" ->
       """WITH t AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |   generate_series(1, len(string_split(text, ' ')) - 2),

@@ -619,4 +619,35 @@ class TextCurationSpec extends AnyFunSuite {
     assert(TextAnalysis.tokenHashes("one two", 3) == null)
     assert(TextAnalysis.tokenHashes(null, 1) == null)
   }
+
+  test("cms topk: matches a plain-Scala CMS refit; estimates never undercount") {
+    val rows = TextAnalysis.textCmsTopk(spark, sf).collect()
+    assert(rows.length == TextAnalysis.CmsTopK)
+    // independent refit: exact counts + the d x w matrix in plain Scala
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .flatMap(r => Option(r.getString(0)).getOrElse("").split(" ", -1))
+    def bucket(r: Int, tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r|$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      java.lang.Long.parseLong(hex, 16) % TextAnalysis.CmsWidth
+    }
+    val matrix = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    toks.foreach { t =>
+      (0 until TextAnalysis.CmsRows).foreach { r => matrix((r, bucket(r, t))) += 1L }
+    }
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expectTop = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(TextAnalysis.CmsTopK)
+    rows.zip(expectTop).zipWithIndex.foreach { case ((row, (tok, c)), i) =>
+      assert(row.getAs[Long]("rank") == i + 1)
+      assert(row.getAs[String]("token") == tok)
+      assert(row.getAs[Long]("true_count") == c)
+      val est = (0 until TextAnalysis.CmsRows).map(r => matrix((r, bucket(r, tok)))).min
+      assert(row.getAs[Long]("cms_est") == est)
+      // CMS guarantee: collisions only ADD, so est >= true always
+      assert(row.getAs[Long]("overestimate") >= 0L)
+      assert(row.getAs[Long]("cms_est") >= c)
+    }
+  }
 }
