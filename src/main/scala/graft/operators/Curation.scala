@@ -890,6 +890,82 @@ object Curation {
           * col("symbol_ok")).as("keep"))
   }
 
+  /** END-TO-END curation pipeline with per-document stage attribution
+    * — the funnel report a production pretraining pipeline emits so a
+    * run can account for WHERE every document went, composing the
+    * engine's own stage semantics verbatim: eval holdout (the
+    * [[curDecontaminate]] eval set) → Gopher quality rules
+    * ([[curGopherRules]]' five checks) → language ID
+    * ([[graft.operators.TextAnalysis.textLangid]]'s argmax, target
+    * `en`) → exact keep-first dedup (the argmax idiom on md5(text),
+    * computed among SURVIVORS of the earlier stages only — a real
+    * pipeline dedups what remains, not the raw corpus) → 5-gram
+    * decontamination against the holdout. Each document reports the
+    * FIRST stage that dropped it, or `kept`.
+    *
+    * Scale shape: every stage signal is a map-side expression over the
+    * barrier repartition (parallelism for the single-file scan); each
+    * consumer branch re-reads the columnar scan with ITS stage filters
+    * pushed into it (the [[curDecontaminate]] trade — scan-pruned
+    * re-reads beat materializing a corpus-sized signal frame), the
+    * only content exchange is the keep-first argmax on the content
+    * hash (map-side partial absorbs hot duplicate keys; join-back,
+    * never a window rank — the Dedup keep-first discipline), and the
+    * eval gram set broadcasts (benchmarks are tiny against a training
+    * corpus). PlanSpec pins: no Window, no sort-merge join, broadcast
+    * decontamination probe.
+    */
+  def curPipeline(s: SparkSession, d: String): DataFrame = {
+    val stopIn = gopherStops.map(w => s"'$w'").mkString(", ")
+    val sig = barrier(s, Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("mean_wl",
+        (length(col("text")) - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("alpha_frac",
+        expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("double") / col("n_words"))
+      .withColumn("stop_hits", expr(s"size(filter(toks, t -> t IN ($stopIn)))").cast("long"))
+      .withColumn("symbol_frac",
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("double") / col("n_words"))
+      .withColumn("gopher_keep",
+        col("n_words").between(GopherMinWords, GopherMaxWords) &&
+          col("mean_wl").between(GopherMinWordLen, GopherMaxWordLen) &&
+          col("stop_hits") >= GopherMinStopHits &&
+          col("alpha_frac") >= GopherMinAlphaFrac &&
+          col("symbol_frac") <= GopherMaxSymbolFrac)
+      .withColumn("lang_en",
+        TextAnalysis.hitCount(TextAnalysis.stopEn) >= TextAnalysis.hitCount(TextAnalysis.stopSql) &&
+          TextAnalysis.hitCount(TextAnalysis.stopEn) >= TextAnalysis.hitCount(TextAnalysis.stopData))
+      .withColumn("holdout", pmod(col("doc_id"), lit(20)) === 0)
+      .withColumn("th", md5(col("text")))
+      .withColumn("g5", expr(FiveGramExpr))
+      .select(col("doc_id"), col("holdout"), col("gopher_keep"), col("lang_en"),
+        col("th"), col("g5"))
+    val qual = sig.filter(!col("holdout") && col("gopher_keep") && col("lang_en"))
+    val firsts = qual.groupBy(col("th")).agg(min(col("doc_id")).as("first_id"))
+    val evalGrams = sig.filter(col("holdout")).select(explode(col("g5")).as("g")).distinct()
+    val contam = qual
+      .join(firsts.hint("shuffle_hash"), Seq("th"))
+      .filter(col("doc_id") === col("first_id"))
+      .select(col("doc_id"), explode(col("g5")).as("g"))
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("hit")).as("n_overlap"))
+    sig
+      .join(firsts.hint("shuffle_hash"), Seq("th"), "left")
+      .join(contam.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("holdout"), "eval_holdout")
+          .when(!col("gopher_keep"), "gopher")
+          .when(!col("lang_en"), "langid")
+          .when(col("doc_id") =!= col("first_id"), "dedup")
+          .when(col("n_overlap") > 0, "decontaminated")
+          .otherwise("kept").as("drop_stage"))
+      .withColumn("kept", (col("drop_stage") === "kept").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   // Fixed weights for [[curQualityWeights]]: (bias, len_score,
   // 1 - stop_ratio, uniq_ratio, mean_wl / 10). In production these are
   // the trained coefficients of a fasttext-style linear quality
@@ -1332,6 +1408,7 @@ object Curation {
     "cur_chunk" -> curChunk _,
     "cur_sample_stratified" -> curSampleStratified _,
     "cur_split" -> curSplit _,
+    "cur_pipeline" -> curPipeline _,
     "cur_shard_shuffle" -> curShardShuffle _,
     "cur_quality_lr_fit" -> curQualityLrFit _,
     "cur_mix_sources" -> curMixSources _,
@@ -1676,6 +1753,61 @@ object Curation {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
         |  CASE WHEN lang = 'en' THEN '33' ELSE '7f' END
         |ORDER BY doc_id""".stripMargin,
+    "cur_pipeline" -> {
+      val stopIn = gopherStops.map(w => s"'$w'").mkString(", ")
+      val enIn = TextAnalysis.stopEn.map(w => s"'$w'").mkString(", ")
+      val sqlIn = TextAnalysis.stopSql.map(w => s"'$w'").mkString(", ")
+      val dataIn = TextAnalysis.stopData.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |  strlen(text) AS nc FROM documents),
+         |m AS (SELECT doc_id, text,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_wl,
+         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |    / len(toks) AS alpha_frac,
+         |  CAST(len(list_filter(toks, x -> x IN ($stopIn))) AS BIGINT) AS stop_hits,
+         |  CAST(nc - strlen(replace(text, '#', '')) AS DOUBLE) / len(toks) AS symbol_frac,
+         |  len(list_filter(toks, x -> x IN ($enIn))) AS c_en,
+         |  len(list_filter(toks, x -> x IN ($sqlIn))) AS c_sql,
+         |  len(list_filter(toks, x -> x IN ($dataIn))) AS c_data
+         | FROM t),
+         |f AS (SELECT doc_id,
+         |  (doc_id % 20 = 0) AS holdout,
+         |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+         |   AND mean_wl BETWEEN $GopherMinWordLen AND $GopherMaxWordLen
+         |   AND stop_hits >= $GopherMinStopHits
+         |   AND alpha_frac >= $GopherMinAlphaFrac
+         |   AND symbol_frac <= $GopherMaxSymbolFrac) AS gopher_keep,
+         |  (c_en >= c_sql AND c_en >= c_data) AS lang_en,
+         |  md5(text) AS th
+         | FROM m),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, len(string_split(text, ' ')) - 4),
+         |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+         |        string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+         |        string_split(text, ' ')[i+4])) AS g5 FROM documents),
+         |firsts AS (SELECT th, min(doc_id) AS first_id FROM f
+         | WHERE NOT holdout AND gopher_keep AND lang_en GROUP BY th),
+         |ev AS (SELECT DISTINCT unnest(g5) AS g FROM g WHERE doc_id % 20 = 0),
+         |tr AS (SELECT f.doc_id, unnest(g.g5) AS gg
+         | FROM f JOIN firsts ON f.th = firsts.th AND f.doc_id = firsts.first_id
+         |        JOIN g ON g.doc_id = f.doc_id
+         | WHERE NOT f.holdout AND f.gopher_keep AND f.lang_en),
+         |contam AS (SELECT tr.doc_id, count(ev.g) AS n_overlap
+         | FROM tr LEFT JOIN ev ON tr.gg = ev.g GROUP BY tr.doc_id),
+         |sel AS (SELECT f.doc_id,
+         |  CASE WHEN f.holdout THEN 'eval_holdout'
+         |       WHEN NOT f.gopher_keep THEN 'gopher'
+         |       WHEN NOT f.lang_en THEN 'langid'
+         |       WHEN f.doc_id <> firsts.first_id THEN 'dedup'
+         |       WHEN contam.n_overlap > 0 THEN 'decontaminated'
+         |       ELSE 'kept' END AS drop_stage
+         | FROM f LEFT JOIN firsts ON f.th = firsts.th
+         |        LEFT JOIN contam ON contam.doc_id = f.doc_id)
+         |SELECT doc_id, drop_stage,
+         | CAST(CASE WHEN drop_stage = 'kept' THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM sel ORDER BY doc_id""".stripMargin
+    },
     "cur_split" ->
       s"""WITH b AS (SELECT doc_id, source, lang,
          |  CAST('0x' || substring(md5(text), 1, 12) AS BIGINT) % 100 AS bucket

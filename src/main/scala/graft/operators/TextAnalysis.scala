@@ -64,7 +64,7 @@ object TextAnalysis {
   val stopSql: Seq[String] = Seq("join", "group", "order", "sort")
   val stopData: Seq[String] = Seq("row", "column", "table", "data")
 
-  private def hitCount(group: Seq[String]): Column = {
+  private[graft] def hitCount(group: Seq[String]): Column = {
     val inList = group.map(w => s"'$w'").mkString(", ")
     expr(s"size(filter(toks, t -> t IN ($inList)))").cast("long")
   }

@@ -326,4 +326,48 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[String]("split") == expect)
     }
   }
+
+  test("cur_pipeline: stage attribution consistent with the component operators") {
+    val rows = Curation.curPipeline(spark, sf).collect()
+    val stage = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_stage")).toMap
+    val gopher = Curation.curGopherRules(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap
+    val lang = operators.TextAnalysis.textLangid(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    val stages = Set("eval_holdout", "gopher", "langid", "dedup", "decontaminated", "kept")
+    assert(stage.values.forall(stages))
+    assert(stage.values.exists(_ == "kept"))
+    // per-doc funnel order agrees with each component's own verdict
+    stage.foreach { case (id, st) =>
+      if (id % 20 == 0) assert(st == "eval_holdout", s"doc $id")
+      else if (gopher(id) == 0L) assert(st == "gopher", s"doc $id")
+      else if (lang(id) != "en") assert(st == "langid", s"doc $id")
+      else assert(Set("dedup", "decontaminated", "kept")(st), s"doc $id")
+    }
+    // a 'dedup' doc must have an earlier SURVIVING exact duplicate
+    val preDedup = Set("dedup", "decontaminated", "kept")
+    stage.filter(_._2 == "dedup").keys.foreach { id =>
+      assert(stage.keys.exists(o => o < id && texts(o) == texts(id) && preDedup(stage(o))),
+        s"doc $id marked dedup without an earlier surviving duplicate")
+    }
+    // a 'decontaminated' doc shares a word 5-gram with some holdout doc
+    def g5(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set.empty
+      else (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val evalG = texts.collect { case (id, t) if id % 20 == 0 => g5(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    stage.filter(_._2 == "decontaminated").keys.foreach { id =>
+      assert(g5(texts(id)).exists(evalG), s"doc $id marked decontaminated without overlap")
+    }
+    // and a 'kept' doc shares none
+    stage.filter(_._2 == "kept").keys.foreach { id =>
+      assert(!g5(texts(id)).exists(evalG), s"doc $id kept despite eval overlap")
+    }
+  }
 }

@@ -578,4 +578,16 @@ class PlanSpec extends AnyFunSuite {
         s"no skewed shuffle read in the final plan:\n$finalPlan")
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("cur_pipeline: argmax keep-first (no window), broadcast decontamination probe") {
+    val p = planOf("cur_pipeline")
+    // keep-first must be the min(struct)-style aggregation + join-back,
+    // never a content-keyed window rank (the Dedup keep-first hazard)
+    assert(!p.contains("Window"), s"window rank in the pipeline plan:\n$p")
+    // eval gram set is the broadcast build side of the contamination
+    // probe; the corpus-sized sides stay hash-joined (no sorts)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
