@@ -409,17 +409,17 @@ object TextAnalysis {
         }
       }
       .toDF("doc_id", "w1", "w2", "w3")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // the one corpus-sized shuffle: trigram types — materialized once
     // (six consumers would each re-run the corpus aggregation; the
     // kn5 measurement showed the cascade multiplying)
     val tc = stream.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c_abc"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // bigram TYPE set from the trigram types' two pair projections
     val btypes = tc.select(col("w1").as("a"), col("w2").as("b"))
       .union(tc.select(col("w2").as("a"), col("w3").as("b")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val fan2 = btypes.groupBy(col("a")).agg(count(lit(1)).as("n1f2")) // N₁₊(w2 ·)
     val rev = btypes.groupBy(col("b")).agg(count(lit(1)).as("n1r"))   // N₁₊(· w3)
     val tot = btypes.agg(count(lit(1)).cast("double").as("t_types")) // T
@@ -508,7 +508,7 @@ object TextAnalysis {
       // [[textLmKnScore]] multi-consumer materialization; measured
       // against cache(): columnar caching rebuilds per constructed
       // plan and regressed the suite 2x, checkpoint wins here)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // the one corpus-sized shuffle: 5-gram types with token counts.
     // Each model table below is MATERIALIZED once: t5 feeds ~6
     // consumers and each projection level feeds 4-5 more, so without
@@ -518,20 +518,20 @@ object TextAnalysis {
     // tables, the thing a production fit would persist anyway.
     val t5 = stream.groupBy(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
       .agg(count(lit(1)).as("c5"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // order-k type sets by projection of the order-(k+1) type set
     val b4 = t5.select(col("w1").as("g1"), col("w2").as("g2"), col("w3").as("g3"), col("w4").as("g4"))
       .union(t5.select(col("w2").as("g1"), col("w3").as("g2"), col("w4").as("g3"), col("w5").as("g4")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val b3 = b4.select(col("g1"), col("g2"), col("g3"))
       .union(b4.select(col("g2").as("g1"), col("g3").as("g2"), col("g4").as("g3")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val b2 = b3.select(col("g1"), col("g2"))
       .union(b3.select(col("g2").as("g1"), col("g3").as("g2")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Exchange economy, the whole game at this table count: the
     // twelve count tables the recursion needs are ONE tagged-union
     // aggregation (the q46/q48 single-exchange combine applied to the
@@ -554,7 +554,7 @@ object TextAnalysis {
       .unionAll(b2.select(lit(8).as("tg"), col("g2"), nl, nl, nl, lit(1L)))
     val cnts = u.groupBy(col("tg"), col("k1"), col("k2"), col("k3"), col("k4"))
       .agg(count(lit(1)).as("c"), sum(col("wt")).as("s"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def slice(tg: Int, names: Seq[String]): DataFrame =
       cnts.filter(col("tg") === tg)
         .select(names.zipWithIndex.map { case (n, i) => col(s"k${i + 1}").as(n) } :+

@@ -341,7 +341,7 @@ class PlanSpec extends AnyFunSuite {
         // index's whole point); the cut before the exchange is the
         // WindowGroupLimit pair pinned in its own plan test
         "ann_binary_topk", "ann_binary_recall",
-        "ann_lsh_recall", "ann_ivf_recall",
+        "ann_lsh_recall", "ann_ivf_recall", "ann_multiprobe_recall",
         "ann_pq_recall", "ann_ivfpq_recall", "ann_filtered_ivfpq_recall",
         "dedup_semantic_gate", "q24_revenue_share",
         // text_lm_kn/_kn3/_kn5: same corpus-total-scalar (T types)
