@@ -233,6 +233,22 @@ object Versioned {
     next
   }
 
+  /** RESTORE the table to an earlier version AS A NEW COMMIT (Delta's
+    * `RESTORE TABLE ... VERSION AS OF` semantics): the target
+    * version's manifest is re-committed as the new head, so the
+    * rollback is itself versioned history — no data file is copied,
+    * moved, or deleted, the versions between target and old head stay
+    * readable for time travel until [[vacuum]] ages them out, and a
+    * second restore can roll the rollback back. Zero data IO at any
+    * table size: the commit writes one manifest file. Returns the new
+    * head version. */
+  def restore(spark: SparkSession, path: String, version: Int): Int = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val entries = manifestEntries(spark, path, version)
+    commit(fs, root, entries)
+  }
+
   /** Move every parquet file under tmp's `part=value` dirs into the
     * table root with a version-unique name; returns their relative
     * paths.

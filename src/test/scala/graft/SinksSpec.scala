@@ -461,6 +461,33 @@ class SinksSpec extends AnyFunSuite {
     assert(changes == Set((2L, "update")))
   }
 
+  test("versioned restore: rollback is a new commit, zero data IO, re-restorable") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val path = tmp("versioned-restore")
+    val v0 = Versioned.upsert(spark, path,
+      Seq((1L, "a", "p1"), (2L, "b", "p1")).toDF("id", "v", "part"), "id", "part")
+    val v1 = Versioned.upsert(spark, path,
+      Seq((2L, "B", "p1"), (3L, "c", "p2")).toDF("id", "v", "part"), "id", "part")
+    def rowsAt(v: Int) = Versioned.snapshot(spark, path, v)
+      .select(col("id"), col("v"), col("part")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val before = rowsAt(v0)
+    assert(before != rowsAt(v1))
+    // restore to v0: new head version, same contents as v0
+    val v2 = Versioned.restore(spark, path, v0)
+    assert(v2 == v1 + 1)
+    assert(Versioned.latestVersion(spark, path).contains(v2))
+    assert(rowsAt(v2) == before)
+    // the rolled-back version stays time-travelable
+    assert(rowsAt(v1).contains((3L, "c", "p2")))
+    // the rollback itself can be rolled back
+    val v3 = Versioned.restore(spark, path, v1)
+    assert(rowsAt(v3) == rowsAt(v1))
+    // restoring a missing version fails loudly
+    intercept[IllegalArgumentException] { Versioned.restore(spark, path, 99) }
+  }
+
   test("versioned compact: fewer files, identical contents, history intact") {
     import spark.implicits._
     import graft.sources.Versioned
