@@ -1088,39 +1088,58 @@ object Relational {
     * same labels under any partitioning, which is what a correctness
     * gate and an incremental re-run both need).
     *
-    * Scale shape: each round is ONE shuffle-hash join (the node-sized
-    * label table is the hinted build side; the cached 2|E| directed
-    * neighbor list streams) + TWO hash aggregations — (node, label)
-    * counts, then the per-node argmax via `max(struct(cnt, −label))`
-    * (the house q39/keep-first idiom: map-side partials collapse
-    * every task's contribution to one row per node BEFORE the
-    * exchange, so a celebrity node never funnels its neighbor list
-    * into one task's window sort — there is NO Window in this plan).
-    * The neighbor list is built once and cache-shared across rounds;
-    * a production run at 100 TB would checkpoint the label table
-    * every few rounds to cut lineage, exactly like [[q37Pagerank]].
-    * Output: the community-size census (size, n_communities) — the
-    * bounded aggregate a pipeline dashboards; per-node labels stay
-    * distributed.
+    * Scale shape — the [[q37Pagerank]] discipline applied to LPA. The
+    * doubled neighbor list is built with ONE exchange (the
+    * u-repartition also satisfies the (u, v) dedup, subset rule) and
+    * cached u-partitioned. Below [[PagerankBroadcastNodeCap]] measured
+    * nodes, each round BROADCASTS the node-sized label table into a
+    * map-side join against that cache, and BOTH aggregations — the
+    * (node, label) counts and the per-node argmax via
+    * `max(struct(cnt, −label))` (the q39/keep-first idiom: map-side
+    * partials collapse a celebrity node's neighbor list before any
+    * exchange; NO Window in this plan) — are partition-local on the
+    * u-clustering: ZERO per-round exchanges (measured 4.9 → ~2.0 s
+    * warm at sf0.1). Above the cap the same rounds run shuffle-hash —
+    * the algorithm is unchanged, PlanSpec pins both regimes to
+    * identical output. A production run at 100 TB would checkpoint
+    * the label table every few rounds to cut lineage, exactly like
+    * q37. Output: the community-size census (size, n_communities) —
+    * the bounded aggregate a pipeline dashboards; per-node labels
+    * stay distributed.
     */
-  def q50LabelPropagation(s: SparkSession, d: String): DataFrame = {
+  def q50LabelPropagation(s: SparkSession, d: String): DataFrame =
+    q50LabelPropagationAt(s, d, PagerankBroadcastNodeCap)
+
+  private[graft] def q50LabelPropagationAt(s: SparkSession, d: String,
+      broadcastNodeCap: Long): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val e = li.select(col("ok"), col("pk").as("a"))
       .hint("shuffle_hash")
       .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .dropDuplicates(Seq("a", "b"))
-    // both directions: u's neighbor multiset is every v with {u,v} ∈ E
-    val nbr = e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a").as("u"), col("b").as("v"))
+    // one exchange builds the deduped doubled neighbor list: the self
+    // join emits both orientations, the u-repartition clusters them,
+    // and the (u, v) dedup is partition-local by the subset rule
+    val nbr = e
+      .repartition(math.max(1, s.sessionState.conf.numShufflePartitions / 2),
+        col("u"))
+      .dropDuplicates(Seq("u", "v"))
       .cache()
+    // node table + measured count (bounded node-dimension aggregate);
+    // the distinct is partition-local on the cached u-clustering
     val init = nbr.select(col("u").as("n")).distinct()
       .select(col("n"), col("n").as("lbl"))
-    val labels = (1 to LpaRounds).foldLeft(init) { (lbl, _) =>
-      nbr
-        .join(lbl.select(col("n").as("v"), col("lbl")).hint("shuffle_hash"), Seq("v"))
+      .cache()
+    val smallNodes = init.count() <= broadcastNodeCap
+    def labelJoin(lbl: DataFrame): DataFrame = {
+      val r = lbl.select(col("n").as("v"), col("lbl"))
+      if (smallNodes) nbr.join(broadcast(r), Seq("v"))
+      else nbr.join(r.hint("shuffle_hash"), Seq("v"))
+    }
+    val labels = (1 to LpaRounds).foldLeft(init: DataFrame) { (lbl, _) =>
+      labelJoin(lbl)
         .groupBy(col("u"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("u"))

@@ -794,15 +794,46 @@ object TextAnalysis {
     * Misra-Gries per-partition summaries (capacity-bounded).
     */
   def textCmsTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     // token stream feeds both the sketch build and the exact head;
     // materialize the kernel output once (the kn-family discipline)
     val toks = withToks(Tables.documents(s, d))
       .select(explode(col("toks")).as("tok"))
       .localCheckpoint()
-    val cms = toks
-      .select(posexplode(array((0 until CmsRows).map(r => cmsBucket(r, col("tok"))): _*))
-        .as(Seq("r", "b")))
-      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("n"))
+    // Distributed CMS build as a typed per-partition kernel: each task
+    // counts its tokens locally, hashes each DISTINCT token once (not
+    // once per occurrence — the expression form computed d md5s per
+    // token occurrence and was the row's dominant cost), accumulates
+    // its own d×w partial sketch, and emits at most d·w cells; the
+    // groupBy then merges the partial sketches by cell-wise addition —
+    // the cross-shard merge IS the aggregation, and nothing
+    // corpus-sized ever reaches the exchange. The 48-bit bucket value
+    // is the md5 digest's first 6 bytes big-endian ≡ the oracle's
+    // CAST('0x' || substring(md5(…), 1, 12) AS BIGINT).
+    val cms = toks.as[String].mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long]()
+      it.foreach(t => counts.put(t, counts.getOrDefault(t, 0L) + 1L))
+      val cells = Array.ofDim[Long](CmsRows, CmsWidth)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      counts.forEach { (t, c) =>
+        var r = 0
+        while (r < CmsRows) {
+          md.reset()
+          val dg = md.digest(s"$r|$t".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var i = 0
+          while (i < 6) { h = (h << 8) | (dg(i) & 0xffL); i += 1 }
+          cells(r)((h % CmsWidth).toInt) += c
+          r += 1
+        }
+      }
+      for {
+        r <- (0 until CmsRows).iterator
+        b <- (0 until CmsWidth).iterator
+        if cells(r)(b) != 0L
+      } yield (r, b.toLong, cells(r)(b))
+    }.toDF("r", "b", "n")
+      .groupBy(col("r"), col("b")).agg(sum(col("n")).as("n"))
     val top = toks
       .agg(graft.functions.FreqItems.freqItems(col("tok"), FreqItemsCapacity, CmsTopK).as("top"))
       .select(posexplode(col("top")).as(Seq("rank0", "e")))

@@ -342,6 +342,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(out == census, s"engine $out vs recompute $census")
   }
 
+  test("label propagation: broadcast and shuffle regimes produce identical output") {
+    // the q37 discipline: the node-count cap flips join strategy only —
+    // forcing cap 0 (every label join shuffle-hash) must not change a row
+    val bc = SparkEntry.queries("q50_label_propagation")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val forced = graft.operators.Relational.q50LabelPropagationAt(spark, sf, 0L)
+    val p = forced.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    val sh = forced.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sh == bc)
+  }
+
   test("kmv: a sketch that never filled estimates exactly (q46 sub-populations)") {
     // at sf0.001 both date slices hold < 256 distinct customer hashes,
     // so every estimate must equal its exact count — the KMV non-full
