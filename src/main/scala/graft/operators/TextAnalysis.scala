@@ -709,6 +709,10 @@ object TextAnalysis {
       }
       .toDF("w1", "w2")
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      // three consumers (margins + the scored join) — materialize the
+      // bigram-type aggregation once instead of re-running the kernel
+      // scan per consumer
+      .localCheckpoint(eager = false)
     val mA = bi.groupBy(col("w1")).agg(sum(col("c_ab")).as("ka"))
     val mB = bi.groupBy(col("w2")).agg(sum(col("c_ab")).as("kb"))
     val uni = docs.select(explode(tokens(col("text"))).as("tok"))
@@ -796,8 +800,10 @@ object TextAnalysis {
   def textCmsTopk(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // token stream feeds both the sketch build and the exact head;
-    // materialize the kernel output once (the kn-family discipline)
-    val toks = withToks(Tables.documents(s, d))
+    // materialize the kernel output once (the kn-family discipline),
+    // spread over tasks (the small-SF corpus is one parquet split)
+    val toks = withToks(Tables.documents(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id")))
       .select(explode(col("toks")).as("tok"))
       .localCheckpoint()
     // Distributed CMS build as a typed per-partition kernel: each task
