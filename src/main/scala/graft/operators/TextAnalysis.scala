@@ -475,11 +475,13 @@ object TextAnalysis {
     *
     * Measured floor: a 4-level backoff fit is inherently ~20 Spark
     * stages (type pyramid + one union-aggregation + per-level joins);
-    * at sf0.1 that fixed stage cost dominates (engine ~6.5 s vs the
-    * 2.3 s single-process DuckDB oracle) and AMORTIZES with data: at
-    * 10× (tmp/sf1probe, idle host) the engine runs 9.9 s vs the
-    * oracle's 12.2 s = 0.81× — the same crossover the repo's other
-    * multi-stage designs (q37, dedup_substring) show at scale.
+    * at sf0.1 that fixed stage cost dominates (engine ~3 s warm vs
+    * the ~1.3 s single-process DuckDB oracle after both sides'
+    * hash-keying) and AMORTIZES with data: at 10× (tmp/sf1probe, idle
+    * host, lazy-checkpoint form) the engine runs 4.7 s vs the
+    * oracle's 7.7 s median = 0.61× — the same crossover the repo's
+    * other multi-stage designs (q37, dedup_substring) show at scale
+    * (kn3: 3.0× at sf0.1 → 1.31× at 10×).
     */
   def textLmKn5Score(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
