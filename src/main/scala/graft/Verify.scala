@@ -77,6 +77,8 @@ object Verify {
         ("ann_ivf_recall", Similarity.ivfCandidates(spark, sfDir)),
         ("ann_pq_recall", Similarity.pqCandidates(spark, sfDir)),
         ("ann_ivfpq_recall", Similarity.ivfpqCandidates(spark, sfDir)),
+        ("ann_binary_recall", Similarity.binaryCandidates(spark, sfDir)),
+        ("ann_filtered_ivfpq_recall", Similarity.ivfpqFilteredCandidates(spark, sfDir)),
       ).foreach { case (name, cand) =>
         try cand.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/${name}_cand")
@@ -84,14 +86,22 @@ object Verify {
           System.err.println(s"[verify] ${name}_cand dump failed: ${e.getMessage}")
         }
       }
+      // gt_oracle: the committed oracle whose rows are the gate's
+      // ground-truth top-k (the filtered gate restricts candidates AND
+      // ground truth to the query's label — bruteforce would be the
+      // wrong yardstick)
       val bars = Seq(
-        ("ann_lsh_recall", Similarity.LshRecallBar, Similarity.LshPruneBar),
-        ("ann_multiprobe_recall", Similarity.MpRecallBar, Similarity.MpPruneBar),
-        ("ann_ivf_recall", Similarity.IvfRecallBar, Similarity.IvfPruneBar),
-        ("ann_pq_recall", Similarity.PqRecallBar, Similarity.PqPruneBar),
-        ("ann_ivfpq_recall", Similarity.IvfPqRecallBar, Similarity.IvfPqPruneBar),
-      ).map { case (n, r, p) =>
-        s""""$n": {"recall_bar": $r, "prune_bar": $p, "topk": ${Similarity.TopK}}"""
+        ("ann_lsh_recall", Similarity.LshRecallBar, Similarity.LshPruneBar, None),
+        ("ann_multiprobe_recall", Similarity.MpRecallBar, Similarity.MpPruneBar, None),
+        ("ann_ivf_recall", Similarity.IvfRecallBar, Similarity.IvfPruneBar, None),
+        ("ann_pq_recall", Similarity.PqRecallBar, Similarity.PqPruneBar, None),
+        ("ann_ivfpq_recall", Similarity.IvfPqRecallBar, Similarity.IvfPqPruneBar, None),
+        ("ann_binary_recall", Similarity.BinaryRecallBar, Similarity.BinaryPruneBar, None),
+        ("ann_filtered_ivfpq_recall", Similarity.FilteredIvfPqRecallBar,
+          Similarity.FilteredIvfPqPruneBar, Some("ann_filtered_topk")),
+      ).map { case (n, r, p, gt) =>
+        val gtField = gt.fold("")(g => s""", "gt_oracle": "$g"""")
+        s""""$n": {"recall_bar": $r, "prune_bar": $p, "topk": ${Similarity.TopK}$gtField}"""
       }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/gate_bars.json"), bars)
     }

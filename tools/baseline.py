@@ -54,7 +54,10 @@ def gate_sql(name: str) -> str:
     rank/hit/volume aggregation over the dumped candidate set."""
     bars = gate_bars[name]
     k, rbar, pbar = bars["topk"], bars["recall_bar"], bars["prune_bar"]
-    gt = oracle["ann_bruteforce_topk"].rstrip().rstrip(";")
+    # a gate may name its own ground-truth oracle (the filtered gate's
+    # ground truth is label-restricted; bruteforce would be the wrong
+    # yardstick and would flip recall_ok)
+    gt = oracle[bars.get("gt_oracle", "ann_bruteforce_topk")].rstrip().rstrip(";")
     cand = OUTDIR / f"{name}_cand"
     return f"""
 WITH gt AS ({gt}),
