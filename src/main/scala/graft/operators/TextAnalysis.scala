@@ -766,6 +766,53 @@ object TextAnalysis {
       .select((col("rank0") + 1).cast("long").as("rank"),
         col("e.item").as("token"), col("e.cnt").as("cnt"))
 
+  val JsdTopK = 20
+
+  /** Token-distribution DRIFT between two corpus slices by per-token
+    * Jensen-Shannon divergence contribution — the monitoring report a
+    * production pipeline runs between crawls/snapshots to catch
+    * vocabulary shift before it poisons a training mix (doc_id parity
+    * stands in for the old/new slice split). For token t with slice
+    * probabilities p, q and mixture m = (p+q)/2:
+    *
+    *   contrib(t) = ½·p·log₂(p/m) + ½·q·log₂(q/m)   (0 terms for p,q=0)
+    *
+    * and Σ_t contrib = JSD(P‖Q) ∈ [0, 1]. The row reports the
+    * [[JsdTopK]] highest-contribution tokens with both probabilities —
+    * the actionable artifact (WHICH tokens drifted), not just the
+    * scalar.
+    *
+    * Scale shape: ONE corpus-token aggregation (map-side partials)
+    * keyed by token with both slice counts as conditional sums; the
+    * grand totals are a broadcast scalar pair; the contribution math
+    * is pure map-side double arithmetic on exact count ratios
+    * (deterministic — every division/log is correctly rounded IEEE on
+    * both engines, the q34 discipline), and the top-k cut orders by
+    * the ROUNDED contribution with a token tie-break so near-ties
+    * cannot reorder across engines.
+    */
+  def textDriftJsd(s: SparkSession, d: String): DataFrame = {
+    val cnt = withToks(Tables.documents(s, d))
+      .select((pmod(col("doc_id"), lit(2)) === 0).as("grp"),
+        explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("grp"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("grp"), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(eager = false)
+    val tot = cnt.agg(sum(col("ca")).cast("double").as("ta"),
+      sum(col("cb")).cast("double").as("tb"))
+    def term(p: Column, q: Column): Column =
+      when(p > 0, lit(0.5) * p * log2(lit(2.0) * p / (p + q))).otherwise(lit(0.0))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("token"), col("ca"), col("cb"),
+        (col("ca") / col("ta")).as("pa"), (col("cb") / col("tb")).as("pb"))
+      .select(col("token"), col("ca"), col("cb"),
+        round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
+        round(term(col("pa"), col("pb")) + term(col("pb"), col("pa")), 6).as("jsd_contrib"))
+      .orderBy(col("jsd_contrib").desc, col("token"))
+      .limit(JsdTopK)
+  }
+
   val CmsRows = 4      // d: independent hash rows (error prob ~ e^-d)
   val CmsWidth = 2048  // w: buckets per row (overestimate ~ N_tokens/w)
   val CmsTopK = 20
@@ -1117,6 +1164,7 @@ object TextAnalysis {
     "text_stem" -> textStem _,
     "text_freq_items" -> textFreqItems _,
     "text_cms_topk" -> textCmsTopk _,
+    "text_drift_jsd" -> textDriftJsd _,
     "text_ngram_freq" -> textNgramFreq _,
     "text_token_count" -> textTokenCount _,
     "text_langid" -> textLangid _,
@@ -1364,6 +1412,21 @@ object TextAnalysis {
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
         |       token, cnt
         |FROM c ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+    "text_drift_jsd" ->
+      s"""WITH t AS (SELECT doc_id % 2 = 0 AS grp,
+        |   unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token,
+        |   CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |   CAST(sum(CASE WHEN grp THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        | FROM t GROUP BY token),
+        |tt AS (SELECT CAST(sum(ca) AS DOUBLE) AS ta, CAST(sum(cb) AS DOUBLE) AS tb FROM c),
+        |p AS (SELECT token, ca, cb, ca / ta AS pa, cb / tb AS pb FROM c, tt)
+        |SELECT token, ca, cb, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        | round(CASE WHEN pa > 0 THEN 0.5 * pa * log2(2.0 * pa / (pa + pb)) ELSE 0 END
+        |     + CASE WHEN pb > 0 THEN 0.5 * pb * log2(2.0 * pb / (pb + pa)) ELSE 0 END,
+        |   6) AS jsd_contrib
+        |FROM p
+        |ORDER BY jsd_contrib DESC, token LIMIT $JsdTopK""".stripMargin,
     "text_cms_topk" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |rs AS (SELECT unnest([${(0 until CmsRows).mkString(", ")}]) AS r),

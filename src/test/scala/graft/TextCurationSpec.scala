@@ -620,6 +620,43 @@ class TextCurationSpec extends AnyFunSuite {
     assert(TextAnalysis.tokenHashes(null, 1) == null)
   }
 
+  test("drift jsd: matches a plain-Scala refit; contributions non-negative, ordered") {
+    val rows = TextAnalysis.textDriftJsd(spark, sf).collect()
+    assert(rows.length == TextAnalysis.JsdTopK)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val ca = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cb = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (id, t) =>
+      val m = if (id % 2 == 0) ca else cb
+      t.split(" ", -1).foreach(tok => m(tok) += 1L)
+    }
+    val (ta, tb) = (ca.values.sum.toDouble, cb.values.sum.toDouble)
+    def contrib(tok: String): Double = {
+      val pa = ca(tok) / ta; val pb = cb(tok) / tb
+      def term(p: Double, q: Double) =
+        if (p > 0) 0.5 * p * (math.log(2.0 * p / (p + q)) / math.log(2.0)) else 0.0
+      term(pa, pb) + term(pb, pa)
+    }
+    // engine rows match the refit value per token, are sorted by
+    // rounded contribution, and every contribution is >= 0 (JSD terms
+    // are non-negative pointwise)
+    val contribs = rows.map(_.getAs[Double]("jsd_contrib"))
+    assert(contribs.sameElements(contribs.sorted.reverse))
+    rows.foreach { r =>
+      val tok = r.getAs[String]("token")
+      val c = r.getAs[Double]("jsd_contrib")
+      assert(c >= 0.0)
+      assert(math.abs(c - BigDecimal(contrib(tok)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-9, s"token '$tok'")
+      assert(r.getAs[Long]("ca") == ca(tok) && r.getAs[Long]("cb") == cb(tok))
+    }
+    // total JSD over the whole vocabulary is a valid divergence
+    val all = (ca.keySet ++ cb.keySet).toSeq.map(contrib).sum
+    assert(all >= 0.0 && all <= 1.0 + 1e-9, s"jsd=$all")
+  }
+
   test("cms topk: matches a plain-Scala CMS refit; estimates never undercount") {
     val rows = TextAnalysis.textCmsTopk(spark, sf).collect()
     assert(rows.length == TextAnalysis.CmsTopK)
