@@ -820,7 +820,7 @@ object TextAnalysis {
   /** Per-row CMS bucket of a token: the md5-hex-prefix hash both
     * engines compute identically (the q38_kmv convention), salted by
     * the row index so the [[CmsRows]] hash functions are independent. */
-  private def cmsBucket(r: Int, tok: Column): Column =
+  private[graft] def cmsBucket(r: Int, tok: Column): Column =
     pmod(conv(substring(md5(concat(lit(s"$r|"), tok)), 1, 12), 16, 10).cast("long"),
       lit(CmsWidth.toLong))
 

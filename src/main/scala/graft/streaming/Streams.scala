@@ -180,6 +180,32 @@ object Streams {
   }
 
   // ------------------------------------------------------------------
+  // Streaming Count-Min sketch build.
+  // ------------------------------------------------------------------
+
+  /** Streaming Count-Min sketch: the aggregation STATE is the sketch —
+    * at most d×w cells regardless of how long the document stream
+    * runs, the textbook bounded-state streaming counter
+    * ([[graft.operators.TextAnalysis.textCmsTopk]]'s batch build run
+    * incrementally: each micro-batch's token counts merge into the
+    * cells by addition, exactly the cross-shard merge the batch form
+    * uses, so stopping the stream at any trigger yields the same
+    * matrix a batch build over the data-so-far would). Heavy-hitter
+    * estimates read min-over-rows off the live cells at any time.
+    */
+  def cmsCellsStream(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(posexplode(array((0 until graft.operators.TextAnalysis.CmsRows).map(r =>
+        graft.operators.TextAnalysis.cmsBucket(r, col("tok"))): _*)).as(Seq("r", "b")))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("n"))
+
+  /** Batch analog for the correctness gate: the full cell matrix. */
+  def streamCms(s: SparkSession, d: String): DataFrame =
+    cmsCellsStream(Tables.documents(s, d))
+      .orderBy(col("r"), col("b"))
+
+  // ------------------------------------------------------------------
   // Stream-static decontamination join.
   // ------------------------------------------------------------------
 
@@ -502,7 +528,8 @@ object Streams {
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_join_outer" -> streamIntervalJoinOuter _,
     "stream_decontaminate" -> streamDecontaminate _,
-    "stream_neardup" -> streamNeardup _)
+    "stream_neardup" -> streamNeardup _,
+    "stream_cms" -> streamCms _)
 
   val oracleSql: Map[String, String] = Map(
     // each event contributes to exactly two half-hour-aligned windows
@@ -566,6 +593,16 @@ object Streams {
         |    ORDER BY doc_id) AS rn
         | FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "stream_cms" -> {
+      import graft.operators.TextAnalysis.{CmsRows, CmsWidth}
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |rs AS (SELECT unnest([${(0 until CmsRows).mkString(", ")}]) AS r)
+         |SELECT r,
+         | CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 12) AS BIGINT)
+         |   % $CmsWidth AS b,
+         | CAST(count(*) AS BIGINT) AS n
+         |FROM toks, rs GROUP BY 1, 2 ORDER BY r, b""".stripMargin
+    },
     "stream_topk" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, CAST(rk AS BIGINT) AS rank, event_id

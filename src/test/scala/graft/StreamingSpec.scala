@@ -504,4 +504,34 @@ class StreamingSpec extends AnyFunSuite {
       path, "id", "part", ckpt).awaitTermination()
     assert(Versioned.versions(spark, path) == Seq(0, 1))
   }
+
+  test("streaming CMS cells accumulate across batches to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a a e f"), (4L, "g b"))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.cmsCellsStream(
+      stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory").queryName("cms_out").start()
+    try {
+      stream.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // stopping after any trigger yields the same matrix a batch build
+    // over the data-so-far would: cells merge by addition
+    val streamed = spark.table("cms_out").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.streaming.Streams.cmsCellsStream(
+      docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    // bounded state: never more than d x w cells
+    assert(streamed.size <= graft.operators.TextAnalysis.CmsRows *
+      graft.operators.TextAnalysis.CmsWidth)
+    // every token occurrence lands in exactly CmsRows cells
+    val totalTokens = docs.map(_._2.split(" ", -1).length).sum
+    assert(streamed.values.sum == totalTokens.toLong * graft.operators.TextAnalysis.CmsRows)
+  }
 }
