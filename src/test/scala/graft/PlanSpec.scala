@@ -348,6 +348,8 @@ class PlanSpec extends AnyFunSuite {
         // broadcast onto the gram-type table as the LM/PMI rows
         "cur_tfidf_topterms", "text_lm_score", "text_lm_kn", "text_lm_kn3",
         "text_lm_kn5", "text_pmi_bigrams", "text_llr_bigrams",
+        // slice-total scalar pair broadcast onto the token-count table
+        "text_drift_jsd",
         // scalar avgdl aggregate broadcast onto the term stream —
         // the same share-of-total shape as the LM/PMI rows above
         "text_bm25_topk",
