@@ -134,7 +134,8 @@ object Probe {
           SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save(); 0L
         }
         Thread.sleep(500)
-        done.sortBy(_._1).foreach { case (id, s, st) =>
+        spark.sparkContext.removeSparkListener(l)
+        done.synchronized { done.sortBy(_._1).toVector }.foreach { case (id, s, st) =>
           println(f"[probe] job $id%3d ${s}%7.2f s  $st")
         }
       case "explain" :: q :: Nil =>

@@ -1600,7 +1600,7 @@ object Curation {
          |  least(n_chars / 500.0, 1.0) AS len_score,
          |  CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / nt AS stop_ratio,
          |  len(list_distinct(toks)) / nt AS uniq_ratio,
-         |  (strlen(text) - (nt - 1)) / nt AS mean_wl
+         |  (length(text) - (nt - 1)) / nt AS mean_wl
          | FROM t),
          |z AS (SELECT *, $QwBias + $QwLen * len_score + $QwStop * (1.0 - stop_ratio)
          |    + $QwUniq * uniq_ratio + $QwMwl * mean_wl / 10.0 AS zz FROM f)
@@ -1616,14 +1616,14 @@ object Curation {
     "cur_gopher_rules" -> {
       val inList = gopherStops.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
-         |  strlen(text) AS nc FROM documents),
+         |  length(text) AS nc FROM documents),
          |m AS (SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_words,
          |  CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_wl,
          |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
          |    / len(toks) AS alpha_frac,
          |  CAST(len(list_filter(toks, x -> x IN ($inList))) AS BIGINT) AS stop_hits,
-         |  CAST(nc - strlen(replace(text, '#', '')) AS DOUBLE) / len(toks) AS symbol_frac
+         |  CAST(nc - length(replace(text, '#', '')) AS DOUBLE) / len(toks) AS symbol_frac
          | FROM t)
          |SELECT doc_id, n_words, mean_wl, alpha_frac, stop_hits, symbol_frac,
          | CAST(CASE WHEN n_words BETWEEN $GopherMinWords AND $GopherMaxWords
@@ -1769,14 +1769,14 @@ object Curation {
       val sqlIn = TextAnalysis.stopSql.map(w => s"'$w'").mkString(", ")
       val dataIn = TextAnalysis.stopData.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
-         |  strlen(text) AS nc FROM documents),
+         |  length(text) AS nc FROM documents),
          |m AS (SELECT doc_id, text,
          |  CAST(len(toks) AS BIGINT) AS n_words,
          |  CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_wl,
          |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
          |    / len(toks) AS alpha_frac,
          |  CAST(len(list_filter(toks, x -> x IN ($stopIn))) AS BIGINT) AS stop_hits,
-         |  CAST(nc - strlen(replace(text, '#', '')) AS DOUBLE) / len(toks) AS symbol_frac,
+         |  CAST(nc - length(replace(text, '#', '')) AS DOUBLE) / len(toks) AS symbol_frac,
          |  len(list_filter(toks, x -> x IN ($enIn))) AS c_en,
          |  len(list_filter(toks, x -> x IN ($sqlIn))) AS c_sql,
          |  len(list_filter(toks, x -> x IN ($dataIn))) AS c_data

@@ -785,11 +785,15 @@ object TextAnalysis {
     * Scale shape: ONE corpus-token aggregation (map-side partials)
     * keyed by token with both slice counts as conditional sums; the
     * grand totals are a broadcast scalar pair; the contribution math
-    * is pure map-side double arithmetic on exact count ratios
-    * (deterministic — every division/log is correctly rounded IEEE on
-    * both engines, the q34 discipline), and the top-k cut orders by
-    * the ROUNDED contribution with a token tie-break so near-ties
-    * cannot reorder across engines.
+    * is pure map-side double arithmetic on exact count ratios.
+    * Division is correctly rounded IEEE on both engines (the q34
+    * discipline) but log₂ is only ~1-ulp-accurate (java.lang.Math.log
+    * vs DuckDB's libm), so a contribution lying exactly on a
+    * 6-decimal rounding boundary could round differently cross-engine
+    * — the gate is green on the test corpora, and the top-k cut
+    * orders by the ROUNDED contribution with EXACT integer (ca, cb)
+    * count tie-breaks ahead of the token so equal-rounded rows can
+    * never reorder on the float alone.
     */
   def textDriftJsd(s: SparkSession, d: String): DataFrame = {
     val cnt = withToks(Tables.documents(s, d))
@@ -809,7 +813,7 @@ object TextAnalysis {
       .select(col("token"), col("ca"), col("cb"),
         round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
         round(term(col("pa"), col("pb")) + term(col("pb"), col("pa")), 6).as("jsd_contrib"))
-      .orderBy(col("jsd_contrib").desc, col("token"))
+      .orderBy(col("jsd_contrib").desc, col("ca").desc, col("cb").desc, col("token"))
       .limit(JsdTopK)
   }
 
@@ -823,6 +827,48 @@ object TextAnalysis {
   private[graft] def cmsBucket(r: Int, tok: Column): Column =
     pmod(conv(substring(md5(concat(lit(s"$r|"), tok)), 1, 12), 16, 10).cast("long"),
       lit(CmsWidth.toLong))
+
+  /** Typed per-partition CMS partial-sketch kernel, shared by the
+    * batch build ([[textCmsTopk]]) and the streaming build
+    * ([[graft.streaming.Streams.cmsCellsStream]], which runs it per
+    * micro-batch): each task counts its tokens locally, hashes each
+    * DISTINCT token once (not once per occurrence — the expression
+    * form computed d md5s per token occurrence and dominated both
+    * rows' cost), accumulates its own d×w partial sketch, and emits
+    * at most d·w (r, b, n) cells. Callers merge the partials with a
+    * cell-wise `groupBy(r, b).sum(n)` — the cross-shard merge IS the
+    * aggregation, and nothing corpus-sized ever reaches the exchange.
+    * The 48-bit bucket value is the md5 digest's first 6 bytes
+    * big-endian ≡ [[cmsBucket]] ≡ the oracle's
+    * CAST('0x' || substring(md5(…), 1, 12) AS BIGINT).
+    */
+  private[graft] def cmsPartialCells(
+      toks: org.apache.spark.sql.Dataset[String]): DataFrame = {
+    import toks.sparkSession.implicits._
+    toks.mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long]()
+      it.foreach(t => counts.put(t, counts.getOrDefault(t, 0L) + 1L))
+      val cells = Array.ofDim[Long](CmsRows, CmsWidth)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      counts.forEach { (t, c) =>
+        var r = 0
+        while (r < CmsRows) {
+          md.reset()
+          val dg = md.digest(s"$r|$t".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var i = 0
+          while (i < 6) { h = (h << 8) | (dg(i) & 0xffL); i += 1 }
+          cells(r)((h % CmsWidth).toInt) += c
+          r += 1
+        }
+      }
+      for {
+        r <- (0 until CmsRows).iterator
+        b <- (0 until CmsWidth).iterator
+        if cells(r)(b) != 0L
+      } yield (r, b.toLong, cells(r)(b))
+    }.toDF("r", "b", "n")
+  }
 
   /** Count-Min sketch heavy-hitter estimates (Cormode & Muthukrishnan
     * 2005) — the streaming/sharded counterpart of exact token counts:
@@ -854,40 +900,11 @@ object TextAnalysis {
     val toks = withToks(Tables.documents(s, d)
         .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id")))
       .select(explode(col("toks")).as("tok"))
-      .localCheckpoint()
-    // Distributed CMS build as a typed per-partition kernel: each task
-    // counts its tokens locally, hashes each DISTINCT token once (not
-    // once per occurrence — the expression form computed d md5s per
-    // token occurrence and was the row's dominant cost), accumulates
-    // its own d×w partial sketch, and emits at most d·w cells; the
-    // groupBy then merges the partial sketches by cell-wise addition —
-    // the cross-shard merge IS the aggregation, and nothing
-    // corpus-sized ever reaches the exchange. The 48-bit bucket value
-    // is the md5 digest's first 6 bytes big-endian ≡ the oracle's
-    // CAST('0x' || substring(md5(…), 1, 12) AS BIGINT).
-    val cms = toks.as[String].mapPartitions { it =>
-      val counts = new java.util.HashMap[String, Long]()
-      it.foreach(t => counts.put(t, counts.getOrDefault(t, 0L) + 1L))
-      val cells = Array.ofDim[Long](CmsRows, CmsWidth)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      counts.forEach { (t, c) =>
-        var r = 0
-        while (r < CmsRows) {
-          md.reset()
-          val dg = md.digest(s"$r|$t".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var h = 0L
-          var i = 0
-          while (i < 6) { h = (h << 8) | (dg(i) & 0xffL); i += 1 }
-          cells(r)((h % CmsWidth).toInt) += c
-          r += 1
-        }
-      }
-      for {
-        r <- (0 until CmsRows).iterator
-        b <- (0 until CmsWidth).iterator
-        if cells(r)(b) != 0L
-      } yield (r, b.toLong, cells(r)(b))
-    }.toDF("r", "b", "n")
+      .localCheckpoint(eager = false)
+    // Distributed CMS build via the shared typed per-partition kernel
+    // ([[cmsPartialCells]]): per-task distinct-token hashing into d×w
+    // partial sketches, merged here by cell-wise addition.
+    val cms = cmsPartialCells(toks.as[String])
       .groupBy(col("r"), col("b")).agg(sum(col("n")).as("n"))
     val top = toks
       .agg(graft.functions.FreqItems.freqItems(col("tok"), FreqItemsCapacity, CmsTopK).as("top"))
@@ -1426,7 +1443,7 @@ object TextAnalysis {
         |     + CASE WHEN pb > 0 THEN 0.5 * pb * log2(2.0 * pb / (pb + pa)) ELSE 0 END,
         |   6) AS jsd_contrib
         |FROM p
-        |ORDER BY jsd_contrib DESC, token LIMIT $JsdTopK""".stripMargin,
+        |ORDER BY jsd_contrib DESC, ca DESC, cb DESC, token LIMIT $JsdTopK""".stripMargin,
     "text_cms_topk" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |rs AS (SELECT unnest([${(0 until CmsRows).mkString(", ")}]) AS r),
@@ -1511,7 +1528,7 @@ object TextAnalysis {
       raw"""SELECT doc_id,
            | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
            | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_re_tokens,
-           | CAST(strlen(text) AS BIGINT) AS n_chars_measured
+           | CAST(length(text) AS BIGINT) AS n_chars_measured
            |FROM documents ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id,

@@ -192,13 +192,23 @@ object Streams {
     * uses, so stopping the stream at any trigger yields the same
     * matrix a batch build over the data-so-far would). Heavy-hitter
     * estimates read min-over-rows off the live cells at any time.
+    *
+    * Cells are built by [[graft.operators.TextAnalysis.cmsPartialCells]],
+    * the typed per-partition kernel the batch build uses: each
+    * micro-batch task counts its tokens locally, hashes each DISTINCT
+    * token once, and emits ≤ d×w partial cells into the stateful
+    * cell-wise sum (the expression form this replaced paid d md5
+    * expressions per token OCCURRENCE — 2.2× of oracle where the
+    * kernel-based batch sibling runs ~1×).
     */
-  def cmsCellsStream(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
-      .select(posexplode(array((0 until graft.operators.TextAnalysis.CmsRows).map(r =>
-        graft.operators.TextAnalysis.cmsBucket(r, col("tok"))): _*)).as(Seq("r", "b")))
-      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("n"))
+  def cmsCellsStream(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.operators.TextAnalysis.cmsPartialCells(
+        docs
+          .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+          .as[String])
+      .groupBy(col("r"), col("b")).agg(sum(col("n")).as("n"))
+  }
 
   /** Batch analog for the correctness gate: the full cell matrix. */
   def streamCms(s: SparkSession, d: String): DataFrame =
