@@ -271,6 +271,55 @@ object Etl {
         array_join(expr("transform(chunks, c -> c.sim)"), ", ").as("similarities"))
       .orderBy(col("user_id"))
 
+  /** The reference's FULL three-channel chunk shape
+    * (test_chat_assistant.py:163-176): every chunk carries
+    * `similarity`, `vector_similarity` AND `term_similarity`, each
+    * coerced through the reference's `str(chunk.get(k) or "")` — a
+    * FALSY coercion, so a missing/None value AND a 0 value both
+    * become the empty string (faithful to the `or`, not just the
+    * docstring's "None values"), and empty entries keep their place
+    * in the comma-joined list (the join preserves separators).
+    * Nulls and zeros are injected deterministically per event so
+    * every coercion branch is hash-gated: similarity is NULL on
+    * event_id % 5, vector_similarity NULL on % 7, term_similarity
+    * ZERO on % 9 (the falsy-zero case the docstring would miss).
+    * The per-channel transforms run INSIDE the chunk struct before
+    * the join, so a null never silently drops out of `array_join`
+    * (which skips nulls — the coercion must happen first, exactly
+    * like the reference coerces before `", ".join`).
+    */
+  def etlRefChunksMulti(s: SparkSession, d: String): DataFrame = {
+    val e = col("event_id")
+    def coerced(c: Column): Column =
+      when(c.isNull || c === 0, lit("")).otherwise(c.cast("string"))
+    // channel values derive by INTEGER multipliers: `value` is a
+    // 2-decimal quantity, so ×2/×3 stay exactly 2-decimal and the
+    // round is a no-op on both engines — a ÷2 would land half the
+    // rows exactly on the .xx5 tie where Spark (HALF_UP over the
+    // shortest decimal repr) and DuckDB (binary-value round) disagree
+    val sim = coerced(when(e % 5 === 0, lit(null).cast("double"))
+      .otherwise(round(col("value"), 2)))
+    val vsim = coerced(when(e % 7 === 0, lit(null).cast("double"))
+      .otherwise(round(col("value") * 2, 2)))
+    val tsim = coerced(when(e % 9 === 0, lit(0.0))
+      .otherwise(round(col("value") * 3, 2)))
+    Tables.events(s, d)
+      .select(col("user_id"),
+        struct(col("event_id"), col("event_type"),
+          sim.as("sim"), vsim.as("vsim"), tsim.as("tsim")).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("c"))).as("chunks"))
+      .select(
+        col("user_id"),
+        size(col("chunks")).cast("long").as("total_references"),
+        array_join(expr("transform(chunks, c -> cast(c.event_id AS string))"), ", ").as("chunk_ids"),
+        array_join(expr("transform(chunks, c -> c.event_type)"), ", ").as("document_names"),
+        array_join(expr("transform(chunks, c -> c.sim)"), ", ").as("similarities"),
+        array_join(expr("transform(chunks, c -> c.vsim)"), ", ").as("vector_similarities"),
+        array_join(expr("transform(chunks, c -> c.tsim)"), ", ").as("term_similarities"))
+      .orderBy(col("user_id"))
+  }
+
   /** Judge-JSON extraction (test_chat_assistant_with_judge.py:292-358):
     * take the first `{...}` block of a noisy raw text (find "{" →
     * rfind "}" ⇒ greedy regex), then parse a typed field out of it.
@@ -284,6 +333,196 @@ object Etl {
         regexp_extract(col("raw"), "\\{.*\\}", 0).as("judge_json"))
       .select(col("event_id"), col("judge_json"),
         get_json_object(col("judge_json"), "$.k").cast("long").as("k"))
+
+  // ------------------------------------------------------------------
+  // Judge response-envelope parse chain + composed judge pipeline
+  // (test_chat_assistant_with_judge.py:292-358 and 509-535).
+  // ------------------------------------------------------------------
+
+  /** The reference's full `parse_judge_output` chain
+    * (test_chat_assistant_with_judge.py:303-358), not just its final
+    * fallback: a judge reply may arrive wrapped in any of the standard
+    * API envelopes, tried in the reference's exact order —
+    *
+    *  1. parse the whole body as JSON; if it is an object:
+    *     Messages-API `content[0].text` → `completion` → `output` →
+    *     `choices[0].text` / `choices[0].message` → (if the object
+    *     already carries `labels`/`scores`, it IS the judge JSON) —
+    *     the winning candidate is parsed as JSON itself, or on parse
+    *     failure becomes the raw text for step 2; an object matching
+    *     no envelope is re-serialized and falls to step 2;
+    *  2. first `{`…last `}` block of the remaining raw text, parsed;
+    *  3. otherwise a parse error.
+    *
+    * Returns (parsedNode or null, parseError or null). JSON text is
+    * canonicalized as Jackson's compact serialization (the engine's
+    * convention for emitted JSON-in-a-column values; the reference
+    * uses `json.dumps`, whose spacing is a formatting detail, not a
+    * semantic one).
+    */
+  private[graft] def parseJudgeOutput(
+      rawText: String): (com.fasterxml.jackson.databind.JsonNode, String) = {
+    import com.fasterxml.jackson.databind.JsonNode
+    if (rawText == null || rawText.isEmpty) return (null, "empty judge response")
+    def tryParse(s: String): JsonNode =
+      try sseMapper.readTree(s)
+      catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+    // a candidate node that is itself a JSON-encoded string decodes to
+    // its text; any other node re-serializes (the reference hands the
+    // raw python value to json.loads / the find-brace fallback)
+    def nodeText(n: JsonNode): String = if (n.isTextual) n.asText() else n.toString
+    var remaining = rawText
+    val top = tryParse(rawText)
+    if (top != null && top.isObject) {
+      val candidate: String =
+        if (top.has("content") && top.get("content").isArray && top.get("content").size > 0) {
+          val first = top.get("content").get(0)
+          if (first.isObject && first.hasNonNull("text")) first.get("text").asText() else null
+        } else if (top.hasNonNull("completion")) nodeText(top.get("completion"))
+        else if (top.hasNonNull("output")) nodeText(top.get("output"))
+        else if (top.has("choices") && top.get("choices").isArray && top.get("choices").size > 0) {
+          val c0 = top.get("choices").get(0)
+          if (c0.isObject && c0.hasNonNull("text")) nodeText(c0.get("text"))
+          else if (c0.isObject && c0.hasNonNull("message")) nodeText(c0.get("message"))
+          else nodeText(c0)
+        } else if (top.has("labels") || top.has("scores")) {
+          return (top, null)
+        } else null
+      if (candidate != null) {
+        val parsed = tryParse(candidate)
+        if (parsed != null) return (parsed, null)
+        remaining = candidate
+      } else remaining = top.toString
+    }
+    val start = remaining.indexOf('{')
+    val end = remaining.lastIndexOf('}')
+    if (start >= 0 && end > start) {
+      val snippet = remaining.substring(start, end + 1)
+      val parsed = tryParse(snippet)
+      if (parsed != null) return (parsed, null)
+      return (null, s"failed to parse inner JSON; snippet len ${snippet.length}")
+    }
+    (null, "unable to parse judge JSON")
+  }
+
+  /** The reference's `calculate_quality_color` ladder
+    * (test_chat_assistant_with_judge.py:380-422) evaluated over a
+    * PARSED labels object with python-dict `.get(key, default)`
+    * semantics — missing keys take the reference's per-rule default
+    * (note `answer_present`/`retrieval_supports_answer`/
+    * `retrieval_complete`/`retrieval_relevant` default TRUE for their
+    * negated RED/YELLOW rules but FALSE for the positive GREEN/YELLOW
+    * rules, exactly as in the reference).
+    */
+  private[graft] def qualityColorOf(
+      labels: com.fasterxml.jackson.databind.JsonNode): String = {
+    def get(k: String, dflt: Boolean): Boolean =
+      if (labels != null && labels.hasNonNull(k)) labels.get(k).asBoolean(dflt) else dflt
+    if (labels == null || !labels.isObject || labels.isEmpty) "GRAY"
+    else if (get("answer_wrong", false)) "RED"
+    else if (get("answer_hallucination", false)) "RED"
+    else if (get("answer_contradicts_sources", false)) "RED"
+    else if (!get("answer_present", true)) "RED"
+    else if (!get("retrieval_supports_answer", true)) "RED"
+    else if (get("answer_partial", false)) "YELLOW"
+    else if (!get("retrieval_complete", true)) "YELLOW"
+    else if (!get("retrieval_relevant", true)) "YELLOW"
+    else if (get("source_divergence", false)) "YELLOW"
+    else if (get("answer_requires_followup", false)) "YELLOW"
+    else if (get("answer_direct", false) && get("retrieval_supports_answer", false)) "GREEN"
+    else if (get("answer_present", false)) "YELLOW"
+    else "GRAY"
+  }
+
+  /** The composed judge pipeline row
+    * (test_chat_assistant_with_judge.py:509-535): envelope-parse the
+    * raw judge reply with the FULL [[parseJudgeOutput]] chain, then
+    * emit the CSV row's judge fields — `judge_json` (the parsed
+    * object, canonical text), `judge_labels` / `judge_scores` (the
+    * `labels` / `scores` sub-objects, `{}` when absent, as the
+    * reference's `.get(k, {})` + `json.dumps`), `judge_notes`, and
+    * `quality_color` computed from the PARSED labels via
+    * [[qualityColorOf]]; a reply that defeats the whole chain emits
+    * the reference's failure row — empty judge fields, the parse
+    * error in `judge_notes`, `quality_color` GRAY.
+    *
+    * Envelope variety is injected deterministically per event (the
+    * etl_model_judge failure-injection discipline) so every branch of
+    * the chain is hash-gated: event_id mod 6 selects Messages-API
+    * `content[0].text` / `completion` / `output` / `choices[0].text`
+    * / bare judge object / noisy-text-with-a-brace-block, and every
+    * 13th event's reply is unparseable garbage exercising the failure
+    * row. The DuckDB oracle replays the expected output in CLOSED
+    * FORM from event_id (the etl_paged_qa discipline) — independent
+    * of the engine's parse, so a mishandled envelope corrupts 1/6 of
+    * rows and fails the hash.
+    *
+    * Scale shape: one map-side typed kernel pass (the [[etlSseParse]]
+    * discipline — Jackson only runs on surviving rows, nothing is
+    * addressed by position), range-placed before the kernel so the
+    * final order is a map-side sortWithinPartitions; no shuffle of
+    * parsed rows, no Generate, no aggregate.
+    */
+  def etlJudgePipeline(s: SparkSession, d: String): DataFrame = {
+    val e = col("event_id")
+    // the judge's own JSON, minified in the engine's canonical form
+    val labelsJson = concat(
+      lit("""{"answer_present":"""), when(e % 11 === 1, "false").otherwise("true"),
+      lit(""","answer_direct":"""), when(e % 2 === 0, "true").otherwise("false"),
+      lit(""","answer_wrong":"""), when(e % 7 === 0, "true").otherwise("false"),
+      lit(""","answer_partial":"""), when(e % 5 === 0, "true").otherwise("false"),
+      lit(""","retrieval_supports_answer":"""), when(e % 3 === 0, "false").otherwise("true"),
+      lit(""","retrieval_complete":"""), when(e % 4 === 0, "false").otherwise("true"),
+      lit("}"))
+    val inner = concat(
+      lit("""{"labels":"""), labelsJson,
+      lit(""","scores":{"overall":"""), (e % 10).cast("string"),
+      lit("""},"notes":"note """), e.cast("string"), lit("\"}"))
+    // the inner JSON re-encoded as a JSON string literal for embedding
+    // inside an envelope's text field
+    val innerEsc = concat(lit("\""), regexp_replace(inner, "\"", "\\\\\""), lit("\""))
+    val raw =
+      when(e % 13 === 0, lit("judge failed: no structured output"))
+        .when(e % 6 === 0, concat(
+          lit("""{"id":"msg_"""), e.cast("string"),
+          lit("""","model":"judge-m","content":[{"type":"text","text":"""),
+          innerEsc, lit("}]}")))
+        .when(e % 6 === 1, concat(lit("""{"completion":"""), innerEsc, lit("}")))
+        .when(e % 6 === 2, concat(lit("""{"output":"""), innerEsc, lit("}")))
+        .when(e % 6 === 3, concat(
+          lit("""{"choices":[{"text":"""), innerEsc, lit("}]}")))
+        .when(e % 6 === 4, inner)
+        .otherwise(concat(lit("judge says: "), inner, lit(" -- end")))
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val base = Tables.events(s, d)
+      .select(col("event_id"))
+      .repartitionByRange(nPart, col("event_id"))
+      .select(col("event_id"), raw.as("raw"))
+    import s.implicits._
+    base.as[(Long, String)]
+      .mapPartitions(_.map { case (id, rawText) =>
+        val (parsed, err) = parseJudgeOutput(rawText)
+        if (parsed != null && parsed.isObject) {
+          val labels = parsed.get("labels")
+          val scores = parsed.get("scores")
+          val notes =
+            if (parsed.hasNonNull("notes")) parsed.get("notes").asText("") else ""
+          (id, parsed.toString,
+            if (labels != null && labels.isObject) labels.toString else "{}",
+            if (scores != null && scores.isObject) scores.toString else "{}",
+            notes, qualityColorOf(labels))
+        } else if (parsed != null) {
+          // parsed but not an object: the reference serializes it and
+          // leaves every other judge field at its GRAY default
+          (id, parsed.toString, "", "", "", "GRAY")
+        } else {
+          (id, "", "", "", if (err == null) "" else err, "GRAY")
+        }
+      })
+      .toDF("event_id", "judge_json", "judge_labels", "judge_scores",
+        "judge_notes", "quality_color")
+      .sortWithinPartitions(col("event_id"))
+  }
 
   // ------------------------------------------------------------------
   // Quality-color cascade (test_chat_assistant_with_judge.py:380-422).
@@ -561,7 +800,9 @@ object Etl {
     "etl_paged_qa" -> etlPagedQa _,
     "etl_sanitize_text" -> etlSanitizeText _,
     "etl_ref_chunks" -> etlRefChunks _,
+    "etl_ref_chunks_multi" -> etlRefChunksMulti _,
     "etl_judge_json_parse" -> etlJudgeJsonParse _,
+    "etl_judge_pipeline" -> etlJudgePipeline _,
     "etl_quality_color" -> etlQualityColor _,
     "etl_json_to_text" -> etlJsonToText _)
 
@@ -761,6 +1002,67 @@ object Etl {
         | string_agg(event_type, ', ' ORDER BY event_id) AS document_names,
         | string_agg(CAST(round(value, 2) AS VARCHAR), ', ' ORDER BY event_id) AS similarities
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "etl_ref_chunks_multi" ->
+      """WITH c AS (SELECT user_id, event_id, event_type,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE round(value, 2) END AS sim,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE round(value * 2, 2) END AS vsim,
+        |  CASE WHEN event_id % 9 = 0 THEN 0.0 ELSE round(value * 3, 2) END AS tsim
+        | FROM events),
+        |k AS (SELECT user_id, event_id, event_type,
+        |  CASE WHEN sim IS NULL OR sim = 0 THEN '' ELSE CAST(sim AS VARCHAR) END AS sim,
+        |  CASE WHEN vsim IS NULL OR vsim = 0 THEN '' ELSE CAST(vsim AS VARCHAR) END AS vsim,
+        |  CASE WHEN tsim IS NULL OR tsim = 0 THEN '' ELSE CAST(tsim AS VARCHAR) END AS tsim
+        | FROM c)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS total_references,
+        | string_agg(CAST(event_id AS VARCHAR), ', ' ORDER BY event_id) AS chunk_ids,
+        | string_agg(event_type, ', ' ORDER BY event_id) AS document_names,
+        | string_agg(sim, ', ' ORDER BY event_id) AS similarities,
+        | string_agg(vsim, ', ' ORDER BY event_id) AS vector_similarities,
+        | string_agg(tsim, ', ' ORDER BY event_id) AS term_similarities
+        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // closed-form replay of the composed judge pipeline: the judge's
+    // inner JSON, labels/scores/notes and the quality ladder are all
+    // pure functions of event_id, INDEPENDENT of which API envelope
+    // (event_id % 6) the engine had to unwrap — a mishandled envelope
+    // corrupts 1/6 of rows and fails the hash.
+    "etl_judge_pipeline" ->
+      """WITH b AS (SELECT event_id,
+        |  event_id % 13 = 0 AS failed,
+        |  NOT (event_id % 11 = 1) AS present,
+        |  event_id % 2 = 0 AS direct,
+        |  event_id % 7 = 0 AS wrong,
+        |  event_id % 5 = 0 AS partial,
+        |  NOT (event_id % 3 = 0) AS supports,
+        |  NOT (event_id % 4 = 0) AS complete
+        | FROM events),
+        |j AS (SELECT event_id, failed,
+        |  '{"answer_present":' || CASE WHEN present THEN 'true' ELSE 'false' END ||
+        |  ',"answer_direct":' || CASE WHEN direct THEN 'true' ELSE 'false' END ||
+        |  ',"answer_wrong":' || CASE WHEN wrong THEN 'true' ELSE 'false' END ||
+        |  ',"answer_partial":' || CASE WHEN partial THEN 'true' ELSE 'false' END ||
+        |  ',"retrieval_supports_answer":' || CASE WHEN supports THEN 'true' ELSE 'false' END ||
+        |  ',"retrieval_complete":' || CASE WHEN complete THEN 'true' ELSE 'false' END ||
+        |  '}' AS labels,
+        |  '{"overall":' || CAST(event_id % 10 AS VARCHAR) || '}' AS scores,
+        |  CASE
+        |   WHEN wrong THEN 'RED'
+        |   WHEN NOT present THEN 'RED'
+        |   WHEN NOT supports THEN 'RED'
+        |   WHEN partial THEN 'YELLOW'
+        |   WHEN NOT complete THEN 'YELLOW'
+        |   WHEN direct THEN 'GREEN'
+        |   ELSE 'YELLOW' END AS color
+        | FROM b)
+        |SELECT event_id,
+        | CASE WHEN failed THEN ''
+        |      ELSE '{"labels":' || labels || ',"scores":' || scores ||
+        |           ',"notes":"note ' || CAST(event_id AS VARCHAR) || '"}' END AS judge_json,
+        | CASE WHEN failed THEN '' ELSE labels END AS judge_labels,
+        | CASE WHEN failed THEN '' ELSE scores END AS judge_scores,
+        | CASE WHEN failed THEN 'unable to parse judge JSON'
+        |      ELSE 'note ' || CAST(event_id AS VARCHAR) END AS judge_notes,
+        | CASE WHEN failed THEN 'GRAY' ELSE color END AS quality_color
+        |FROM j ORDER BY event_id""".stripMargin,
     "etl_judge_json_parse" ->
       """SELECT event_id,
         | regexp_extract('judge says: ' || props || ' -- end', '{.*}', 0) AS judge_json,

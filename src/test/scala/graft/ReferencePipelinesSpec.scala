@@ -158,4 +158,58 @@ class ReferencePipelinesSpec extends AnyFunSuite {
       """data: {"code": 0, "data": {"reference": {"total": 3}}}""").mkString("\n")) ==
       ("keep", "", 3L))
   }
+
+  test("judge envelope parse chain: every reference fallback, in order") {
+    import Etl.{parseJudgeOutput, qualityColorOf}
+    val inner = """{"labels":{"answer_present":true,"answer_direct":true,"retrieval_supports_answer":true},"scores":{"overall":7},"notes":"n"}"""
+    val innerEsc = inner.replace("\"", "\\\"")
+    def parsedJson(raw: String): String = {
+      val (p, err) = parseJudgeOutput(raw)
+      assert(err == null, s"unexpected parse error: $err")
+      p.toString
+    }
+    // 1. Messages-API envelope: content[0].text
+    assert(parsedJson(
+      s"""{"id":"msg_1","model":"m","content":[{"type":"text","text":"$innerEsc"}]}""") == inner)
+    // 2. completion wrapper
+    assert(parsedJson(s"""{"completion":"$innerEsc"}""") == inner)
+    // 3. output wrapper
+    assert(parsedJson(s"""{"output":"$innerEsc"}""") == inner)
+    // 4. choices[0].text
+    assert(parsedJson(s"""{"choices":[{"text":"$innerEsc"}]}""") == inner)
+    // 5. bare judge object (has labels/scores) returns itself
+    assert(parsedJson(inner) == inner)
+    // 6. noisy raw text -> first {...} block
+    assert(parsedJson(s"judge says: $inner -- end") == inner)
+    // envelope precedence: content wins over a stray labels key
+    assert(parsedJson(
+      s"""{"labels":{"x":true},"content":[{"type":"text","text":"$innerEsc"}]}""") == inner)
+    // candidate that is NOT JSON falls through to the brace fallback
+    assert(parsedJson(s"""{"completion":"judge verdict $innerEsc trailing"}""") == inner)
+    // unknown-keyed object: reserialized, whole object parsed back
+    val (unknown, unknownErr) = parseJudgeOutput("""{"foo":1,"bar":"b"}""")
+    assert(unknownErr == null && unknown.toString == """{"foo":1,"bar":"b"}""")
+    // failures: empty, no braces, broken braces
+    assert(parseJudgeOutput("")._2 == "empty judge response")
+    assert(parseJudgeOutput("no structured output")._2 == "unable to parse judge JSON")
+    assert(parseJudgeOutput("{not json")._2 == "unable to parse judge JSON")
+    assert(parseJudgeOutput("x {broken} ")._2.startsWith("failed to parse inner JSON") ||
+      parseJudgeOutput("x {broken} ")._2 == "unable to parse judge JSON")
+
+    // quality ladder over parsed labels: defaults per the reference
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def color(json: String) = qualityColorOf(m.readTree(json))
+    assert(color("{}") == "GRAY")
+    assert(qualityColorOf(null) == "GRAY")
+    assert(color("""{"answer_wrong":true,"answer_direct":true}""") == "RED")
+    assert(color("""{"answer_present":false}""") == "RED")
+    assert(color("""{"answer_present":true,"retrieval_supports_answer":false}""") == "RED")
+    assert(color("""{"answer_present":true,"answer_partial":true}""") == "YELLOW")
+    assert(color("""{"answer_present":true,"retrieval_complete":false}""") == "YELLOW")
+    assert(color("""{"answer_present":true,"answer_direct":true,"retrieval_supports_answer":true}""") == "GREEN")
+    // direct alone is not GREEN: retrieval_supports_answer defaults
+    // FALSE for the positive rule (though TRUE for the negated RED rule)
+    assert(color("""{"answer_present":true,"answer_direct":true}""") == "YELLOW")
+    assert(color("""{"answer_present":true}""") == "YELLOW")
+  }
 }
