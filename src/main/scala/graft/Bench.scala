@@ -191,6 +191,12 @@ object Bench {
       val sha =
         try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
         catch { case _: Throwable => "unknown" }
+      // the guard keys on the src/ TREE hash, not the commit SHA: a
+      // docs/allowlist-only commit between the two runs doesn't change
+      // the measured engine, so it must not invalidate the pair
+      val srcTree =
+        try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD:src")).!!.trim
+        catch { case _: Throwable => "unknown" }
       // escape interpolated values: a sfDir (or sha fallback) with a
       // quote/backslash would otherwise emit invalid JSON and crash
       // tools/check.py's manifest parse
@@ -202,7 +208,7 @@ object Bench {
           case c => c.toString
         }
       val manifest =
-        s"""{"git_sha":"${jesc(sha)}","generated_unix":${System.currentTimeMillis / 1000},"sf":"${jesc(sfDir)}"}"""
+        s"""{"git_sha":"${jesc(sha)}","src_tree":"${jesc(srcTree)}","generated_unix":${System.currentTimeMillis / 1000},"sf":"${jesc(sfDir)}"}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_manifest.json"),
         (manifest + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable =>

@@ -754,15 +754,21 @@ object Dedup {
   def dedupParagraph(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     requirePackable(s, d)
-    // Blocks keyed by the 8-byte xxhash64 of the block STRING — the
-    // block text never leaves the scan (the [[substrGrams]] shuffle-
-    // key discipline): both the argmax exchange and the mark join
-    // carry (long, int, long) rows instead of ~50-byte block text.
-    // Same collision sensitivity as the substring gate (see
-    // [[substrGrams]]'s note); reassembly below recomputes block text
-    // from the token stream, so the string is never needed downstream.
+    // Blocks keyed by a 128-bit (primary, salted) xxhash64 PAIR of
+    // the block STRING, carried as two primitive long columns (the
+    // [[substrGrams]] shuffle-key + fast-hash-map discipline): the
+    // block text never leaves the scan, and both the argmax exchange
+    // and the mark join carry (long, int, long, long) rows instead of
+    // ~50-byte block text. Two blocks merge only on a simultaneous
+    // two-channel collision (the salted channel chains the
+    // [[TextAnalysis.TokenSalt]] constant in front of the block,
+    // giving an independent second hash); reassembly below recomputes
+    // block text from the token stream, so the string is never needed
+    // downstream.
     val blocks = paraBlocks(s, d)
-      .select(col("doc_id"), col("block_idx"), xxhash64(col("block")).as("bh"))
+      .select(col("doc_id"), col("block_idx"),
+        xxhash64(col("block")).as("bh"),
+        xxhash64(lit(TextAnalysis.TokenSalt), col("block")).as("bh2"))
     // Keep-first argmax over a PACKED key: (doc_id, block_idx) fits
     // one long (see [[PackPosBits]]) and long-min preserves the
     // lexicographic order, so the aggregate compiles to HashAggregate
@@ -772,11 +778,11 @@ object Dedup {
     // map-side on the block scan; the salted [[markJoin]] marks
     // non-firsts.
     val packed = shiftleft(col("doc_id"), PackPosBits) + col("block_idx")
-    val firsts = blocks.groupBy(col("bh"))
+    val firsts = blocks.groupBy(col("bh"), col("bh2"))
       .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .drop("cnt")
-    val dup = markJoin(blocks, firsts, Seq("bh"), packed)
+    val dup = markJoin(blocks, firsts, Seq("bh", "bh2"), packed)
       .filter(packed =!= col("first_pk"))
       .select(col("doc_id"), col("block_idx"))
     val byDoc = dup.groupBy(col("doc_id"))
@@ -911,56 +917,79 @@ object Dedup {
     * why the paper-scale k=50 carried a 12× cost), token-boundary-
     * safe by construction (token hashes, not joined strings).
     *
-    * A 64-bit collision merges two window groups (one extra dup
-    * mark), the accepted trade of every hash-keyed line dedup. NOTE
-    * this makes the CORRECTNESS GATE itself collision-sensitive, not
-    * just output quality: the DuckDB oracle ranks window STRINGS, so
-    * a colliding corpus would hash-mismatch against the oracle rather
-    * than silently agree. At sf0.01 (~300k windows) the birthday
-    * bound puts a collision at ~2⁻⁴⁵; if the gate ever flakes here,
-    * suspect this first. */
-  private[graft] def substrGrams(s: SparkSession, d: String, k: Int = SubstrK): DataFrame = {
-    import s.implicits._
-    // odd multiplier (2^64 / phi) — multiplication is a bijection mod
-    // 2^64, so the rolling recurrence loses no entropy
-    val B = -7046029254386353131L
+    * The window key is a 128-BIT PAIR: two independent rolling
+    * channels, each over its own independently-seeded token-hash
+    * stream ([[TextAnalysis.tokenHashPairs]]' seeds). A single 64-bit
+    * channel WAS the accepted trade here through round 10 — but at
+    * 10¹²⁺ windows (100 TB) single-channel collisions are certain
+    * (birthday at ~2³²), each one an extra dup mark AND a gate
+    * hash-mismatch against the string-ranking DuckDB oracle. Two
+    * window groups now merge only when BOTH channels collide
+    * simultaneously (~2⁻¹²⁸·pairs — negligible at any scale);
+    * PropertySpec proves the pair distinguishes an ENGINEERED
+    * primary-channel collision the old key merged. */
+  /** Odd multiplier (2⁶⁴/φ) for the rolling window hash —
+    * multiplication is a bijection mod 2⁶⁴, so the recurrence loses
+    * no entropy. */
+  private[graft] val RollB = -7046029254386353131L
+
+  /** Polynomial rolling hash of every width-`k` window of a token-hash
+    * stream: h(i) = Σ_j th(i+j)·B^(k-1-j) mod 2⁶⁴, computed O(n) by
+    * the drop-term recurrence. Extracted from the [[substrGrams]]
+    * kernel so the collision property is testable on crafted streams
+    * (the hash is LINEAR in the token hashes, so a colliding pair is
+    * constructible: [x, y] and [x+1, y−B] roll to the same value —
+    * which is exactly why one 64-bit channel cannot be the key). */
+  private[graft] def rollWindows(th: Array[Long], k: Int): Array[Long] = {
+    val B = RollB
     var bk = 1L // B^(k-1): the drop term of the rolling update
     var j = 0
     while (j < k - 1) { bk *= B; j += 1 }
-    val bkFinal = bk
+    val n = th.length
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + th(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= n - k) {
+      h = (h - th(i - 1) * bk) * B + th(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  private[graft] def substrGrams(s: SparkSession, d: String, k: Int = SubstrK): DataFrame = {
+    import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = if (text == null) Array.empty[String] else text.split(" ", -1)
-          val n = toks.length
-          if (n < k) Iterator.empty
+          val tp = TextAnalysis.tokenHashPairs(text, k)
+          if (tp == null) Iterator.empty
           else {
-            val th = new Array[Long](n)
+            val (th, ts) = tp
+            val n = th.length
+            val h1 = rollWindows(th, k)
+            val h2 = rollWindows(ts, k)
+            val out = new Array[(Long, Int, Long, Long)](n - k + 1)
             var i = 0
-            while (i < n) {
-              val b = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              th(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-                b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
-              i += 1
-            }
-            val out = new Array[(Long, Int, Long)](n - k + 1)
-            var h = 0L
-            i = 0
-            while (i < k) { h = h * B + th(i); i += 1 }
-            out(0) = (id, 1, h)
-            i = 1
             while (i <= n - k) {
-              h = (h - th(i - 1) * bkFinal) * B + th(i + k - 1)
-              out(i) = (id, i + 1, h)
+              out(i) = (id, i + 1, h1(i), h2(i))
               i += 1
             }
             out.iterator
           }
         }
       }
-      .toDF("doc_id", "pos", "gh")
+      // the two channels ride as two PRIMITIVE long columns, not one
+      // struct: multi-primitive grouping keys keep HashAggregate's
+      // codegen'd fast hash map, which struct keys skip (A/B at
+      // sf0.1: struct keys cost dedup_substring +12%, the kn fits
+      // +19-28%; flat longs are within noise of the old single key)
+      .toDF("doc_id", "pos", "gh", "gh2")
   }
 
   /** Merge duplicated-window start positions `(doc_id, a)` (window
@@ -1084,11 +1113,11 @@ object Dedup {
     // corpus exchange and column pruning defeated ReuseExchange —
     // 1.2 s → 1.8 s at sf0.1).
     val packed = shiftleft(col("doc_id"), PackPosBits) + col("pos")
-    val firsts = grams.groupBy(col("gh"))
+    val firsts = grams.groupBy(col("gh"), col("gh2"))
       .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .drop("cnt")
-    val dup = markJoin(grams, firsts, Seq("gh"), packed)
+    val dup = markJoin(grams, firsts, Seq("gh", "gh2"), packed)
       .filter(packed =!= col("first_pk"))
       .select(col("doc_id"), col("pos").as("a"))
     substrAssemble(docs, dup, k)
@@ -1126,21 +1155,21 @@ object Dedup {
     // the existing corpus (in production this is a table on disk) —
     // 8 bytes per entry, never the window text
     val corpusIdx = grams.filter(col("doc_id") % 10 =!= 0)
-      .select(col("gh")).distinct()
+      .select(col("gh"), col("gh2")).distinct()
       .withColumn("in_corpus", lit(1))
     val shard = grams.filter(col("doc_id") % 10 === 0)
     // shard-internal keep-first via the same packed-argmax shape as
     // [[dedupSubstring]] (delta-sized; no content-keyed window rank)
     val packed = shiftleft(col("doc_id"), PackPosBits) + col("pos")
-    val shardFirsts = shard.groupBy(col("gh"))
+    val shardFirsts = shard.groupBy(col("gh"), col("gh2"))
       .agg(min(packed).as("first_pk"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .drop("cnt")
     // Corpus-index probe: sort-merge — BOTH sides are corpus-scale,
     // so neither a broadcast nor a per-partition hash relation of the
     // index is memory-safe the way the duplicated-key firsts build is.
-    val probed = shard.hint("merge").join(corpusIdx, Seq("gh"), "left")
-    val dup = markJoin(probed, shardFirsts, Seq("gh"), packed, "left")
+    val probed = shard.hint("merge").join(corpusIdx, Seq("gh", "gh2"), "left")
+    val dup = markJoin(probed, shardFirsts, Seq("gh", "gh2"), packed, "left")
       .filter(col("in_corpus").isNotNull ||
         (col("first_pk").isNotNull && packed =!= col("first_pk")))
       .select(col("doc_id"), col("pos").as("a"))

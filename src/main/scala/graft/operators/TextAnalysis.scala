@@ -392,55 +392,108 @@ object TextAnalysis {
     th
   }
 
+  /** Second-channel seed for the 128-bit token keys (an arbitrary odd
+    * constant; any seed ≠ 42 gives an independent xxhash64 channel).
+    */
+  private[graft] val TokenSalt = 1337L
+
+  /** [[tokenHashes]] widened to a 128-bit key per token: ONE byte
+    * scan computing TWO independently-seeded xxhash64 channels (seeds
+    * 42 and [[TokenSalt]]). Two distinct tokens collide only when
+    * BOTH 64-bit channels collide simultaneously (~2⁻¹²⁸ per pair) —
+    * at web-scale vocabularies (10⁹-10¹⁰ types) a single 64-bit
+    * channel collides with probability ~3-270%, which is why every
+    * type table keys on the pair. Returns (primary, salted) arrays,
+    * or null below `minTokens`.
+    */
+  private[graft] def tokenHashPairs(
+      text: String, minTokens: Int): (Array[Long], Array[Long]) = {
+    if (text == null) return null
+    val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var spaces = 0
+    var i = 0
+    while (i < b.length) { if (b(i) == ' ') spaces += 1; i += 1 }
+    val n = spaces + 1
+    if (n < minTokens) return null
+    val th = new Array[Long](n)
+    val ts = new Array[Long](n)
+    var start = 0
+    var k = 0
+    i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        th(k) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        ts(k) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, TokenSalt)
+        k += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    (th, ts)
+  }
+
   def textLmKn3Score(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val D = KnDiscount
-    // tokens leave the kernel as 8-byte xxhash64 values (see
-    // [[textLmKn5Score]] — the string-keyed type aggregation and
-    // projections were the dominant cost; same 64-bit collision note)
+    // tokens leave the kernel as 128-bit (primary wᵢ, salted sᵢ)
+    // xxhash64 PAIRS carried as two primitive long columns per
+    // position (see [[textLmKn5Score]] — the string-keyed type
+    // aggregation and projections were the dominant cost; the pair
+    // retires the 64-bit type-collision caveat, and flat longs rather
+    // than one struct keep HashAggregate's codegen'd fast hash map,
+    // which struct grouping keys skip — measured +19% here)
     val stream = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val th = tokenHashes(text, 3)
-          if (th == null) Iterator.empty
-          else (0 until th.length - 2).iterator.map(i => (id, th(i), th(i + 1), th(i + 2)))
+          val tp = tokenHashPairs(text, 3)
+          if (tp == null) Iterator.empty
+          else {
+            val (a, b) = tp
+            (0 until a.length - 2).iterator.map(i =>
+              (id, a(i), b(i), a(i + 1), b(i + 1), a(i + 2), b(i + 2)))
+          }
         }
       }
-      .toDF("doc_id", "w1", "w2", "w3")
+      .toDF("doc_id", "w1", "s1", "w2", "s2", "w3", "s3")
       .localCheckpoint(eager = false)
+    val k1 = Seq("w1", "s1"); val k2 = Seq("w2", "s2"); val k3 = Seq("w3", "s3")
+    def cols(ks: Seq[String]*): Seq[Column] = ks.flatten.map(col)
     // the one corpus-sized shuffle: trigram types — materialized once
     // (six consumers would each re-run the corpus aggregation; the
     // kn5 measurement showed the cascade multiplying)
-    val tc = stream.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c_abc"))
+    val tc = stream.groupBy(cols(k1, k2, k3): _*).agg(count(lit(1)).as("c_abc"))
       .localCheckpoint(eager = false)
     // bigram TYPE set from the trigram types' two pair projections
-    val btypes = tc.select(col("w1").as("a"), col("w2").as("b"))
-      .union(tc.select(col("w2").as("a"), col("w3").as("b")))
+    val btypes = tc.select(col("w1").as("a"), col("s1").as("sa"),
+        col("w2").as("b"), col("s2").as("sb"))
+      .union(tc.select(col("w2"), col("s2"), col("w3"), col("s3")))
       .distinct()
       .localCheckpoint(eager = false)
-    val fan2 = btypes.groupBy(col("a")).agg(count(lit(1)).as("n1f2")) // N₁₊(w2 ·)
-    val rev = btypes.groupBy(col("b")).agg(count(lit(1)).as("n1r"))   // N₁₊(· w3)
+    val fan2 = btypes.groupBy(col("a"), col("sa")).agg(count(lit(1)).as("n1f2")) // N₁₊(w2 ·)
+    val rev = btypes.groupBy(col("b"), col("sb")).agg(count(lit(1)).as("n1r"))   // N₁₊(· w3)
     val tot = btypes.agg(count(lit(1)).cast("double").as("t_types")) // T
-    val ctx = tc.groupBy(col("w1"), col("w2"))                        // c(w1w2·), N₁₊(w1w2·)
+    val ctx = tc.groupBy(cols(k1, k2): _*)                            // c(w1w2·), N₁₊(w1w2·)
       .agg(sum(col("c_abc")).as("c12"), count(lit(1)).as("n1f12"))
-    val mid = tc.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("n1l")) // N₁₊(· w2w3)
-    val midctx = tc.groupBy(col("w2")).agg(count(lit(1)).as("nmid"))  // N₁₊(· w2 ·)
+    val mid = tc.groupBy(cols(k2, k3): _*).agg(count(lit(1)).as("n1l")) // N₁₊(· w2w3)
+    val midctx = tc.groupBy(cols(k2): _*).agg(count(lit(1)).as("nmid"))  // N₁₊(· w2 ·)
     val ptype = tc
-      .join(ctx.hint("shuffle_hash"), Seq("w1", "w2"))
-      .join(mid.hint("shuffle_hash"), Seq("w2", "w3"))
-      .join(broadcast(midctx), Seq("w2"))
-      .join(broadcast(fan2.withColumnRenamed("a", "w2")), Seq("w2"))
-      .join(broadcast(rev.withColumnRenamed("b", "w3")), Seq("w3"))
+      .join(ctx.hint("shuffle_hash"), k1 ++ k2)
+      .join(mid.hint("shuffle_hash"), k2 ++ k3)
+      .join(broadcast(midctx), k2)
+      .join(broadcast(fan2.withColumnRenamed("a", "w2").withColumnRenamed("sa", "s2")), k2)
+      .join(broadcast(rev.withColumnRenamed("b", "w3").withColumnRenamed("sb", "s3")), k3)
       .crossJoin(broadcast(tot))
-      .select(col("w1"), col("w2"), col("w3"),
+      .select(cols(k1, k2, k3) :+
         ((greatest(col("c_abc") - lit(D), lit(0.0)) +
           lit(D) * col("n1f12") *
             ((greatest(col("n1l") - lit(D), lit(0.0)) +
               lit(D) * col("n1f2") * (col("n1r") / col("t_types"))) / col("nmid"))) /
-          col("c12")).as("p_kn3"))
-    stream.join(ptype.hint("shuffle_hash"), Seq("w1", "w2", "w3"))
+          col("c12")).as("p_kn3"): _*)
+    stream.join(ptype.hint("shuffle_hash"), k1 ++ k2 ++ k3)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"),
         round(-avg(log2(col("p_kn3"))), 6).as("xent_kn3"))
@@ -486,31 +539,47 @@ object TextAnalysis {
   def textLmKn5Score(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val D = KnDiscount
-    // Tokens leave the kernel as 8-byte xxhash64 values, never
-    // strings (the shuffle-key discipline of the dedup family): ten
-    // model joins and three type-set distincts all key on longs —
-    // with string keys the t5 aggregation alone cost 1.1 s and the
-    // b4 projection 2.6 s at sf0.1. A 64-bit token collision merges
-    // two word types in the fit (and would hash-mismatch the
-    // string-keyed oracle, same sensitivity note as [[graft.operators.Dedup]]'s
-    // substrGrams).
+    // Tokens leave the kernel as 128-bit (primary wᵢ, salted sᵢ)
+    // xxhash64 PAIRS, never strings (the shuffle-key discipline of
+    // the dedup family): ten model joins and three type-set distincts
+    // all key on fixed-width longs — with string keys the t5
+    // aggregation alone cost 1.1 s and the b4 projection 2.6 s at
+    // sf0.1. Two word types merge only on a simultaneous two-channel
+    // collision (~2⁻¹²⁸ per pair — negligible at any corpus size),
+    // retiring the single-channel 64-bit caveat. The channels ride as
+    // two PRIMITIVE long columns per position, not one struct: struct
+    // grouping keys skip HashAggregate's codegen'd fast hash map
+    // (A/B at sf0.1: struct keys +28% on this row, flat longs within
+    // noise of the old single-channel key).
     val stream = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val th = tokenHashes(text, 5)
-          if (th == null) Iterator.empty
-          else (0 until th.length - 4).iterator.map(i =>
-            (id, th(i), th(i + 1), th(i + 2), th(i + 3), th(i + 4)))
+          val tp = tokenHashPairs(text, 5)
+          if (tp == null) Iterator.empty
+          else {
+            val (a, b) = tp
+            (0 until a.length - 4).iterator.map(i =>
+              (id, a(i), b(i), a(i + 1), b(i + 1), a(i + 2), b(i + 2),
+                a(i + 3), b(i + 3), a(i + 4), b(i + 4)))
+          }
         }
       }
-      .toDF("doc_id", "w1", "w2", "w3", "w4", "w5")
+      .toDF("doc_id", "w1", "s1", "w2", "s2", "w3", "s3", "w4", "s4", "w5", "s5")
       // feeds both the model fit and the scoring join (the
       // [[textLmKnScore]] multi-consumer materialization; measured
       // against cache(): columnar caching rebuilds per constructed
       // plan and regressed the suite 2x, checkpoint wins here)
       .localCheckpoint(eager = false)
+    // (primary, salt) column-name pairs per position / projection slot
+    val K1 = Seq("w1", "s1"); val K2 = Seq("w2", "s2"); val K3 = Seq("w3", "s3")
+    val K4 = Seq("w4", "s4"); val K5 = Seq("w5", "s5")
+    val G1 = Seq("g1", "h1"); val G2 = Seq("g2", "h2")
+    val G3 = Seq("g3", "h3"); val G4 = Seq("g4", "h4")
+    def cols(ks: Seq[String]*): Seq[Column] = ks.flatten.map(col)
+    def ren(from: Seq[String], to: Seq[String]): Seq[Column] =
+      from.zip(to).map { case (f, t) => col(f).as(t) }
     // the one corpus-sized shuffle: 5-gram types with token counts.
     // Each model table below is MATERIALIZED once: t5 feeds ~6
     // consumers and each projection level feeds 4-5 more, so without
@@ -518,20 +587,20 @@ object TextAnalysis {
     // (b2 → b3 → b4 → t5 re-aggregates the corpus per consumer —
     // measured 16 s vs 3 s at sf0.1). All four are TYPE-sized model
     // tables, the thing a production fit would persist anyway.
-    val t5 = stream.groupBy(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
+    val t5 = stream.groupBy(cols(K1, K2, K3, K4, K5): _*)
       .agg(count(lit(1)).as("c5"))
       .localCheckpoint(eager = false)
     // order-k type sets by projection of the order-(k+1) type set
-    val b4 = t5.select(col("w1").as("g1"), col("w2").as("g2"), col("w3").as("g3"), col("w4").as("g4"))
-      .union(t5.select(col("w2").as("g1"), col("w3").as("g2"), col("w4").as("g3"), col("w5").as("g4")))
+    val b4 = t5.select(ren(K1 ++ K2 ++ K3 ++ K4, G1 ++ G2 ++ G3 ++ G4): _*)
+      .union(t5.select(cols(K2, K3, K4, K5): _*))
       .distinct()
       .localCheckpoint(eager = false)
-    val b3 = b4.select(col("g1"), col("g2"), col("g3"))
-      .union(b4.select(col("g2").as("g1"), col("g3").as("g2"), col("g4").as("g3")))
+    val b3 = b4.select(cols(G1, G2, G3): _*)
+      .union(b4.select(cols(G2, G3, G4): _*))
       .distinct()
       .localCheckpoint(eager = false)
-    val b2 = b3.select(col("g1"), col("g2"))
-      .union(b3.select(col("g2").as("g1"), col("g3").as("g2")))
+    val b2 = b3.select(cols(G1, G2): _*)
+      .union(b3.select(cols(G2, G3): _*))
       .distinct()
       .localCheckpoint(eager = false)
     // Exchange economy, the whole game at this table count: the
@@ -543,75 +612,80 @@ object TextAnalysis {
     // small second aggregation, and the backoff P tables build
     // BOTTOM-UP (P₂ → P₃ → P₄) so the growing ptype chain
     // re-partitions only twice instead of once per lookup.
+    // Union key slots: (k1, l1) … (k4, l4) — primary + salt per slot.
     val nl = lit(null).cast("long")
-    val u = t5.select(lit(1).as("tg"), col("w1").as("k1"), col("w2").as("k2"),
-        col("w3").as("k3"), col("w4").as("k4"), col("c5").as("wt"))
-      .unionAll(t5.select(lit(2).as("tg"), col("w2"), col("w3"), col("w4"), col("w5"),
-        lit(1L)))
-      .unionAll(b4.select(lit(3).as("tg"), col("g1"), col("g2"), col("g3"), nl, lit(1L)))
-      .unionAll(b4.select(lit(4).as("tg"), col("g2"), col("g3"), col("g4"), nl, lit(1L)))
-      .unionAll(b3.select(lit(5).as("tg"), col("g1"), col("g2"), nl, nl, lit(1L)))
-      .unionAll(b3.select(lit(6).as("tg"), col("g2"), col("g3"), nl, nl, lit(1L)))
-      .unionAll(b2.select(lit(7).as("tg"), col("g1"), nl, nl, nl, lit(1L)))
-      .unionAll(b2.select(lit(8).as("tg"), col("g2"), nl, nl, nl, lit(1L)))
-    val cnts = u.groupBy(col("tg"), col("k1"), col("k2"), col("k3"), col("k4"))
+    val KL = Seq("k1", "l1", "k2", "l2", "k3", "l3", "k4", "l4")
+    val u = t5.select(lit(1).as("tg") +: ren(K1 ++ K2 ++ K3 ++ K4, KL) :+
+        col("c5").as("wt"): _*)
+      .unionAll(t5.select(lit(2).as("tg") +: cols(K2, K3, K4, K5) :+ lit(1L): _*))
+      .unionAll(b4.select(lit(3).as("tg") +: cols(G1, G2, G3) ++: Seq(nl, nl, lit(1L)): _*))
+      .unionAll(b4.select(lit(4).as("tg") +: cols(G2, G3, G4) ++: Seq(nl, nl, lit(1L)): _*))
+      .unionAll(b3.select(lit(5).as("tg") +: cols(G1, G2) ++: Seq(nl, nl, nl, nl, lit(1L)): _*))
+      .unionAll(b3.select(lit(6).as("tg") +: cols(G2, G3) ++: Seq(nl, nl, nl, nl, lit(1L)): _*))
+      .unionAll(b2.select(lit(7).as("tg") +: cols(G1) ++: Seq(nl, nl, nl, nl, nl, nl, lit(1L)): _*))
+      .unionAll(b2.select(lit(8).as("tg") +: cols(G2) ++: Seq(nl, nl, nl, nl, nl, nl, lit(1L)): _*))
+    val cnts = u.groupBy(col("tg") +: KL.map(col): _*)
       .agg(count(lit(1)).as("c"), sum(col("wt")).as("s"))
       .localCheckpoint(eager = false)
+    // slice(tg, primary names): selects each slot's (kᵢ, lᵢ) pair back
+    // to its (wᵢ, sᵢ) position names
     def slice(tg: Int, names: Seq[String]): DataFrame =
       cnts.filter(col("tg") === tg)
-        .select(names.zipWithIndex.map { case (n, i) => col(s"k${i + 1}").as(n) } :+
+        .select(names.zipWithIndex.flatMap { case (n, i) =>
+          Seq(col(s"k${i + 1}").as(n), col(s"l${i + 1}").as("s" + n.drop(1))) } :+
           col("c") :+ col("s"): _*)
     // level 5 (token counts): c(w1..4 ·), N₁₊(w1..4 ·)
     val ctx4 = slice(1, Seq("w1", "w2", "w3", "w4"))
-      .select(col("w1"), col("w2"), col("w3"), col("w4"),
-        col("s").as("c1234"), col("c").as("n1f1234"))
+      .select(cols(K1, K2, K3, K4) :+ col("s").as("c1234") :+ col("c").as("n1f1234"): _*)
     // level 4 (type counts): N₁₊(· w2345); N₁₊(· w234 ·) = Σ_w5 of it
-    val n1l4 = slice(2, Seq("w2", "w3", "w4", "w5")).select(col("w2"), col("w3"),
-      col("w4"), col("w5"), col("c").as("n1l4"))
-    val nmid4 = n1l4.groupBy(col("w2"), col("w3"), col("w4")).agg(sum(col("n1l4")).as("nmid4"))
-    val n1f234 = slice(3, Seq("w2", "w3", "w4")).select(col("w2"), col("w3"), col("w4"),
-      col("c").as("n1f234"))
+    val n1l4 = slice(2, Seq("w2", "w3", "w4", "w5"))
+      .select(cols(K2, K3, K4, K5) :+ col("c").as("n1l4"): _*)
+    val nmid4 = n1l4.groupBy(cols(K2, K3, K4): _*).agg(sum(col("n1l4")).as("nmid4"))
+    val n1f234 = slice(3, Seq("w2", "w3", "w4"))
+      .select(cols(K2, K3, K4) :+ col("c").as("n1f234"): _*)
     // level 3
-    val n1l3 = slice(4, Seq("w3", "w4", "w5")).select(col("w3"), col("w4"), col("w5"),
-      col("c").as("n1l3"))
-    val nmid3 = n1l3.groupBy(col("w3"), col("w4")).agg(sum(col("n1l3")).as("nmid3"))
-    val n1f34 = slice(5, Seq("w3", "w4")).select(col("w3"), col("w4"), col("c").as("n1f34"))
+    val n1l3 = slice(4, Seq("w3", "w4", "w5"))
+      .select(cols(K3, K4, K5) :+ col("c").as("n1l3"): _*)
+    val nmid3 = n1l3.groupBy(cols(K3, K4): _*).agg(sum(col("n1l3")).as("nmid3"))
+    val n1f34 = slice(5, Seq("w3", "w4"))
+      .select(cols(K3, K4) :+ col("c").as("n1f34"): _*)
     // level 2 (the w4-keyed tables are vocabulary-sized → broadcast)
-    val n1l2 = slice(6, Seq("w4", "w5")).select(col("w4"), col("w5"), col("c").as("n1l2"))
-    val nmid2 = n1l2.groupBy(col("w4")).agg(sum(col("n1l2")).as("nmid2"))
-    val n1f4 = slice(7, Seq("w4")).select(col("w4"), col("c").as("n1f4"))
-    val n1r = slice(8, Seq("w5")).select(col("w5"), col("c").as("n1r"))
+    val n1l2 = slice(6, Seq("w4", "w5"))
+      .select(cols(K4, K5) :+ col("c").as("n1l2"): _*)
+    val nmid2 = n1l2.groupBy(cols(K4): _*).agg(sum(col("n1l2")).as("nmid2"))
+    val n1f4 = slice(7, Seq("w4")).select(cols(K4) :+ col("c").as("n1f4"): _*)
+    val n1r = slice(8, Seq("w5")).select(cols(K5) :+ col("c").as("n1r"): _*)
     // T = |bigram types| = Σ N₁₊(w ·) over the vocabulary-sized slice
     val tot = n1f4.agg(sum(col("n1f4")).cast("double").as("t_types"))
     val dd = lit(D)
     def disc(c: Column): Column = greatest(c - dd, lit(0.0))
     // bottom-up backoff tables: P₂ needs no shuffled join at all
     val p2 = n1l2
-      .join(broadcast(nmid2), Seq("w4"))
-      .join(broadcast(n1f4), Seq("w4"))
-      .join(broadcast(n1r), Seq("w5"))
+      .join(broadcast(nmid2), K4)
+      .join(broadcast(n1f4), K4)
+      .join(broadcast(n1r), K5)
       .crossJoin(broadcast(tot))
-      .select(col("w4"), col("w5"),
+      .select(cols(K4, K5) :+
         ((disc(col("n1l2")) + dd * col("n1f4") * (col("n1r") / col("t_types"))) /
-          col("nmid2")).as("p2"))
+          col("nmid2")).as("p2"): _*)
     val p3 = n1l3
-      .join(nmid3.hint("shuffle_hash"), Seq("w3", "w4"))
-      .join(n1f34.hint("shuffle_hash"), Seq("w3", "w4"))
-      .join(p2.hint("shuffle_hash"), Seq("w4", "w5"))
-      .select(col("w3"), col("w4"), col("w5"),
-        ((disc(col("n1l3")) + dd * col("n1f34") * col("p2")) / col("nmid3")).as("p3"))
+      .join(nmid3.hint("shuffle_hash"), K3 ++ K4)
+      .join(n1f34.hint("shuffle_hash"), K3 ++ K4)
+      .join(p2.hint("shuffle_hash"), K4 ++ K5)
+      .select(cols(K3, K4, K5) :+
+        ((disc(col("n1l3")) + dd * col("n1f34") * col("p2")) / col("nmid3")).as("p3"): _*)
     val p4 = n1l4
-      .join(nmid4.hint("shuffle_hash"), Seq("w2", "w3", "w4"))
-      .join(n1f234.hint("shuffle_hash"), Seq("w2", "w3", "w4"))
-      .join(p3.hint("shuffle_hash"), Seq("w3", "w4", "w5"))
-      .select(col("w2"), col("w3"), col("w4"), col("w5"),
-        ((disc(col("n1l4")) + dd * col("n1f234") * col("p3")) / col("nmid4")).as("p4"))
+      .join(nmid4.hint("shuffle_hash"), K2 ++ K3 ++ K4)
+      .join(n1f234.hint("shuffle_hash"), K2 ++ K3 ++ K4)
+      .join(p3.hint("shuffle_hash"), K3 ++ K4 ++ K5)
+      .select(cols(K2, K3, K4, K5) :+
+        ((disc(col("n1l4")) + dd * col("n1f234") * col("p3")) / col("nmid4")).as("p4"): _*)
     val ptype = t5
-      .join(ctx4.hint("shuffle_hash"), Seq("w1", "w2", "w3", "w4"))
-      .join(p4.hint("shuffle_hash"), Seq("w2", "w3", "w4", "w5"))
-      .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
-        ((disc(col("c5")) + dd * col("n1f1234") * col("p4")) / col("c1234")).as("p_kn5"))
-    stream.join(ptype.hint("shuffle_hash"), Seq("w1", "w2", "w3", "w4", "w5"))
+      .join(ctx4.hint("shuffle_hash"), K1 ++ K2 ++ K3 ++ K4)
+      .join(p4.hint("shuffle_hash"), K2 ++ K3 ++ K4 ++ K5)
+      .select(cols(K1, K2, K3, K4, K5) :+
+        ((disc(col("c5")) + dd * col("n1f1234") * col("p4")) / col("c1234")).as("p_kn5"): _*)
+    stream.join(ptype.hint("shuffle_hash"), K1 ++ K2 ++ K3 ++ K4 ++ K5)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams5"),
         round(-avg(log2(col("p_kn5"))), 6).as("xent_kn5"))
@@ -1061,9 +1135,11 @@ object TextAnalysis {
     * cleaned reconstruction, not just counts.
     *
     * Scale shape: block extraction is map-side; the df estimate is
-    * one hash aggregation keyed by xxhash64(block) — 8-byte shuffle
-    * keys, the same posting-list discipline the dedup family uses —
-    * with a partial-aggregating distinct-doc count. The flagged set
+    * one hash aggregation keyed by a 128-bit (primary, salted)
+    * xxhash64 pair of the block — 16-byte shuffle keys, the same
+    * two-channel discipline as [[Dedup.dedupParagraph]] (two blocks
+    * merge only on a simultaneous two-channel collision) — with a
+    * partial-aggregating distinct-doc count. The flagged set
     * (df ≥ bar) is then LEFT-joined back on the hash key; boilerplate
     * dictionaries are tiny in practice but the join is a key-equality
     * shuffle join either way — never a broadcast assumption on an
@@ -1071,11 +1147,13 @@ object TextAnalysis {
     * documents.
     */
   def textBoilerplate(s: SparkSession, d: String): DataFrame = {
-    val withBh = Dedup.paraBlocks(s, d).withColumn("bh", xxhash64(col("block")))
-    val flagged = withBh.groupBy(col("bh"))
+    val withBh = Dedup.paraBlocks(s, d)
+      .withColumn("bh", xxhash64(col("block")))
+      .withColumn("bh2", xxhash64(lit(TokenSalt), col("block")))
+    val flagged = withBh.groupBy(col("bh"), col("bh2"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= BoilerMinDf)
-    withBh.join(flagged, Seq("bh"), "left")
+    withBh.join(flagged, Seq("bh", "bh2"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("n_boiler_blocks"),

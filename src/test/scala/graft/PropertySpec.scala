@@ -371,4 +371,43 @@ class PropertySpec extends AnyFunSuite {
     assert(want.count(e => e._4 > 0 && e._4 < e._2) > 0, "no partially-covered doc")
     assert(want.count(_._6 == null) > 0, "no fully-duplicated doc")
   }
+
+  test("128-bit window key distinguishes an engineered 64-bit collision") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val B = Dedup.RollB
+    // The rolling hash is linear in the token hashes, so a collision
+    // is CONSTRUCTIBLE: the width-2 windows [x, y] and [x+1, y-B]
+    // roll to the same 64-bit value (xB + y = (x+1)B + (y-B)). This
+    // is the class of merge the single-channel key of rounds <=10
+    // could not see.
+    val x = 0x123456789abcdef0L
+    val y = 0x0fedcba987654321L
+    val primA = Array(x, y)
+    val primB = Array(x + 1, y - B)
+    assert(primA.toSeq != primB.toSeq)
+    assert(Dedup.rollWindows(primA, 2)(0) == Dedup.rollWindows(primB, 2)(0),
+      "engineered primary-channel collision must collide (it is the premise)")
+    // In the dual-key kernel each window carries a SECOND channel
+    // rolled over the independently-seeded (TokenSalt) token hashes.
+    // For any real token pair realizing primA/primB, the salted
+    // hashes are independent values — model them with the actual
+    // salted hashes of distinct tokens: the pair key differs even
+    // though the primary channel collided.
+    val saltA = Array(
+      TextAnalysis.tokenHashPairs("alpha", 1)._2(0),
+      TextAnalysis.tokenHashPairs("beta", 1)._2(0))
+    val saltB = Array(
+      TextAnalysis.tokenHashPairs("gamma", 1)._2(0),
+      TextAnalysis.tokenHashPairs("delta", 1)._2(0))
+    val keyA = (Dedup.rollWindows(primA, 2)(0), Dedup.rollWindows(saltA, 2)(0))
+    val keyB = (Dedup.rollWindows(primB, 2)(0), Dedup.rollWindows(saltB, 2)(0))
+    assert(keyA != keyB, "the 128-bit pair key must distinguish the engineered collision")
+    // and the salted channel is genuinely independent of the primary:
+    // same tokens, different seeds, different values
+    val (p, s2) = TextAnalysis.tokenHashPairs("alpha beta gamma", 1)
+    assert(p.toSeq != s2.toSeq)
+    // tokenHashPairs' primary channel stays byte-identical to the
+    // legacy single-channel path (oracle continuity)
+    assert(p.toSeq == TextAnalysis.tokenHashes("alpha beta gamma", 1).toSeq)
+  }
 }

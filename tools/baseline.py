@@ -155,10 +155,17 @@ print(f"\nwrote BASELINE.md  total={total:.2f}s  queries={len(rows)}")
 # meaningless ratio.
 import subprocess  # noqa: E402
 
-try:
-    sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=Path(__file__).parent.parent,
-                         capture_output=True, text=True, check=True).stdout.strip()
-except Exception:  # noqa: BLE001
-    sha = "unknown"
+def _rev(ref):
+    try:
+        return subprocess.run(["git", "rev-parse", ref], cwd=Path(__file__).parent.parent,
+                              capture_output=True, text=True, check=True).stdout.strip()
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
+# the guard keys on the src/ TREE hash (see tools/check.py): a
+# docs-only commit between the two runs doesn't change the measured
+# engine, so it must not invalidate the pair
 Path("baseline_manifest.json").write_text(
-    json.dumps({"git_sha": sha, "generated_unix": int(time.time()), "sf": SFDIR}) + "\n")
+    json.dumps({"git_sha": _rev("HEAD"), "src_tree": _rev("HEAD:src"),
+                "generated_unix": int(time.time()), "sf": SFDIR}) + "\n")

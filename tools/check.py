@@ -113,9 +113,13 @@ if bm.exists() and blm.exists():
     except ValueError as e:
         print(f"WARN unparseable bench/baseline manifest: {e}")
         b, bl = {}, {}
-    if b.get("git_sha") != bl.get("git_sha"):
-        print(f"WARN bench/baseline manifests from different commits: "
-              f"{b.get('git_sha', '?')[:12]} vs {bl.get('git_sha', '?')[:12]} "
+    # compare the src/ TREE hash when both manifests carry it (a
+    # docs-only commit between the runs doesn't change the measured
+    # engine); fall back to the commit SHA for older manifests
+    key = "src_tree" if ("src_tree" in b and "src_tree" in bl) else "git_sha"
+    if b.get(key) != bl.get(key):
+        print(f"WARN bench/baseline manifests from different {key}: "
+              f"{b.get(key, '?')[:12]} vs {bl.get(key, '?')[:12]} "
               f"- regenerate the pair back-to-back")
     drift = abs(int(b.get("generated_unix", 0)) - int(bl.get("generated_unix", 0)))
     if drift > 6 * 3600:
