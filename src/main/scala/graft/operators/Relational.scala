@@ -1126,20 +1126,33 @@ object Relational {
       .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
       .filter(col("a") =!= col("b"))
       .select(col("a").as("u"), col("b").as("v"))
-    // one exchange builds the deduped doubled neighbor list: the self
-    // join emits both orientations, the u-repartition clusters them,
-    // and the (u, v) dedup is partition-local by the subset rule
+    // Deduped doubled neighbor list. The dedup aggregates on ITS OWN
+    // (u, v) exchange so the map-side partial collapses repeated
+    // pairs BEFORE the wire — the earlier repartition(u)-then-dedup
+    // form satisfied the aggregate's clustering by the subset rule,
+    // which meant NO partial below the exchange: every raw pair row
+    // of the self join crossed the wire (at 10× data that is the
+    // whole query — 180M pair rows through one exchange; replica
+    // orders repeat the same baskets, so partials collapse them
+    // task-locally). The follow-up repartition(u) then exchanges only
+    // the DISTINCT edge list (graph-sized, ≪ pair-stream-sized) into
+    // the u-clustering the per-round aggregations need.
     val nbr = e
+      .dropDuplicates(Seq("u", "v"))
       .repartition(math.max(1, s.sessionState.conf.numShufflePartitions / 2),
         col("u"))
-      .dropDuplicates(Seq("u", "v"))
       .cache()
-    // node table + measured count (bounded node-dimension aggregate);
-    // the distinct is partition-local on the cached u-clustering
+    // node table (bounded node-dimension aggregate); the distinct is
+    // partition-local on the cached u-clustering
     val init = nbr.select(col("u").as("n")).distinct()
       .select(col("n"), col("n").as("lbl"))
-      .cache()
-    val smallNodes = init.count() <= broadcastNodeCap
+    // regime pick: nodes ⊆ parts, so the parts row count (a parquet
+    // footer read, no job) is a safe upper bound — below the cap the
+    // label table is broadcastable; above it the rounds run
+    // shuffle-hash. Replaces a scheduled init.count() job that cost
+    // ~0.4 s of the row's floor.
+    val smallNodes =
+      Tables.parquetRowCount(s, d, "part") <= broadcastNodeCap
     def labelJoin(lbl: DataFrame): DataFrame = {
       val r = lbl.select(col("n").as("v"), col("lbl"))
       if (smallNodes) nbr.join(broadcast(r), Seq("v"))
