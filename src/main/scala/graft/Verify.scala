@@ -48,6 +48,7 @@ object Verify {
       ("ann_filtered_ivfpq", () => graft.operators.Similarity.ivfpqFilteredCandidates(spark, sfDir)),
       ("ann_binary_topk", () => graft.operators.Similarity.binaryCandidates(spark, sfDir)),
       ("ann_incremental_topk", () => graft.operators.Similarity.incrementalCandidates(spark, sfDir)),
+      ("ann_upsert_topk", () => graft.operators.Similarity.upsertCandidates(spark, sfDir)),
     ).filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, gen) =>
         try gen().select("query_id", "neighbor_id").coalesce(1)
@@ -79,6 +80,7 @@ object Verify {
         ("ann_ivfpq_recall", Similarity.ivfpqCandidates(spark, sfDir)),
         ("ann_binary_recall", Similarity.binaryCandidates(spark, sfDir)),
         ("ann_filtered_ivfpq_recall", Similarity.ivfpqFilteredCandidates(spark, sfDir)),
+        ("ann_upsert_recall", Similarity.upsertCandidates(spark, sfDir)),
       ).foreach { case (name, cand) =>
         try cand.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/${name}_cand")
@@ -99,6 +101,8 @@ object Verify {
         ("ann_binary_recall", Similarity.BinaryRecallBar, Similarity.BinaryPruneBar, None),
         ("ann_filtered_ivfpq_recall", Similarity.FilteredIvfPqRecallBar,
           Similarity.FilteredIvfPqPruneBar, Some("ann_filtered_topk")),
+        ("ann_upsert_recall", Similarity.UpsertRecallBar,
+          Similarity.UpsertPruneBar, None),
       ).map { case (n, r, p, gt) =>
         val gtField = gt.fold("")(g => s""", "gt_oracle": "$g"""")
         s""""$n": {"recall_bar": $r, "prune_bar": $p, "topk": ${Similarity.TopK}$gtField}"""

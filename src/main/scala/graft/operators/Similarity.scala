@@ -797,6 +797,65 @@ object Similarity {
   def annIvfIncrementalTopk(s: SparkSession, d: String): DataFrame =
     topkOf(incrementalCandidates(s, d))
 
+  // min macro-recall@5 of the stale-quantizer grown index vs exact
+  // truth over the grown corpus (measured 0.90 recall at 0.168 max
+  // candidate fraction at sf0.01 — scaled-k probes touch
+  // ~nprobe·√n vectors, hence the tight prune bar)
+  val UpsertRecallBar = 0.6
+  val UpsertPruneBar = 0.35
+
+  /** Candidates for the MAINTAINED (upserted) IVF index
+    * ([[annIvfUpsertTopk]]): the index after ingesting the new shard
+    * WITHOUT refitting the quantizer — every vector of the grown
+    * corpus (base + shard) is assigned map-side to the centroids
+    * fitted on the base corpus alone ([[baseCentroids]], the stale
+    * production quantizer), and the standard query set probes its
+    * [[NumProbe]] nearest cells of that grown index. This is the
+    * other half of the incremental-ANN story next to
+    * [[incrementalCandidates]] (which searches the shard AGAINST the
+    * base): here the shard has been ABSORBED and ordinary queries
+    * must find both old and new vectors through the unchanged cell
+    * geometry — the production vector-store maintenance loop (assign
+    * on ingest map-side, refit rarely and offline as a separate batch
+    * op, which in this engine is just re-running the
+    * [[fitCentroidsKernelOn]] fit). [[annIvfUpsertRecall]] gates that
+    * the STALE geometry still clears the recall bar on the grown
+    * corpus — the measurement that tells a production operator when a
+    * refit is actually due.
+    */
+  private[graft] def upsertCandidates(s: SparkSession, d: String): DataFrame = {
+    val cents = baseCentroids(s, d).map(_.toArray).toArray
+    val e = withNorm(s, d)
+    // the upsert: base AND shard assigned to the existing centroids
+    // (one map-side kernel pass, no refit, no reshuffle of the base)
+    val cells = assignCellsKernel(s, e, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        col("v").as("vb"), col("nrm").as("nrmb"))
+    val probes = probeCellsKernel(s, e.filter(col("vec_id") < NumQueryVecs),
+        cents, NumProbe)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        col("v").as("va"), col("nrm").as("nrma"))
+    broadcast(probes).join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Top-k over the maintained (post-upsert) IVF index — full hash
+    * oracle via [[candTopkOracle]] over the dumped candidate pairs.
+    */
+  def annIvfUpsertTopk(s: SparkSession, d: String): DataFrame =
+    topkOf(upsertCandidates(s, d))
+
+  /** Recall/prune gate for the maintained index: macro-recall@[[TopK]]
+    * vs the exact brute-force truth over the GROWN corpus (base +
+    * absorbed shard) must clear [[UpsertRecallBar]] — i.e. the stale
+    * quantizer is still serving the corpus it did not see. DuckDB
+    * recomputes the gate from the dumped candidates. */
+  def annIvfUpsertRecall(s: SparkSession, d: String): DataFrame =
+    recallGate(s, d, upsertCandidates(s, d), UpsertRecallBar, UpsertPruneBar)
+
   /** Scaled-k quantizer for the SemDedup path, fitted on the FULL
     * corpus with k ≈ √n cells ([[scaledCells]] — the same discipline
     * as the incremental ANN index): expected cell size stays √n, so
@@ -1879,6 +1938,8 @@ object Similarity {
     "ann_ivf_topk" -> annIvfTopk _,
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_incremental_topk" -> annIvfIncrementalTopk _,
+    "ann_upsert_topk" -> annIvfUpsertTopk _,
+    "ann_upsert_recall" -> annIvfUpsertRecall _,
     "ann_pq_topk" -> annPqTopk _,
     "ann_pq_recall" -> annPqRecall _,
     "emb_quantize_int8" -> embQuantizeInt8 _,
@@ -2232,6 +2293,8 @@ object Similarity {
     "ann_ivf_topk" -> candTopkOracle("ann_ivf_topk"),
     "ann_pq_topk" -> candTopkOracle("ann_pq_topk"),
     "ann_incremental_topk" -> candTopkOracle("ann_incremental_topk"),
+    "ann_upsert_topk" -> candTopkOracle("ann_upsert_topk"),
+    "ann_upsert_recall" -> recallOracle,
     // the int8 quantization is exact double arithmetic on both
     // engines: scale, the quantized-value checksums and the
     // reconstruction cosine are all recomputed for real by DuckDB.

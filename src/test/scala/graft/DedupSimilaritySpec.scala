@@ -565,4 +565,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // search used the base-fitted quantizer, not a full-corpus refit
     assert(Similarity.baseCentroids(spark, sf) != Similarity.kmeansCentroids(spark, sf))
   }
+
+  test("IVF upsert: shard absorbed under the stale quantizer, gate green, cells prune") {
+    val rows = Similarity.annIvfUpsertTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-query ranks contiguous from 1, cosines non-increasing
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).sameElements(1L to rs.length))
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // the shard was genuinely ABSORBED: upserted (vec_id % 20 == 0)
+    // vectors are reachable as candidates of the grown index
+    val cand = Similarity.upsertCandidates(spark, sf)
+    assert(cand.filter(col("neighbor_id") % 20 === 0).count() > 0,
+      "no shard vector reachable - the upsert did not grow the index")
+    // stale geometry: the quantizer is the base fit, not a refit
+    assert(Similarity.baseCentroids(spark, sf) != Similarity.kmeansCentroids(spark, sf))
+    // probing prunes: candidates well under queries x corpus
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(cand.count() < Similarity.NumQueryVecs * n * Similarity.UpsertPruneBar,
+      "candidate volume does not respect the prune bar")
+    // the recall/prune gate itself is green on the grown corpus
+    val gate = Similarity.annIvfUpsertRecall(spark, sf).collect().head
+    assert(gate.getAs[Long]("recall_ok") == 1L, "stale quantizer below the recall bar")
+    assert(gate.getAs[Long]("prune_ok") == 1L, "probe volume above the prune bar")
+  }
 }
