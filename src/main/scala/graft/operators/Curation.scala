@@ -1281,7 +1281,14 @@ object Curation {
     * table is |sources| rows (broadcast); the corpus itself never
     * shuffles — the sample is a map-side filter, as at 100 TB.
     */
-  def curTemperatureMix(s: SparkSession, d: String): DataFrame = {
+  def curTemperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureKept(s, d).orderBy(col("doc_id"))
+
+  /** The temperature-mixed kept set without the presentation sort —
+    * shared by [[curTemperatureMix]] and the [[curTemperaturePack]]
+    * funnel (whose group exchange would discard the order anyway).
+    */
+  private[graft] def temperatureKept(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -1296,6 +1303,66 @@ object Curation {
       .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("long") < col("keep_bar"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("keep_bar"))
+  }
+
+  /** Whole-document best-fit-decreasing packing of the
+    * temperature-mixed corpus — the [[curTemperatureMix]] →
+    * pack funnel composed as ONE query (the [[curPipeline]]
+    * discipline), and the packing form training pipelines
+    * increasingly run instead of concat-and-split ([[curPack]]):
+    * documents stay INTACT (no example crosses a sequence boundary),
+    * so bins are padded, and best-fit-decreasing recovers most of the
+    * padding loss (BFD ≤ 11/9·OPT + 6/9 bins, Johnson 1973).
+    *
+    * Within each (source, shard) group the kept documents sort by
+    * (n_tokens desc, doc_id) and each goes to the FULLEST bin that
+    * still fits (ties → smallest bin id; no fit → a new bin; a
+    * longer-than-window document gets its own oversize bin). The fold
+    * is inherently sequential, so it runs as a typed per-group kernel
+    * — bounded because a pack shard is SIZED to a task by
+    * construction ([[NumPackShards]] scales with the cluster at
+    * 100 TB, exactly like [[curPack]]'s layout), never by the data.
+    * The temperature filter upstream is the map-side rate-table
+    * filter — the corpus reaches the group exchange already mixed,
+    * and that one exchange is the query's only corpus-sized shuffle.
+    * Output carries each document's bin and the bin's FINAL fill;
+    * the DuckDB oracle replays the whole funnel — rate table, filter,
+    * BFD fold (a recursive CTE stepping rank-by-rank per group,
+    * carrying the bin-load list) — so placement, bin ids and fills
+    * are all hash-gated.
+    */
+  def curTemperaturePack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val shardCol = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long"),
+      lit(NumPackShards.toLong))
+    temperatureKept(s, d)
+      .select(col("source"), shardCol.as("shard"), col("doc_id"), col("n_tokens"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey { case (src, sh, _, _) => (src, sh) }
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+        val (src, sh) = key
+        val docs = it.map { case (_, _, id, n) => (id, n) }.toArray
+          .sortBy { case (id, n) => (-n, id) }
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val placed = docs.map { case (id, n) =>
+          var best = -1
+          var bestLoad = -1L
+          var b = 0
+          while (b < loads.length) {
+            if (loads(b) + n <= PackWindow && loads(b) > bestLoad) {
+              bestLoad = loads(b); best = b
+            }
+            b += 1
+          }
+          if (best < 0) { loads += n; (id, n, loads.length - 1) }
+          else { loads(best) += n; (id, n, best) }
+        }
+        placed.iterator.map { case (id, n, b) =>
+          (id, src, sh, n, b.toLong, loads(b))
+        }
+      }
+      .toDF("doc_id", "source", "shard", "n_tokens", "bin_id", "bin_fill")
       .orderBy(col("doc_id"))
   }
 
@@ -1401,6 +1468,7 @@ object Curation {
     "cur_dp_count" -> curDpCount _,
     "cur_eval_overlap" -> curEvalOverlap _,
     "cur_temperature_mix" -> curTemperatureMix _,
+    "cur_temperature_pack" -> curTemperaturePack _,
     "cur_weighted_sample" -> curWeightedSample _,
     "cur_ccnet_buckets" -> curCcnetBuckets _,
     "cur_dedup_keep_best" -> curDedupKeepBest _,
@@ -1495,6 +1563,60 @@ object Curation {
         |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
         |      < keep_bar
         |ORDER BY doc_id""".stripMargin,
+    // full replay of the temperature->BFD funnel: rate table + filter
+    // (the cur_temperature_mix oracle), then the best-fit-decreasing
+    // fold as a recursive CTE stepping rank-by-rank per (source,
+    // shard) group, carrying the bin-load list — placement = first
+    // position of the max load that still fits (ties to the smaller
+    // bin id, new bin when none fits), byte-matching the engine fold.
+    "cur_temperature_pack" ->
+      s"""WITH RECURSIVE
+         |docs0 AS (SELECT doc_id, source,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+         |        FROM docs0 GROUP BY source),
+         |rates AS (SELECT source,
+         |   CAST(floor(sqrt(CAST((SELECT min(src_tokens) FROM per) AS DOUBLE) /
+         |     CAST(src_tokens AS DOUBLE)) * 65536.0) AS BIGINT) AS keep_bar FROM per),
+         |kept AS (SELECT doc_id, docs0.source, n_tokens,
+         |   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+         |     % $NumPackShards AS shard
+         |  FROM docs0 JOIN rates ON docs0.source = rates.source
+         |  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+         |        < keep_bar),
+         |ordd AS (SELECT *, CAST(row_number() OVER (PARTITION BY source, shard
+         |    ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rk FROM kept),
+         |st AS (
+         |  SELECT source, shard, CAST(0 AS BIGINT) AS rk,
+         |    CAST([] AS BIGINT[]) AS loads, CAST(NULL AS BIGINT) AS doc_id,
+         |    CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_id
+         |  FROM (SELECT DISTINCT source, shard FROM ordd)
+         |  UNION ALL
+         |  SELECT d.source, d.shard, d.rk,
+         |    CASE WHEN list_position(st.loads, list_max(list_filter(st.loads,
+         |           x -> x + d.n_tokens <= $PackWindow))) IS NULL
+         |         THEN list_append(st.loads, d.n_tokens)
+         |         ELSE list_transform(st.loads, (x, i) ->
+         |           CASE WHEN i = list_position(st.loads, list_max(list_filter(st.loads,
+         |                  y -> y + d.n_tokens <= $PackWindow)))
+         |                THEN x + d.n_tokens ELSE x END) END,
+         |    d.doc_id, d.n_tokens,
+         |    CASE WHEN list_position(st.loads, list_max(list_filter(st.loads,
+         |           x -> x + d.n_tokens <= $PackWindow))) IS NULL
+         |         THEN CAST(len(st.loads) AS BIGINT)
+         |         ELSE CAST(list_position(st.loads, list_max(list_filter(st.loads,
+         |           x -> x + d.n_tokens <= $PackWindow))) - 1 AS BIGINT) END
+         |  FROM st JOIN ordd d
+         |    ON d.source = st.source AND d.shard = st.shard AND d.rk = st.rk + 1),
+         |placed AS (SELECT source, shard, doc_id, n_tokens, bin_id
+         |           FROM st WHERE rk >= 1),
+         |fills AS (SELECT source, shard, bin_id,
+         |   CAST(sum(n_tokens) AS BIGINT) AS bin_fill
+         |  FROM placed GROUP BY 1, 2, 3)
+         |SELECT placed.doc_id, placed.source, CAST(placed.shard AS BIGINT) AS shard,
+         | placed.n_tokens, CAST(placed.bin_id AS BIGINT) AS bin_id, fills.bin_fill
+         |FROM placed JOIN fills USING (source, shard, bin_id)
+         |ORDER BY placed.doc_id""".stripMargin,
     "cur_weighted_sample" ->
       """WITH w AS (SELECT doc_id, n_chars,
         |   ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)

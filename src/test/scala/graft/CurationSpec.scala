@@ -370,4 +370,58 @@ class CurationSpec extends AnyFunSuite {
       assert(!g5(texts(id)).exists(evalG), s"doc $id kept despite eval overlap")
     }
   }
+
+  test("temperature pack: BFD refit exact, capacity respected, never worse than greedy") {
+    val rows = Curation.curTemperaturePack(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("shard"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bin_id"), r.getAs[Long]("bin_fill")))
+    assert(rows.nonEmpty)
+    // input partition: exactly the temperature-mixed kept set, once each
+    val kept = Curation.curTemperatureMix(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_._1).toSet == kept && rows.length == kept.size)
+    val cap = Curation.PackWindow.toLong
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((src, sh), grp) =>
+      // bin_fill consistent: sum of members, same value on every member
+      val byBin = grp.groupBy(_._5)
+      byBin.foreach { case (bin, members) =>
+        val fill = members.map(_._4).sum
+        assert(members.forall(_._6 == fill), s"($src,$sh) bin $bin fill mismatch")
+        // capacity respected unless the bin is a single oversize doc
+        assert(fill <= cap || members.length == 1,
+          s"($src,$sh) bin $bin overfilled with ${members.length} docs")
+      }
+      // bin ids dense from 0
+      assert(byBin.keys.toSeq.sorted == (0L until byBin.size.toLong),
+        s"($src,$sh) bin ids not dense")
+      // plain-Scala BFD refit reproduces the exact placement
+      val sorted = grp.map(r => (r._1, r._4)).sortBy { case (id, n) => (-n, id) }
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val refit = sorted.map { case (id, n) =>
+        val fits = loads.zipWithIndex.filter { case (l, _) => l + n <= cap }
+        val bin =
+          if (fits.isEmpty) { loads += n; loads.length - 1 }
+          else {
+            val b = fits.maxBy { case (l, i) => (l, -i) }._2
+            loads(b) += n; b
+          }
+        id -> bin.toLong
+      }.toMap
+      grp.foreach { case (id, _, _, _, bin, _) =>
+        assert(refit(id) == bin, s"doc $id: engine bin $bin != refit ${refit(id)}")
+      }
+      // BFD never uses more bins than the greedy next-fit baseline
+      // (place in doc_id order, open a new bin when the current one
+      // is full — the packing a naive pipeline ships)
+      var nfBins = 0
+      var cur = -1L
+      grp.sortBy(_._1).foreach { case (_, _, _, n, _, _) =>
+        if (cur < 0 || cur + n > cap) { nfBins += 1; cur = n }
+        else cur += n
+      }
+      assert(byBin.size <= nfBins,
+        s"($src,$sh) BFD ${byBin.size} bins > next-fit $nfBins")
+    }
+  }
 }
