@@ -50,6 +50,46 @@ object Sinks {
   def writePartitionedParquet(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Number of versioned-table shards for [[writeVerdictReport]] —
+    * the upsert's partition key must be STABLE per document (the
+    * versioned merge contract is partition-scoped), so the verdict
+    * history shards on the doc id, never on the verdict itself.
+    */
+  val VerdictShards = 16
+
+  /** Curation rule-report sink: persist a keep-list verdict frame
+    * (`doc_id`, `reason`, …, the [[graft.operators.Curation.curKeepList]]
+    * shape) in BOTH the layouts a production curation loop reads —
+    *
+    *  1. a Hive-partitioned report at `reportPath` partitioned by the
+    *     first-failing `reason`, so "show me everything the
+    *     contamination rule dropped this crawl" is a partition-pruned
+    *     scan;
+    *  2. an upsert into the manifest-log versioned table at
+    *     `versionedPath`, so successive crawls' verdicts are
+    *     time-travelable and `Versioned.diff` answers "which
+    *     documents changed verdict between crawl N and N+1". The
+    *     versioned partition key is a STABLE doc-id shard (NOT the
+    *     reason — a verdict flip must merge last-write-wins in place,
+    *     and the versioned merge contract scopes keys to their
+    *     partition).
+    *
+    * Returns the committed version. No oracle: the verdicts
+    * themselves are the oracle-gated `cur_keep_list` row; this is the
+    * lakehouse composition, exercised by SinksSpec.
+    */
+  def writeVerdictReport(spark: SparkSession, verdicts: DataFrame,
+      reportPath: String, versionedPath: String): Int = {
+    writePartitionedParquet(verdicts, reportPath, "reason")
+    // int shard: Hive partition-directory inference reads the value
+    // back as Integer, so a long batch column would type-conflict on
+    // the second upsert
+    Versioned.upsert(spark, versionedPath,
+      verdicts.withColumn("shard",
+        pmod(col("doc_id"), lit(VerdictShards.toLong)).cast("int")),
+      "doc_id", "shard")
+  }
+
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 

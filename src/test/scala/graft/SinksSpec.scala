@@ -685,4 +685,51 @@ class SinksSpec extends AnyFunSuite {
         Seq((7L, "a"), (7L, "b")).toDF("doc_id", "text"), "doc_id", "text", dir)
     }
   }
+
+  test("verdict report sink: by-rule partitions on disk, crawls diffable in the versioned table") {
+    import graft.sources.Versioned
+    val report = tmp("verdict-report")
+    val table = tmp("verdict-table")
+    // crawl 1: the real oracle-gated keep-list verdicts
+    val v1df = graft.operators.Curation.curKeepList(spark, sf)
+    val v1 = Sinks.writeVerdictReport(spark, v1df, report, table)
+    // 1. by-rule layout: one reason=<rule> dir per distinct verdict,
+    //    contents round-trip
+    val reasons = v1df.select("reason").distinct().collect().map(_.getString(0)).toSet
+    val dirs = new java.io.File(report).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == reasons.map(r => s"reason=$r"))
+    val back = spark.read.parquet(report)
+    assert(back.count() == v1df.count())
+    // partition pruning works: a single-rule read touches one partition
+    val evalCount = v1df.filter(col("reason") === "eval_holdout").count()
+    assert(back.filter(col("reason") === "eval_holdout").count() == evalCount)
+    // 2. versioned history: crawl 2 flips some verdicts (a re-crawled
+    //    page cleaned up; an ok page now contaminated)
+    // doc 0 was eval_holdout (id % 20 == 0); the synthetic second
+    // reason cannot collide with doc 1's crawl-1 verdict
+    val flips = Map(0L -> "ok", 1L -> "recrawl_pending")
+    val v2df = v1df.withColumn("reason",
+        when(col("doc_id") === 0L, flips(0L))
+          .when(col("doc_id") === 1L, flips(1L))
+          .otherwise(col("reason")))
+      .withColumn("keep", when(col("reason") === "ok", 1L).otherwise(0L))
+    val v2 = Sinks.writeVerdictReport(spark, v2df, report, table)
+    assert(v2 == v1 + 1)
+    // the latest snapshot carries exactly ONE row per doc (the flip
+    // merged in place - no stale verdict under another partition)
+    val snap = Versioned.snapshot(spark, table)
+    assert(snap.count() == v2df.count())
+    assert(snap.filter(col("doc_id") === 0L).select("reason")
+      .collect().map(_.getString(0)).toSeq == Seq("ok"))
+    // time travel: crawl 1's verdict for doc 0 is intact at v1
+    assert(Versioned.snapshot(spark, table, v1).filter(col("doc_id") === 0L)
+      .select("reason").collect().map(_.getString(0)).toSeq
+      == v1df.filter(col("doc_id") === 0L).select("reason")
+        .collect().map(_.getString(0)).toSeq)
+    // diff between the crawls names exactly the flipped documents
+    val changed = Versioned.diff(spark, table, v1, v2, "doc_id", "shard")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(changed == flips.keySet)
+  }
 }
