@@ -320,6 +320,141 @@ object Etl {
       .orderBy(col("user_id"))
   }
 
+  /** Per-(answer, session, reference-node) SSE parse for the composed
+    * chat-session flow — the [[parseSseTranscript]] loop with the
+    * reference node kept as parsed JSON (the chunk extraction needs
+    * its structure, not just the total). Last-wins per field, same
+    * validity rules.
+    */
+  private[graft] def parseSseFull(transcript: String)
+      : (String, String, com.fasterxml.jackson.databind.JsonNode) = {
+    var answer: String = null
+    var session: String = null
+    var ref: com.fasterxml.jackson.databind.JsonNode = null
+    transcript.split("\n", -1).foreach { line =>
+      if (line.startsWith("data:")) {
+        val payload = line.substring(5).trim
+        if (payload.nonEmpty && payload != "[DONE]" &&
+            payload != "null" && payload != "None") {
+          try {
+            val node = sseMapper.readTree(payload)
+            if (node != null && node.path("code").asText() == "0" &&
+                node.hasNonNull("data")) {
+              val data = node.get("data")
+              if (data.hasNonNull("answer")) answer = data.get("answer").asText()
+              if (data.hasNonNull("session_id")) session = data.get("session_id").asText()
+              if (data.hasNonNull("reference")) ref = data.get("reference")
+            }
+          } catch { case _: com.fasterxml.jackson.core.JacksonException => () }
+        }
+      }
+    }
+    (answer, session, ref)
+  }
+
+  /** The COMPOSED chat-session flow of the reference's main loop
+    * (test_chat_assistant.py:84-101 create_session, 107-131
+    * ask_question, 215-280 the per-question loop): per question,
+    * CREATE a session (an empty-question SSE call whose stream
+    * carries the session id), and when creation fails write the
+    * reference's DEGRADED row — empty answer/session, the creation
+    * status code, zero references, empty chunk columns — instead of
+    * dropping the question or failing the job; otherwise ASK in the
+    * session, SSE-parse the reply, and extract the full three-channel
+    * reference info ([[etlRefChunksMulti]]'s `str(x or "")` falsy
+    * coercion per chunk field, `total` falling back to the chunk
+    * count when the server omits it — `.get("total", len(chunks))`).
+    *
+    * Failure injection (the etl_model_judge discipline — the degraded
+    * paths are themselves hash-gated): every 11th question's creation
+    * call fails (HTTP 500, no session in the stream); every 13th ask
+    * returns an empty stream (no answer, no reference — the row keeps
+    * its session and 200 but reports zero references); every 5th
+    * chunk similarity is null and every 9th term similarity is 0 (the
+    * falsy-zero case); every 3rd reply omits `total`.
+    *
+    * Scale shape: the [[etlSseParse]] kernel discipline — one
+    * map-side typed pass over range-placed rows, Jackson only on
+    * `data:` payloads, no Generate, no exchange after the kernel.
+    */
+  def etlChatSessions(s: SparkSession, d: String): DataFrame = {
+    val e = col("event_id")
+    val s1 = round(col("value"), 2)
+    val v1 = round(col("value") * 2, 2)
+    val t1 = round(col("value") * 3, 2)
+    def js(c: Column): Column = c.cast("string")
+    val simFrag = when(e % 5 === 0, lit(""""similarity":null"""))
+      .otherwise(concat(lit(""""similarity":"""), js(s1)))
+    val termFrag = when(e % 9 === 0, lit(""""term_similarity":0.0"""))
+      .otherwise(concat(lit(""""term_similarity":"""), js(t1)))
+    val chunk1 = concat(
+      lit("""{"id":"c-"""), js(e), lit("""-1","document_name":"doc-"""), js(e % 7),
+      lit("\","), simFrag,
+      lit(""","vector_similarity":"""), js(v1), lit(","), termFrag, lit("}"))
+    val chunk2 = concat(
+      lit("""{"id":"c-"""), js(e), lit("""-2","document_name":"doc-"""), js(e % 7),
+      lit("""","similarity":"""), js(s1 + 1),
+      lit(""","vector_similarity":"""), js(v1 + 1),
+      lit(""","term_similarity":"""), js(t1 + 1), lit("}"))
+    val totalFrag = when(e % 3 === 0, lit("")).otherwise(lit(""""total":3,"""))
+    val createStatus = when(e % 11 === 0, lit(500)).otherwise(lit(200))
+    val createRaw = when(e % 11 === 0,
+        lit("data: {\"code\": 1, \"message\": \"boom\"}\ndata: [DONE]"))
+      .otherwise(concat(
+        lit("""data: {"code": 0, "data": {"answer": "greetings", "session_id": "sess-"""),
+        col("user_id").cast("string"), lit("-"), js(e), lit("\"}}\ndata: [DONE]")))
+    val askRaw = when(e % 13 === 0, lit("data: [DONE]"))
+      .otherwise(concat(
+        lit("event: message\ndata: {\"code\": 0, \"data\": {\"answer\": \"partial "), js(e),
+        lit("\"}}\ndata: {\"code\": 0, \"data\": {\"answer\": \"final "), js(e),
+        lit("""", "reference": {"""), totalFrag,
+        lit(""""chunks": ["""), chunk1, lit(","), chunk2,
+        lit("]}}}\ndata: [DONE]")))
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val base = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartitionByRange(nPart, col("event_id"))
+      .select(col("event_id"), createStatus.as("create_status"),
+        createRaw.as("create_raw"), askRaw.as("ask_raw"))
+    import s.implicits._
+    base.as[(Long, Int, String, String)]
+      .mapPartitions(_.map { case (id, cStatus, cRaw, aRaw) =>
+        val q = s"q-$id"
+        val (_, session, _) = parseSseFull(cRaw)
+        if (session == null) {
+          // the reference's degraded row: creation failed
+          (id, q, "", cStatus.toLong, "", 0L, "", "", "", "", "")
+        } else {
+          val (answer, _, ref) = parseSseFull(aRaw)
+          val chunks =
+            if (ref != null && ref.has("chunks") && ref.get("chunks").isArray)
+              (0 until ref.get("chunks").size).map(ref.get("chunks").get)
+            else Seq.empty
+          val total =
+            if (ref != null && ref.hasNonNull("total")) ref.get("total").asLong
+            else chunks.size.toLong
+          // str(chunk.get(k) or ""): falsy coercion, numbers in the
+          // engine's double shortest-repr (= DuckDB's VARCHAR cast)
+          def coerce(c: com.fasterxml.jackson.databind.JsonNode,
+              k: String): String = {
+            val n = if (c.hasNonNull(k)) c.get(k) else null
+            if (n == null) ""
+            else if (n.isNumber) {
+              val v = n.asDouble; if (v == 0.0) "" else v.toString
+            } else { val t = n.asText; if (t.isEmpty) "" else t }
+          }
+          def joined(k: String) = chunks.map(coerce(_, k)).mkString(", ")
+          (id, q, if (answer == null) "" else answer, 200L, session, total,
+            joined("id"), joined("document_name"), joined("similarity"),
+            joined("vector_similarity"), joined("term_similarity"))
+        }
+      })
+      .toDF("event_id", "question", "answer", "status_code", "session_id",
+        "total_references", "chunk_ids", "document_names", "similarities",
+        "vector_similarities", "term_similarities")
+      .sortWithinPartitions(col("event_id"))
+  }
+
   /** Judge-JSON extraction (test_chat_assistant_with_judge.py:292-358):
     * take the first `{...}` block of a noisy raw text (find "{" →
     * rfind "}" ⇒ greedy regex), then parse a typed field out of it.
@@ -801,6 +936,7 @@ object Etl {
     "etl_sanitize_text" -> etlSanitizeText _,
     "etl_ref_chunks" -> etlRefChunks _,
     "etl_ref_chunks_multi" -> etlRefChunksMulti _,
+    "etl_chat_sessions" -> etlChatSessions _,
     "etl_judge_json_parse" -> etlJudgeJsonParse _,
     "etl_judge_pipeline" -> etlJudgePipeline _,
     "etl_quality_color" -> etlQualityColor _,
@@ -1020,6 +1156,42 @@ object Etl {
         | string_agg(vsim, ', ' ORDER BY event_id) AS vector_similarities,
         | string_agg(tsim, ', ' ORDER BY event_id) AS term_similarities
         |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // closed-form replay of the composed create->ask->degrade flow:
+    // every field is a pure function of (event_id, user_id, value),
+    // independent of the engine's SSE synthesis + parse, so a
+    // mis-parsed stream, a dropped degraded row, a wrong coercion or
+    // a broken total fallback all fail the hash.
+    "etl_chat_sessions" ->
+      """WITH r AS (SELECT event_id, user_id,
+        |   round(value, 2) AS s1, round(value * 2, 2) AS v1, round(value * 3, 2) AS t1,
+        |   event_id % 11 = 0 AS cfail, event_id % 13 = 0 AS aempty,
+        |   event_id % 5 = 0 AS s1null, event_id % 9 = 0 AS t1zero,
+        |   event_id % 3 = 0 AS nototal
+        |  FROM events),
+        |b AS (SELECT *, cfail OR aempty AS degraded FROM r)
+        |SELECT event_id,
+        | 'q-' || event_id AS question,
+        | CASE WHEN degraded THEN '' ELSE 'final ' || event_id END AS answer,
+        | CAST(CASE WHEN cfail THEN 500 ELSE 200 END AS BIGINT) AS status_code,
+        | CASE WHEN cfail THEN ''
+        |      ELSE 'sess-' || user_id || '-' || event_id END AS session_id,
+        | CAST(CASE WHEN degraded THEN 0 WHEN nototal THEN 2 ELSE 3 END AS BIGINT)
+        |   AS total_references,
+        | CASE WHEN degraded THEN ''
+        |      ELSE 'c-' || event_id || '-1, c-' || event_id || '-2' END AS chunk_ids,
+        | CASE WHEN degraded THEN ''
+        |      ELSE 'doc-' || (event_id % 7) || ', doc-' || (event_id % 7) END
+        |   AS document_names,
+        | CASE WHEN degraded THEN ''
+        |      ELSE (CASE WHEN s1null OR s1 = 0 THEN '' ELSE CAST(s1 AS VARCHAR) END)
+        |           || ', ' || CAST(s1 + 1 AS VARCHAR) END AS similarities,
+        | CASE WHEN degraded THEN ''
+        |      ELSE (CASE WHEN v1 = 0 THEN '' ELSE CAST(v1 AS VARCHAR) END)
+        |           || ', ' || CAST(v1 + 1 AS VARCHAR) END AS vector_similarities,
+        | CASE WHEN degraded THEN ''
+        |      ELSE (CASE WHEN t1zero OR t1 = 0 THEN '' ELSE CAST(t1 AS VARCHAR) END)
+        |           || ', ' || CAST(t1 + 1 AS VARCHAR) END AS term_similarities
+        |FROM b ORDER BY event_id""".stripMargin,
     // closed-form replay of the composed judge pipeline: the judge's
     // inner JSON, labels/scores/notes and the quality ladder are all
     // pure functions of event_id, INDEPENDENT of which API envelope

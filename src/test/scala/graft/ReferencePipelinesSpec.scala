@@ -159,6 +159,40 @@ class ReferencePipelinesSpec extends AnyFunSuite {
       ("keep", "", 3L))
   }
 
+  test("composed chat-session flow: degraded rows on create failure, full rows otherwise") {
+    val rows = Etl.etlChatSessions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+    byId.foreach { case (id, r) =>
+      if (id % 11 == 0) {
+        // create failed: the reference's degraded row, never a dropped question
+        assert(r.getAs[Long]("status_code") == 500L)
+        assert(r.getAs[String]("session_id") == "" && r.getAs[String]("answer") == "")
+        assert(r.getAs[Long]("total_references") == 0L)
+        assert(r.getAs[String]("similarities") == "")
+      } else {
+        assert(r.getAs[Long]("status_code") == 200L)
+        assert(r.getAs[String]("session_id").startsWith("sess-"))
+        if (id % 13 == 0) {
+          // empty ask stream: session kept, zero references
+          assert(r.getAs[String]("answer") == "")
+          assert(r.getAs[Long]("total_references") == 0L)
+        } else {
+          assert(r.getAs[String]("answer") == s"final $id")
+          // total falls back to len(chunks)=2 when the server omits it
+          assert(r.getAs[Long]("total_references") == (if (id % 3 == 0) 2L else 3L))
+          // falsy coercion keeps separators: null sim -> leading ", "
+          if (id % 5 == 0) assert(r.getAs[String]("similarities").startsWith(", "))
+        }
+      }
+    }
+    // non-vacuity: all four row shapes occur
+    assert(byId.keys.exists(_ % 11 == 0) &&
+      byId.keys.exists(id => id % 11 != 0 && id % 13 == 0) &&
+      byId.keys.exists(id => id % 11 != 0 && id % 13 != 0 && id % 5 == 0) &&
+      byId.keys.exists(id => id % 11 != 0 && id % 13 != 0 && id % 3 != 0))
+  }
+
   test("judge envelope parse chain: every reference fallback, in order") {
     import Etl.{parseJudgeOutput, qualityColorOf}
     val inner = """{"labels":{"answer_present":true,"answer_direct":true,"retrieval_supports_answer":true},"scores":{"overall":7},"notes":"n"}"""
