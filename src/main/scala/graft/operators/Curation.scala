@@ -159,6 +159,56 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Memorization / inclusion audit bar: an eval item with at least
+    * this fraction of its distinct 5-grams present in the training
+    * corpus is flagged memorized. */
+  val NoveltyMemorizedBar = 0.5
+
+  /** Memorization / inclusion audit (the Carlini-style screen; the
+    * third view of the overlap triangle after [[curDecontaminate]]
+    * (training side: drop overlapping TRAIN docs) and
+    * [[curEvalOverlap]] (benchmark side: how many train docs touch
+    * each eval item)): for each held-out/generated document, the
+    * fraction of its DISTINCT 5-grams found anywhere in the training
+    * corpus — `hit_frac` — and its complement `novelty`. A generated
+    * sample with high hit_frac is training data replayed, not
+    * generalization; model-eval pipelines run exactly this report
+    * over model outputs before trusting a benchmark number.
+    *
+    * Scale shape: the audited set is benchmark-sized, so its distinct
+    * gram set broadcasts; the training corpus passes ONCE map-side
+    * through a left-semi join against that broadcast (the
+    * [[curDecontaminate]] discipline) and collapses to the ≤
+    * |eval grams| distinct grams it actually contains — the corpus
+    * never shuffles and nothing corpus-sized aggregates. Per-doc
+    * counts then aggregate on the benchmark-sized key.
+    */
+  def curNovelty(s: SparkSession, d: String): DataFrame = {
+    val grams = barrier(s,
+      Tables.documents(s, d)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("g5", expr(FiveGramExpr))
+        .select(col("doc_id"), col("g5")))
+    val ev = grams.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .filter(size(col("g5")) > 0)
+      .select(col("doc_id"), explode(array_distinct(col("g5"))).as("g"))
+    // distinct training grams that are ALSO eval grams — bounded by
+    // the eval gram count, never corpus-sized
+    val hitGrams = grams.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .select(explode(col("g5")).as("g"))
+      .join(broadcast(ev.select(col("g")).distinct()), Seq("g"), "left_semi")
+      .distinct()
+    ev.join(broadcast(hitGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6).as("hit_frac"),
+        round(lit(1.0) - col("n_hit").cast("double") / col("n_grams"), 6).as("novelty"),
+        (round(col("n_hit").cast("double") / col("n_grams"), 6) >= NoveltyMemorizedBar)
+          .cast("long").as("memorized"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Decontamination with a SHUFFLED (not broadcast) eval set: the
     * fallback for when the held-out corpus is itself too large to
     * broadcast (e.g. decontaminating against another full training
@@ -1467,6 +1517,7 @@ object Curation {
     "cur_k_anon" -> curKAnon _,
     "cur_dp_count" -> curDpCount _,
     "cur_eval_overlap" -> curEvalOverlap _,
+    "cur_novelty" -> curNovelty _,
     "cur_temperature_mix" -> curTemperatureMix _,
     "cur_temperature_pack" -> curTemperaturePack _,
     "cur_weighted_sample" -> curWeightedSample _,
@@ -1550,6 +1601,24 @@ object Curation {
         |   AS compromised
         |FROM ev LEFT JOIN tr ON ev.g = tr.g
         |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
+    "cur_novelty" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, len(string_split(text, ' ')) - 4),
+         |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+         |        string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+         |        string_split(text, ' ')[i+4])) AS g5 FROM documents),
+         |ev AS (SELECT doc_id, unnest(g5) AS g FROM t WHERE doc_id % 20 = 0),
+         |trg AS (SELECT DISTINCT g FROM
+         |  (SELECT unnest(g5) AS g FROM t WHERE doc_id % 20 <> 0)),
+         |j AS (SELECT ev.doc_id, count(*) AS n_grams, count(trg.g) AS n_hit
+         |      FROM ev LEFT JOIN trg ON ev.g = trg.g GROUP BY ev.doc_id)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         | CAST(n_hit AS BIGINT) AS n_hit,
+         | round(CAST(n_hit AS DOUBLE) / n_grams, 6) AS hit_frac,
+         | round(1.0 - CAST(n_hit AS DOUBLE) / n_grams, 6) AS novelty,
+         | CAST(CASE WHEN round(CAST(n_hit AS DOUBLE) / n_grams, 6)
+         |   >= $NoveltyMemorizedBar THEN 1 ELSE 0 END AS BIGINT) AS memorized
+         |FROM j ORDER BY doc_id""".stripMargin,
     "cur_temperature_mix" ->
       """WITH docs AS (SELECT doc_id, source,
         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

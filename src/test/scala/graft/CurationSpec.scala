@@ -371,6 +371,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("novelty audit: bounds, complement identity, hits match a direct recount") {
+    val rows = Curation.curNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // direct recount over the raw texts
+    def g5(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 5) Set.empty
+      else (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainGrams = texts.collect { case (id, t) if id % 20 != 0 => g5(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 20 == 0, "non-eval doc in the audit")
+      val grams = g5(texts(id))
+      assert(r.getAs[Long]("n_grams") == grams.size)
+      assert(r.getAs[Long]("n_hit") == grams.count(trainGrams))
+      val hf = r.getAs[Double]("hit_frac")
+      val nv = r.getAs[Double]("novelty")
+      assert(hf >= 0.0 && hf <= 1.0 && nv >= 0.0 && nv <= 1.0)
+      assert(math.abs(hf + nv - 1.0) < 2e-6, "hit_frac and novelty must complement")
+      assert(r.getAs[Long]("memorized") == (if (hf >= 0.5) 1L else 0L))
+    }
+  }
+
   test("temperature pack: BFD refit exact, capacity respected, never worse than greedy") {
     val rows = Curation.curTemperaturePack(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
