@@ -147,6 +147,46 @@ object Sinks {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Avro read/write — the row-oriented interchange format streaming
+    * buses and schema registries hand an engine (Kafka payloads,
+    * cross-language pipelines). Built into Spark 4's sql module (no
+    * external package); same writer conventions as the parquet path,
+    * including Hive-style partitioning — an Avro landing zone prunes
+    * partitions exactly like a parquet one, the columnar formats stay
+    * the ANALYTICS layout.
+    */
+  /** Spark ships the Avro implementation inside spark-sql but leaves
+    * the `avro` SHORT NAME to the external spark-avro module's
+    * service registration — absent here (offline classpath), the
+    * fully-qualified provider selects the same built-in format. */
+  private val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def writeAvro(df: DataFrame, path: String, partitionCols: String*): Unit = {
+    val w = df.write.mode("overwrite").format(AvroProvider)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).save(path)
+  }
+
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroProvider).load(path)
+
+  /** XML read/write — the document-feed shape enterprise dumps and
+    * legacy APIs arrive in (built into Spark 4, SPARK-44265: the
+    * spark-xml datasource moved into core). `rowTag` names the
+    * repeated record element; nested elements arrive as struct/array
+    * columns ready for [[graft.operators.JsonFlatten.flatten]], the
+    * same schema-on-read contract as [[readJsonDocs]]. Pass `schema`
+    * to skip the inference pass (one inference over 100 TB of XML is
+    * a full corpus read).
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").format("xml").option("rowTag", rowTag).save(path)
+
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format("xml").option("rowTag", rowTag)
+    schema.fold(r)(r.schema).load(path)
+  }
+
   /** Z-order (Morton-interleaved) clustered write: the lake layout for
     * MULTI-dimension pruning. A plain sort gives parquet files tight
     * min/max ranges on the leading column only; interleaving the bits

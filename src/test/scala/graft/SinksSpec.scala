@@ -78,6 +78,55 @@ class SinksSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"), plan)
   }
 
+  test("avro roundtrip preserves values; partitioned layout prunes") {
+    val df = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars", "text")
+    val path = tmp("avropart")
+    Sinks.writeAvro(df, path, "lang")
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("lang=")) >= 2, dirs.toSeq.toString)
+    val back = Sinks.readAvro(spark, path)
+    assert(back.count() == df.count())
+    val a = back.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val b = df.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // partition pruning reaches the avro scan
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      back.filter(col("lang") === "en").explain("formatted")
+    }
+    assert(out.toString.contains("PartitionFilters: [isnotnull(lang"), out.toString)
+  }
+
+  test("xml roundtrip: rowTag records, nested struct column, explicit schema skips inference") {
+    import org.apache.spark.sql.types._
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        struct(col("source"), col("n_chars")).as("meta"))
+    val path = tmp("xmldocs")
+    Sinks.writeXml(df, path, rowTag = "doc")
+    val back = Sinks.readXml(spark, path, rowTag = "doc")
+    assert(back.count() == df.count())
+    // nested element came back as a struct column
+    assert(back.schema("meta").dataType.isInstanceOf[StructType])
+    val a = back.select(col("doc_id"), col("lang"), col("meta.source"), col("meta.n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    val b = df.select(col("doc_id"), col("lang"), col("meta.source"), col("meta.n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // explicit schema path (no inference pass) reads the same rows
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("meta", StructType(Seq(
+        StructField("source", StringType), StructField("n_chars", LongType))))))
+    val typed = Sinks.readXml(spark, path, rowTag = "doc", Some(schema))
+    assert(typed.schema == schema)
+    assert(typed.count() == df.count())
+  }
+
   test("z-ordered write clusters BOTH dimensions (bounded per-file extents)") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
