@@ -343,6 +343,9 @@ class PlanSpec extends AnyFunSuite {
         "ann_binary_topk", "ann_binary_recall",
         "ann_lsh_recall", "ann_ivf_recall", "ann_multiprobe_recall",
         "ann_pq_recall", "ann_ivfpq_recall", "ann_filtered_ivfpq_recall",
+        // ann_upsert_recall: the same single-row gate-scalar cross as
+        // the other recall gates
+        "ann_upsert_recall",
         "dedup_semantic_gate", "q24_revenue_share",
         // text_lm_kn/_kn3/_kn5: same corpus-total-scalar (T types)
         // broadcast onto the gram-type table as the LM/PMI rows
