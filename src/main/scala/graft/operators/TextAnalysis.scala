@@ -1570,14 +1570,14 @@ object TextAnalysis {
          |  WHERE w <> ''),
          |occ AS (SELECT w, count(*) AS occ FROM wx GROUP BY w),
          |g AS (
-         |  SELECT 2 AS l, unnest(list_transform(generate_series(1, strlen(w) - 1),
-         |    i -> substring(w, i, 2))) AS gm, occ FROM occ WHERE strlen(w) >= 2
+         |  SELECT 2 AS l, unnest(list_transform(generate_series(1, length(w) - 1),
+         |    i -> substring(w, i, 2))) AS gm, occ FROM occ WHERE length(w) >= 2
          |  UNION ALL
-         |  SELECT 3 AS l, unnest(list_transform(generate_series(1, strlen(w) - 2),
-         |    i -> substring(w, i, 3))) AS gm, occ FROM occ WHERE strlen(w) >= 3
+         |  SELECT 3 AS l, unnest(list_transform(generate_series(1, length(w) - 2),
+         |    i -> substring(w, i, 3))) AS gm, occ FROM occ WHERE length(w) >= 3
          |  UNION ALL
-         |  SELECT 4 AS l, unnest(list_transform(generate_series(1, strlen(w) - 3),
-         |    i -> substring(w, i, 4))) AS gm, occ FROM occ WHERE strlen(w) >= 4),
+         |  SELECT 4 AS l, unnest(list_transform(generate_series(1, length(w) - 3),
+         |    i -> substring(w, i, 4))) AS gm, occ FROM occ WHERE length(w) >= 4),
          |gc AS (SELECT l, gm, sum(occ) AS cnt FROM g GROUP BY 1, 2),
          |top AS (SELECT l, gm FROM (SELECT l, gm,
          |    row_number() OVER (PARTITION BY l ORDER BY cnt DESC, gm) AS rk FROM gc)
@@ -1594,7 +1594,7 @@ object TextAnalysis {
          |  LEFT JOIN top t4 ON t4.l = 4 AND t4.gm = substring(walk.w, walk.pos, 4)
          |  LEFT JOIN top t3 ON t3.l = 3 AND t3.gm = substring(walk.w, walk.pos, 3)
          |  LEFT JOIN top t2 ON t2.l = 2 AND t2.gm = substring(walk.w, walk.pos, 2)
-         |  WHERE walk.pos <= strlen(walk.w)),
+         |  WHERE walk.pos <= length(walk.w)),
          |tok AS (SELECT w, max(n) AS nsub FROM walk GROUP BY w),
          |per AS (SELECT doc_id, w, count(*) AS c FROM wx GROUP BY 1, 2),
          |res AS (SELECT doc_id, sum(c) AS n_words, sum(c * nsub) AS n_subwords
