@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectFunction(GraftFunctions.topKIdsDescriptor)
     e.injectFunction(GraftFunctions.freqItemsDescriptor)
+    e.injectFunction(GraftFunctions.quantileSketchDescriptor)
     e.injectFunction(GraftFunctions.bloomAggDescriptor)
     e.injectFunction(GraftFunctions.mightContainDescriptor)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing)
@@ -79,6 +80,39 @@ object GraftFunctions {
     new ExpressionInfo(classOf[FreqItems].getName, "freq_items_sketch"),
     freqItemsBuilder _)
 
+  /** `quantile_sketch(value, capacity, p1[, p2...])`: probe ranks as
+    * constant double literals. */
+  private def quantileSketchBuilder(children: Seq[Expression]): Expression = {
+    def constDouble(e: Expression): Double = {
+      if (!e.foldable)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            "quantile_sketch(): probe ranks must be constant literals"))
+      e.eval() match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case other =>
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              s"quantile_sketch(): probe rank '$other' is not numeric"))
+      }
+    }
+    QuantileSketch(children(0),
+      constIntArg("quantile_sketch", "capacity", children(1)),
+      children.drop(2).map(constDouble)).toAggregateExpression()
+  }
+
+  private[graft] val quantileSketchDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantile_sketch"),
+    new ExpressionInfo(classOf[QuantileSketch].getName, "quantile_sketch"),
+    quantileSketchBuilder _)
+
   private def bloomAggBuilder(children: Seq[Expression]): Expression =
     org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
       children(0),
@@ -119,6 +153,8 @@ object GraftFunctions {
       "top_k_ids", topKIdsBuilder _, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_items_sketch", freqItemsBuilder _, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantile_sketch", quantileSketchBuilder _, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_filter_sketch", bloomAggBuilder _, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1172,6 +1172,43 @@ object Relational {
       .orderBy(col("community_size"))
   }
 
+  /** Probe ranks for [[q51QuantileSketch]] — every literal's binary
+    * double rounds DOWN (or is exact), so `ceil(p·n)` can never cross
+    * an integer boundary differently across engines (both sides
+    * compute the identical IEEE product). */
+  val QsProbes: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+
+  /** Sketch capacity: ≥ any sf0.01 group, so the correctness gate
+    * exercises the full sketch machinery in its EXACT regime (the
+    * FreqItems/KMV discipline); at larger data the compaction path
+    * engages and PropertySpec's rank-error bound is the contract. */
+  val QsCapacity = 65536
+
+  /** Mergeable quantile sketch per group
+    * ([[graft.functions.QuantileSketch]], KLL-style level compaction
+    * — Karnin/Lang/Liberty 2016): the third quantile path next to
+    * q14's exact window percentiles (a full per-group sort) and
+    * q27's built-in Greenwald-Khanna `approx_percentile`. What the
+    * custom aggregate adds over both: an explicitly MERGEABLE,
+    * bounded-state sketch — partials combine map-side and two
+    * shards' sketches merge by level-wise concatenation, the
+    * cross-shard contract a 100 TB rollup needs (the same reason the
+    * KMV/HLL/CMS rows exist next to exact counts). One hash
+    * aggregation, no sort, no window; quantile(p) = the smallest
+    * value whose cumulative weight reaches ceil(p·W) — SQL's
+    * discrete quantile, byte-exact against the oracle's order
+    * statistic at the exact-regime capacity.
+    */
+  def q51QuantileSketch(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.QuantileSketch.quantileSketch(
+        col("l_quantity").cast("double"), QsCapacity, QsProbes).as("qs"))
+      .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("i", "q")))
+      .select(col("l_returnflag"),
+        element_at(typedLit(QsProbes), col("i") + 1).as("p"), col("q"))
+      .orderBy(col("l_returnflag"), col("p"))
+
   /** CDC log compaction (last-write-wins): the event stream read as a
     * change log keyed by user_id — `error` events are tombstones,
     * everything else an upsert. The final state is one hash
@@ -1424,6 +1461,7 @@ object Relational {
     "q48_triangles" -> q48Triangles _,
     "q49_hll_setops" -> q49HllSetops _,
     "q50_label_propagation" -> q50LabelPropagation _,
+    "q51_quantile_sketch" -> q51QuantileSketch _,
     "q31_funnel" -> q31Funnel _,
     "q30_grouping_sets" -> q30GroupingSets _,
     "q29_correlated" -> q29Correlated _,
@@ -1753,6 +1791,19 @@ object Relational {
         |     CAST(st.n_wedges AS DOUBLE), 4)
         |   ELSE 0.0 END AS global_cc
         |FROM tri, st""".stripMargin,
+    // exact-regime replay of the discrete-quantile semantics: the
+    // value at row_number ceil(p*n) in each group's sort — identical
+    // IEEE double products on both sides (probes are down-rounding
+    // literals), so the target index can never differ
+    "q51_quantile_sketch" ->
+      s"""WITH p AS (SELECT unnest([${QsProbes.mkString(", ")}]::DOUBLE[]) AS p),
+         |s AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+         |   row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+         |   count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM lineitem)
+         |SELECT l_returnflag, p, min(v) AS q
+         |FROM s JOIN p ON rn = greatest(1, CAST(ceil(p * n) AS BIGINT))
+         |GROUP BY 1, 2 ORDER BY l_returnflag, p""".stripMargin,
     "q50_label_propagation" ->
       """WITH pairs AS (
         |  SELECT DISTINCT li1.l_partkey AS a, li2.l_partkey AS b

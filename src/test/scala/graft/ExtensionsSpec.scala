@@ -24,6 +24,17 @@ class ExtensionsSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getSeq[Long](1).length == 3))
   }
 
+  test("quantile_sketch is callable from SQL after register()") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    (1L to 100L).map(_.toDouble).toDF("v").createOrReplaceTempView("qs_in")
+    val r = spark.sql(
+      "SELECT quantile_sketch(v, 1000, 0.25d, 0.5d, 0.99d) AS q FROM qs_in")
+      .head.getSeq[Double](0)
+    // exact regime (capacity >= n): discrete quantiles of 1..100
+    assert(r == Seq(25.0, 50.0, 99.0), r.toString)
+  }
+
   test("bloom sketch + probe are callable from SQL after register()") {
     GraftFunctions.register(spark)
     import spark.implicits._

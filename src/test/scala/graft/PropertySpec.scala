@@ -372,6 +372,46 @@ class PropertySpec extends AnyFunSuite {
     assert(want.count(_._6 == null) > 0, "no fully-duplicated doc")
   }
 
+  test("quantile sketch: exact at capacity >= n; compaction bounds rank error; merge invariant") {
+    import graft.functions.QuantileSketch
+    import spark.implicits._
+    val r = new scala.util.Random(42)
+    val n = 4096
+    val values = Array.fill(n)(r.nextDouble() * 1000.0)
+    val sorted = values.sorted
+    val probes = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    def run(capacity: Int): Array[Double] =
+      values.toSeq.toDF("v")
+        .agg(QuantileSketch.quantileSketch(col("v"), capacity, probes).as("q"))
+        .collect().head.getSeq[Double](0).toArray
+    // exact regime: capacity >= n -> precisely the order statistic
+    val exact = run(n + 1)
+    probes.zip(exact).foreach { case (p, est) =>
+      val target = math.max(1L, math.ceil(p * n).toLong).toInt
+      assert(est == sorted(target - 1), s"p=$p: exact regime diverged")
+    }
+    // compacting regime: small capacity forces multi-level compaction;
+    // the deterministic variant's rank error is bounded by
+    // ~levels * n / capacity (each level-i compaction perturbs ranks
+    // by <= 2^i, and there are ~n/(c*2^i) of them per level)
+    val c = 64
+    val approx = run(c)
+    val levels = (math.log((2.0 * n) / c) / math.log(2.0)).ceil
+    val bound = (levels * n / c).toLong
+    probes.zip(approx).foreach { case (p, est) =>
+      val target = math.max(1L, math.ceil(p * n).toLong)
+      val rank = sorted.count(_ <= est).toLong
+      assert(math.abs(rank - target) <= bound,
+        s"p=$p: rank error ${math.abs(rank - target)} > bound $bound")
+    }
+    // distribution across partitions (merge path) stays in the exact
+    // regime's answer when capacity holds everything
+    val merged = values.toSeq.toDF("v").repartition(8)
+      .agg(QuantileSketch.quantileSketch(col("v"), n + 1, probes).as("q"))
+      .collect().head.getSeq[Double](0).toArray
+    assert(merged.toSeq == exact.toSeq, "merge of exact partials must stay exact")
+  }
+
   test("128-bit window key distinguishes an engineered 64-bit collision") {
     import graft.operators.{Dedup, TextAnalysis}
     val B = Dedup.RollB
