@@ -437,6 +437,42 @@ object Streams {
       .orderBy(col("window_start"), col("event_type"), col("rank"))
 
   // ------------------------------------------------------------------
+  // Streaming quantile-sketch build.
+  // ------------------------------------------------------------------
+
+  /** Streaming quantile sketch: like [[cmsCellsStream]], the
+    * aggregation STATE is the sketch — a
+    * [[graft.functions.QuantileSketch]] per event_type whose level
+    * buffers stay O(capacity·log n) no matter how long the stream
+    * runs; each micro-batch's values fold into the levels by the
+    * same level-wise merge the batch/cross-shard build uses, so
+    * stopping at any trigger yields what a batch build over the
+    * data-so-far would. Quantile estimates read off the live sketch
+    * at any time. At the gate capacity the sketch is exact, so the
+    * batch analog hash-matches the DuckDB order-statistic oracle
+    * while the compaction path (the actual 100 TB regime) is
+    * PropertySpec's rank-error contract.
+    */
+  def quantileStream(events: DataFrame): DataFrame = {
+    import graft.operators.Relational.{QsCapacity, QsProbes}
+    events
+      .groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketch.quantileSketch(
+        col("value"), QsCapacity, QsProbes).as("qs"))
+  }
+
+  /** Batch analog for the correctness gate: per-type discrete
+    * quantiles of the event values. */
+  def streamQuantile(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Relational.QsProbes
+    quantileStream(Tables.events(s, d))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("i", "q")))
+      .select(col("event_type"),
+        element_at(typedLit(QsProbes), col("i") + 1).as("p"), col("q"))
+      .orderBy(col("event_type"), col("p"))
+  }
+
+  // ------------------------------------------------------------------
   // Exactly-once checkpointed file sink.
   // ------------------------------------------------------------------
 
@@ -539,7 +575,8 @@ object Streams {
     "stream_interval_join_outer" -> streamIntervalJoinOuter _,
     "stream_decontaminate" -> streamDecontaminate _,
     "stream_neardup" -> streamNeardup _,
-    "stream_cms" -> streamCms _)
+    "stream_cms" -> streamCms _,
+    "stream_quantile" -> streamQuantile _)
 
   val oracleSql: Map[String, String] = Map(
     // each event contributes to exactly two half-hour-aligned windows
@@ -612,6 +649,20 @@ object Streams {
          |   % $CmsWidth AS b,
          | CAST(count(*) AS BIGINT) AS n
          |FROM toks, rs GROUP BY 1, 2 ORDER BY r, b""".stripMargin
+    },
+    // exact-regime replay: same discrete-quantile order statistic as
+    // q51, over per-type event values (the streaming build's state is
+    // the sketch; at gate capacity it is exact)
+    "stream_quantile" -> {
+      import graft.operators.Relational.QsProbes
+      s"""WITH p AS (SELECT unnest([${QsProbes.mkString(", ")}]::DOUBLE[]) AS p),
+         |s AS (SELECT event_type, value AS v,
+         |   row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         |   count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events)
+         |SELECT event_type, p, min(v) AS q
+         |FROM s JOIN p ON rn = greatest(1, CAST(ceil(p * n) AS BIGINT))
+         |GROUP BY 1, 2 ORDER BY event_type, p""".stripMargin
     },
     "stream_topk" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

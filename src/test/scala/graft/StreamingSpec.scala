@@ -534,4 +534,39 @@ class StreamingSpec extends AnyFunSuite {
     val totalTokens = docs.map(_._2.split(" ", -1).length).sum
     assert(streamed.values.sum == totalTokens.toLong * graft.operators.TextAnalysis.CmsRows)
   }
+
+  test("streaming quantile sketch accumulates across batches to the batch answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val r = new scala.util.Random(7)
+    val rows = (1 to 500).map(i =>
+      (if (i % 2 == 0) "click" else "view", math.floor(r.nextDouble() * 10000) / 100.0))
+    val stream = MemoryStream[(String, Double)]
+    val q = graft.streaming.Streams.quantileStream(
+      stream.toDF().toDF("event_type", "value"))
+      .writeStream.outputMode("complete").format("memory").queryName("qs_out").start()
+    try {
+      stream.addData(rows.take(200): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(200): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // stopping after any trigger = a batch build over the data-so-far
+    // (at gate capacity the sketch is exact, so equality is exact)
+    val streamed = spark.table("qs_out").collect()
+      .map(r2 => r2.getString(0) -> r2.getSeq[Double](1)).toMap
+    val batch = graft.streaming.Streams.quantileStream(
+      rows.toDF("event_type", "value")).collect()
+      .map(r2 => r2.getString(0) -> r2.getSeq[Double](1)).toMap
+    assert(streamed == batch)
+    // and both equal the exact order statistics
+    import graft.operators.Relational.QsProbes
+    rows.groupBy(_._1).foreach { case (t, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val expect = QsProbes.map { p =>
+        sorted(math.max(1L, math.ceil(p * sorted.length).toLong).toInt - 1)
+      }
+      assert(streamed(t) == expect, s"type $t")
+    }
+  }
 }
