@@ -1126,26 +1126,25 @@ object Relational {
       .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
       .filter(col("a") =!= col("b"))
       .select(col("a").as("u"), col("b").as("v"))
-    // Deduped doubled neighbor list. The dedup aggregates on ITS OWN
-    // (u, v) exchange so the map-side partial collapses repeated
-    // pairs BEFORE the wire — the earlier repartition(u)-then-dedup
-    // form satisfied the aggregate's clustering by the subset rule,
-    // which meant NO partial below the exchange: every raw pair row
-    // of the self join crossed the wire (at 10× data that is the
-    // whole query — 180M pair rows through one exchange; replica
-    // orders repeat the same baskets, so partials collapse them
-    // task-locally). The follow-up repartition(u) then exchanges only
-    // the DISTINCT edge list (graph-sized, ≪ pair-stream-sized) into
-    // the u-clustering the per-round aggregations need.
+    // Deduped ADJACENCY LIST in ONE exchange: `collect_set(v)` per u
+    // dedups map-side (each task's partial set absorbs the repeated
+    // baskets of the raw self-join stream before the wire — at 10×
+    // data that stream is 180M pair rows, the whole query's cost in
+    // the repartition(u)-then-dropDuplicates form, whose subset-rule
+    // clustering suppressed the partial entirely) and the aggregate's
+    // own exchange IS the u-clustering every round needs — the
+    // earlier dedup-then-repartition form paid a second, edge-list
+    // exchange for the same layout. Per-node set size is bounded by
+    // the part dimension (a node's neighbors ⊆ parts), the same bound
+    // the broadcast regime itself rests on. Rounds explode the cached
+    // adjacency map-side — explode and a broadcast join both preserve
+    // the u-partitioning, so both per-round aggregations stay
+    // partition-local (zero per-round exchanges below the node cap).
     val nbr = e
-      .dropDuplicates(Seq("u", "v"))
-      .repartition(math.max(1, s.sessionState.conf.numShufflePartitions / 2),
-        col("u"))
+      .groupBy(col("u")).agg(collect_set(col("v")).as("vs"))
       .cache()
-    // node table (bounded node-dimension aggregate); the distinct is
-    // partition-local on the cached u-clustering
-    val init = nbr.select(col("u").as("n")).distinct()
-      .select(col("n"), col("n").as("lbl"))
+    // node table: one row per u already — no distinct needed
+    val init = nbr.select(col("u").as("n"), col("u").as("lbl"))
     // regime pick: nodes ⊆ parts, so the parts row count (a parquet
     // footer read, no job) is a safe upper bound — below the cap the
     // label table is broadcastable; above it the rounds run
@@ -1155,8 +1154,9 @@ object Relational {
       Tables.parquetRowCount(s, d, "part") <= broadcastNodeCap
     def labelJoin(lbl: DataFrame): DataFrame = {
       val r = lbl.select(col("n").as("v"), col("lbl"))
-      if (smallNodes) nbr.join(broadcast(r), Seq("v"))
-      else nbr.join(r.hint("shuffle_hash"), Seq("v"))
+      val edges = nbr.select(col("u"), explode(col("vs")).as("v"))
+      if (smallNodes) edges.join(broadcast(r), Seq("v"))
+      else edges.join(r.hint("shuffle_hash"), Seq("v"))
     }
     val labels = (1 to LpaRounds).foldLeft(init: DataFrame) { (lbl, _) =>
       labelJoin(lbl)
