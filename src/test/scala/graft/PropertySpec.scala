@@ -372,6 +372,32 @@ class PropertySpec extends AnyFunSuite {
     assert(want.count(_._6 == null) > 0, "no fully-duplicated doc")
   }
 
+  test("judge envelope parser: total on arbitrary input (parse or error, never a throw)") {
+    import graft.operators.Etl
+    val fragGen = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.oneOf("{", "}", "[", "]", "\"", ":", ",", "null", "true", "0.5",
+        """{"completion":""", """{"content":[{"text":"x"}]}""",
+        """{"choices":[{}]}""", """{"labels":""", "\\", "\n"),
+      Gen.listOfN(3, Gen.asciiPrintableChar).map(_.mkString))
+    val rawGen = Gen.listOf(fragGen).map(_.mkString(" "))
+    samples(rawGen, 400).foreach { raw =>
+      // total: one of (parsed, null) / (null, error) — and no exception
+      val (parsed, err) = Etl.parseJudgeOutput(raw)
+      assert((parsed != null) != (err != null),
+        s"exactly one of parse/error expected for <$raw>")
+      // the quality ladder is total over whatever parsed
+      if (parsed != null) {
+        val c = Etl.qualityColorOf(
+          if (parsed.isObject) parsed.get("labels") else null)
+        assert(Set("RED", "YELLOW", "GREEN", "GRAY")(c))
+      }
+    }
+    // null/empty explicitly
+    assert(Etl.parseJudgeOutput("")._2 == "empty judge response")
+    assert(Etl.parseJudgeOutput(null)._2 == "empty judge response")
+  }
+
   test("quantile sketch: exact at capacity >= n; compaction bounds rank error; merge invariant") {
     import graft.functions.QuantileSketch
     import spark.implicits._
