@@ -369,27 +369,11 @@ object TextAnalysis {
     * Returns null when the document has fewer than `minTokens` tokens
     * (callers emit no grams for it). */
   private[graft] def tokenHashes(text: String, minTokens: Int): Array[Long] = {
-    if (text == null) return null
-    val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var spaces = 0
-    var i = 0
-    while (i < b.length) { if (b(i) == ' ') spaces += 1; i += 1 }
-    val n = spaces + 1
-    if (n < minTokens) return null
-    val th = new Array[Long](n)
-    var start = 0
-    var k = 0
-    i = 0
-    while (i <= b.length) {
-      if (i == b.length || b(i) == ' ') {
-        th(k) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
-        k += 1
-        start = i + 1
-      }
-      i += 1
-    }
-    th
+    // the legacy single-channel API: the primary channel of the pair
+    // kernel (spec-anchored against a per-String reference hash in
+    // TextCurationSpec, which therefore also anchors the pair path)
+    val tp = tokenHashPairs(text, minTokens)
+    if (tp == null) null else tp._1
   }
 
   /** Second-channel seed for the 128-bit token keys (an arbitrary odd
@@ -434,6 +418,10 @@ object TextAnalysis {
     (th, ts)
   }
 
+  /** (primary, salt) column-name groups → columns, shared by the
+    * kn3/kn5 fits. */
+  private def knCols(ks: Seq[String]*): Seq[Column] = ks.flatten.map(col)
+
   def textLmKn3Score(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val D = KnDiscount
@@ -461,7 +449,7 @@ object TextAnalysis {
       .toDF("doc_id", "w1", "s1", "w2", "s2", "w3", "s3")
       .localCheckpoint(eager = false)
     val k1 = Seq("w1", "s1"); val k2 = Seq("w2", "s2"); val k3 = Seq("w3", "s3")
-    def cols(ks: Seq[String]*): Seq[Column] = ks.flatten.map(col)
+    def cols(ks: Seq[String]*): Seq[Column] = knCols(ks: _*)
     // the one corpus-sized shuffle: trigram types — materialized once
     // (six consumers would each re-run the corpus aggregation; the
     // kn5 measurement showed the cascade multiplying)
@@ -577,7 +565,7 @@ object TextAnalysis {
     val K4 = Seq("w4", "s4"); val K5 = Seq("w5", "s5")
     val G1 = Seq("g1", "h1"); val G2 = Seq("g2", "h2")
     val G3 = Seq("g3", "h3"); val G4 = Seq("g4", "h4")
-    def cols(ks: Seq[String]*): Seq[Column] = ks.flatten.map(col)
+    def cols(ks: Seq[String]*): Seq[Column] = knCols(ks: _*)
     def ren(from: Seq[String], to: Seq[String]): Seq[Column] =
       from.zip(to).map { case (f, t) => col(f).as(t) }
     // the one corpus-sized shuffle: 5-gram types with token counts.

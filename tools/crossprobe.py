@@ -53,7 +53,7 @@ if not bench_path.exists():
 bench = json.loads(bench_path.read_text())["queries"]
 
 con = duckdb.connect()
-con.execute(f"SET threads TO 32")
+con.execute("SET threads TO 32")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SFDIR}/{t}.parquet')")
 
