@@ -750,43 +750,37 @@ object Relational {
     // requirement, so dropDuplicates adds no second exchange. The node
     // count rides along as a window-scalar column over the node-sized
     // degree table (bounded dimension) instead of a collected literal.
-    val e = li.select(col("ok"), col("pk").as("src"))
+    // Deduped IN-ADJACENCY in ONE exchange (the q50 build applied
+    // here): `collect_set(src)` per dst dedups MAP-SIDE — each task's
+    // partial set absorbs the raw self-join pair stream before the
+    // wire, where the earlier repartition(dst)-then-dropDuplicates
+    // form satisfied the dedup's clustering by the subset rule and so
+    // shipped every raw pair row through the exchange — and the
+    // aggregate's own exchange IS the dst-clustering each iteration's
+    // groupBy(dst) needs (cache() preserves outputPartitioning;
+    // broadcast joins preserve the streamed side's partitioning, and
+    // the per-iteration explode is map-side). Per-node set size is
+    // bounded by the part dimension. Every production PageRank
+    // persists its edge list across iterations; MEMORY_AND_DISK
+    // spills at cluster scale. (Bench clears the SQL cache between
+    // passes so pass 2 re-pays the build.)
+    val adj = li.select(col("ok"), col("pk").as("src"))
       .hint("shuffle_hash")
       .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-      // DST-partitioned, and cache() rather than localCheckpoint():
-      // InMemoryRelation PRESERVES outputPartitioning (a checkpoint
-      // scan reports UnknownPartitioning), and broadcast joins
-      // preserve the streamed side's partitioning — so each
-      // iteration's groupBy(dst) is satisfied with NO exchange at
-      // all. The dst hash clustering also satisfies the (src, dst)
-      // dedup (subset rule), so the whole edge build is one shuffle.
-      // Every production PageRank persists its edge list across
-      // iterations; MEMORY_AND_DISK spills at cluster scale.
-      // (Measured ckpt 1.75s → cache 1.27s warm at sf0.1; Bench
-      // clears the SQL cache between passes so pass 2 re-pays the
-      // build.) Half the session shuffle parallelism: five post-build
-      // stages scan these cached partitions, and at ~150k edge rows
-      // per task the halved task count beats the default's per-stage
-      // dispatch overhead (measured 2.05s vs 2.22s at 32); the
-      // expression still scales with the session setting at cluster
-      // size.
-      .repartition(math.max(1, s.sessionState.conf.numShufflePartitions / 2),
-        col("dst"))
-      .dropDuplicates(Seq("src", "dst"))
+      .groupBy(col("dst")).agg(collect_set(col("src")).as("srcs"))
       .cache()
+    val e = adj.select(col("dst"), explode(col("srcs")).as("src"))
     // Degree via IN-degree: the edge set is symmetric by construction
     // (the self-join emits both orientations of every co-purchase
-    // pair), so groupBy(dst) ≡ groupBy(src) — and on the
-    // dst-partitioned cache the dst grouping is partition-local:
-    // the degree table costs NO exchange (measured 0.56s → 0.05s).
-    // (A single-partition window scalar for the node count measured
-    // +0.7s over the bounded count() job — the empty-partition-spec
-    // exchange inside every broadcast subtree is costlier than one
-    // driver action on the cached edges.)
-    val deg = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
-      .select(col("dst").as("src"), col("deg")).cache()
+    // pair), so |in-neighbors| ≡ out-degree — and on the adjacency it
+    // is just the set size: the degree table costs NO aggregation at
+    // all. (A single-partition window scalar for the node count
+    // measured +0.7s over the bounded count() job — the
+    // empty-partition-spec exchange inside every broadcast subtree is
+    // costlier than one driver action on the cached adjacency.)
+    val deg = adj.select(col("dst").as("src"), size(col("srcs")).cast("long").as("deg"))
+      .cache()
     val nn = deg.count() // bounded aggregate over the node dimension
     val teleport = (15L * Scale) / (100L * nn)
     // Node-table join strategy from the MEASURED node count: below the
