@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -44,9 +44,13 @@ case class QuantileSketch(
     probes: Seq[Double],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[QuantileSketch.Buf] {
+  extends TypedImperativeAggregate[QuantileSketch.Buf] with ImplicitCastInputTypes {
+
+  require(capacity >= 2, s"quantile_sketch capacity must be >= 2, got $capacity")
 
   override def children: Seq[Expression] = Seq(valueExpr)
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] =
+    Seq(DoubleType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -118,14 +122,19 @@ object QuantileSketch {
     }
 
     /** Sort level i, promote its odd-position items to level i+1
-      * (deterministic compaction offset), clear level i; cascade. */
+      * (deterministic compaction offset), clear level i; cascade.
+      * Odd-length levels (possible after mergeIn/deserialize) retain
+      * their last item at level i — standard KLL — so total sketch
+      * weight W stays exactly n instead of drifting low. */
     private def compact(i: Int): Unit = {
       val sorted = levels(i).sorted
       levels(i).clear()
       if (i + 1 == levels.length)
         levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+      val even = sorted.length - (sorted.length % 2)
       var j = 1
-      while (j < sorted.length) { levels(i + 1) += sorted(j); j += 2 }
+      while (j < even) { levels(i + 1) += sorted(j); j += 2 }
+      if (sorted.length % 2 == 1) levels(i) += sorted(sorted.length - 1)
       if (levels(i + 1).length >= capacity) compact(i + 1)
     }
 

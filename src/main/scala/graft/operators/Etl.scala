@@ -433,14 +433,17 @@ object Etl {
           val total =
             if (ref != null && ref.hasNonNull("total")) ref.get("total").asLong
             else chunks.size.toLong
-          // str(chunk.get(k) or ""): falsy coercion, numbers in the
-          // engine's double shortest-repr (= DuckDB's VARCHAR cast)
+          // str(chunk.get(k) or ""): falsy coercion; integral JSON
+          // nodes keep their integer text (Python str(3) = "3"),
+          // doubles render shortest-repr (= DuckDB's VARCHAR cast)
           def coerce(c: com.fasterxml.jackson.databind.JsonNode,
               k: String): String = {
             val n = if (c.hasNonNull(k)) c.get(k) else null
             if (n == null) ""
             else if (n.isNumber) {
-              val v = n.asDouble; if (v == 0.0) "" else v.toString
+              val v = n.asDouble
+              if (v == 0.0) "" else if (n.isIntegralNumber) n.asText
+              else v.toString
             } else { val t = n.asText; if (t.isEmpty) "" else t }
           }
           def joined(k: String) = chunks.map(coerce(_, k)).mkString(", ")
@@ -920,7 +923,88 @@ object Etl {
           .otherwise(lit(null).cast("string")).as("dlq_payload"))
       .orderBy(col("event_id"))
 
+  /** The fixed evaluator template of the reference's
+    * `build_judge_prompt` (test_chat_assistant_with_judge.py:218-249)
+    * up through the QUESTION: header — the interpolation points
+    * (question, answer, chunk count, chunk JSON, session id) follow as
+    * column work in [[etlJudgePrompt]].
+    */
+  private[graft] val JudgePromptHead: String =
+    """You are an evaluator that must judge whether an assistant answer correctly responds to a user's question,
+and whether the retrieved reference chunks support the answer.
+
+Return ONLY a single valid JSON object (no surrounding text) with fields:
+- labels: dict of boolean flags (answer_present, answer_direct, answer_partial, answer_wrong,
+  answer_hallucination, answer_contradicts_sources, retrieval_relevant, retrieval_supports_answer,
+  retrieval_complete, source_divergence, citation_ok, answer_safe, answer_requires_followup)
+- scores: dict with numeric scores between 0 and 1 for answer_quality, retrieval_relevance, evidence_support
+- notes: short string explanation if any problem detected (<= 200 chars)
+
+Rules:
+- answer_present: true when assistant produced a non-empty answer.
+- retrieval_relevant: true if the majority of provided chunks are topically relevant to the question.
+- retrieval_supports_answer: true if chunks contain explicit facts that substantiate key claims in the assistant's answer.
+- answer_hallucination: true if the assistant asserts facts not present in any provided chunk.
+- answer_contradicts_sources: true if assistant's claims directly contradict one or more chunks.
+- If unsure, prefer conservative (i.e., set problematic flags true).
+
+Now evaluate the following input. Keep the JSON compact.
+
+QUESTION:
+"""
+
+  /** The judge-prompt BUILD of the reference
+    * (test_chat_assistant_with_judge.py:199-253): cap the session's
+    * retrieved chunks at the first 12 ("limit to first 12 chunks to
+    * avoid huge prompts"), project each to the four judged fields
+    * (id, document_name, similarity, content), JSON-serialize the
+    * projected list, and interpolate question / answer / chunk count
+    * / chunk JSON / session id into the fixed evaluator template.
+    * Pure column work — sort_array + slice + transform + to_json +
+    * concat, all codegen — so at 100 TB this is one groupBy exchange
+    * plus map-side string assembly. The gate hashes md5(prompt) per
+    * session, so a single byte of template, serialization, or slice
+    * drift fails the row. Null similarities are injected on
+    * event_id % 5: the reference's `c.get("similarity")` passes None
+    * through json.dumps as a JSON null, so the engine serializes with
+    * ignoreNullFields=false to keep the key (Spark's default would
+    * silently drop it).
+    */
+  def etlJudgePrompt(s: SparkSession, d: String): DataFrame = {
+    val e = col("event_id")
+    val sim = when(e % 5 === 0, lit(null).cast("double"))
+      .otherwise(round(col("value"), 2))
+    val per = Tables.events(s, d)
+      .select(col("user_id"),
+        struct(e.as("event_id"),
+          concat(lit("c-"), e.cast("string")).as("id"),
+          concat(lit("doc-"), (e % 7).cast("string")).as("document_name"),
+          sim.as("similarity"),
+          concat(lit("chunk text "), e.cast("string")).as("content")).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .select(col("user_id"),
+        expr("transform(slice(cs, 1, 12), c -> struct(" +
+          "c.id AS id, c.document_name AS document_name, " +
+          "c.similarity AS similarity, c.content AS content))").as("chunks"))
+    val u = col("user_id").cast("string")
+    val chunksJson = to_json(col("chunks"), Map("ignoreNullFields" -> "false"))
+    val prompt = concat(
+      lit(JudgePromptHead),
+      lit("q-"), u,
+      lit("\n\nASSISTANT_ANSWER:\nanswer for q-"), u,
+      lit("\n\nREFERENCES (first "), size(col("chunks")).cast("string"),
+      lit(" chunks shown):\n"), chunksJson,
+      lit("\n\nSESSION_ID:\nsess-"), u)
+    per.select(col("user_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        length(prompt).cast("long").as("prompt_len"),
+        md5(prompt).as("prompt_md5"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_judge_prompt" -> etlJudgePrompt _,
     "etl_dlq_route" -> etlDlqRoute _,
     "etl_model_summarize" -> etlModelSummarize _,
     "etl_model_judge" -> etlModelJudge _,
@@ -1003,6 +1087,40 @@ object Etl {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // independent replay of the prompt build: per-chunk JSON by string
+    // concat (compact, key order id/document_name/similarity/content —
+    // Spark to_json's layout), first-12 cap via row_number, template
+    // spliced verbatim (apostrophes escaped), md5 over the whole prompt
+    "etl_judge_prompt" ->
+      s"""WITH c AS (
+         | SELECT user_id, event_id,
+         |  '{"id":"c-' || CAST(event_id AS VARCHAR) ||
+         |  '","document_name":"doc-' || CAST(event_id % 7 AS VARCHAR) ||
+         |  '","similarity":' ||
+         |  CASE WHEN event_id % 5 = 0 THEN 'null'
+         |       ELSE CAST(round(value, 2) AS VARCHAR) END ||
+         |  ',"content":"chunk text ' || CAST(event_id AS VARCHAR) || '"}' AS cj,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+         | FROM events),
+         |a AS (
+         | SELECT user_id,
+         |  string_agg(cj, ',' ORDER BY event_id) FILTER (WHERE rn <= 12) AS body,
+         |  CAST(least(count(*), 12) AS BIGINT) AS n_chunks
+         | FROM c GROUP BY user_id),
+         |p AS (
+         | SELECT user_id, n_chunks,
+         |  '${JudgePromptHead.replace("'", "''")}q-' || CAST(user_id AS VARCHAR) ||
+         |  chr(10) || chr(10) || 'ASSISTANT_ANSWER:' || chr(10) ||
+         |  'answer for q-' || CAST(user_id AS VARCHAR) ||
+         |  chr(10) || chr(10) || 'REFERENCES (first ' || CAST(n_chunks AS VARCHAR) ||
+         |  ' chunks shown):' || chr(10) || '[' || body || ']' ||
+         |  chr(10) || chr(10) || 'SESSION_ID:' || chr(10) ||
+         |  'sess-' || CAST(user_id AS VARCHAR) AS prompt
+         | FROM a)
+         |SELECT user_id, n_chunks,
+         | CAST(length(prompt) AS BIGINT) AS prompt_len,
+         | md5(prompt) AS prompt_md5
+         |FROM p ORDER BY user_id""".stripMargin,
     "etl_dlq_route" ->
       """WITH r AS (SELECT event_id,
         |   CASE WHEN event_id % 7 = 0

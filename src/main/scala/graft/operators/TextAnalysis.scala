@@ -303,8 +303,9 @@ object TextAnalysis {
       .toDF("doc_id", "w1", "w2")
       // the bigram stream feeds BOTH the model fit and the scoring
       // join; materialize the kernel's output once (multi-consumer
-      // lambda intermediates can't be canonicalized by ReuseExchange)
-      .localCheckpoint()
+      // lambda intermediates can't be canonicalized by ReuseExchange);
+      // lazy so no job is scheduled at plan-construction time
+      .localCheckpoint(eager = false)
     val bc = stream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
     val fwd = bc.groupBy(col("w1"))
       .agg(sum(col("c_ab")).as("c1"), count(lit(1)).as("n1f"))

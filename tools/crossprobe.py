@@ -73,7 +73,10 @@ for name in NAMES:
     result[name] = {"engine_s": round(e, 3) if e is not None else None,
                     "oracle_s": round(o, 3),
                     "ratio": round(e / o, 3) if e is not None else None}
-    print(f"{name}: engine {e}s vs oracle {o:.2f}s = {e / o:.2f}x")
+    if e is not None:
+        print(f"{name}: engine {e}s vs oracle {o:.2f}s = {e / o:.2f}x")
+    else:
+        print(f"{name}: engine missing from bench subset; oracle {o:.2f}s")
 
 sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                      capture_output=True, text=True).stdout.strip()
