@@ -78,6 +78,21 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Idle-check preamble (the tools/baseline.py discipline, now
+    // enforced rather than documented): the r11 driver window ran
+    // +12% hot vs five same-SHA self-measured pairs purely from host
+    // load, flipping four borderline rows over their 2x bar. Wait
+    // (bounded) for the 1-minute loadavg to settle before timing
+    // anything, and disclose both the observed load and the wait in
+    // the output line so a hot window is visible in the artifact
+    // instead of masquerading as a regression.
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadAtStart = load1()
+    var idleWait = 0
+    while (load1() > 8.0 && idleWait < 120) { Thread.sleep(5000); idleWait += 5 }
+    val loadAtBench = load1()
     warmup(spark)
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // Two passes over the inventory, report the per-query MIN (JMH-style
@@ -136,14 +151,24 @@ object Bench {
     // resetEvalCaches. RDD-level localCheckpoints (Similarity's
     // exactPairCache) are NOT cacheManager entries and survive, as
     // designed.
-    graft.operators.Similarity.resetEvalCaches()
-    spark.sharedState.cacheManager.clearCache()
-    val p1 = pass()
-    graft.operators.Similarity.resetEvalCaches()
-    spark.sharedState.cacheManager.clearCache()
-    val p2 = pass()
-    val results = p1.zip(p2).map { case ((n, t1, ok1), (_, t2, ok2)) =>
-      (n, math.min(t1, t2), ok1 && ok2)
+    // THREE passes (min-of-3, up from min-of-2 in r11): with two
+    // passes a single one-time cost landing in each pass's copy of the
+    // same query — or one hot-host window overlapping both — still
+    // distorts the min; the r11 driver window showed exactly that
+    // (q50 3.96s in-driver vs 1.6-1.8s in five same-SHA local pairs).
+    // The third pass costs ~1 warm suite (~100s) and makes the min a
+    // genuine steady-state number.
+    def timedPass(): Seq[(String, Double, Boolean)] = {
+      graft.operators.Similarity.resetEvalCaches()
+      spark.sharedState.cacheManager.clearCache()
+      pass()
+    }
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val p3 = timedPass()
+    val results = p1.zip(p2).zip(p3).map {
+      case (((n, t1, ok1), (_, t2, ok2)), (_, t3, ok3)) =>
+        (n, math.min(t1, math.min(t2, t3)), ok1 && ok2 && ok3)
     }
     // failed queries report -1 and are excluded from the total, so a
     // broken query can't silently skew the benchmark. Timings are rounded
@@ -161,7 +186,7 @@ object Bench {
     // "pass1_total" is the first full cold-ish pass so the two
     // regimes stay separately comparable across rounds.
     val p1total = p1.collect { case (_, v, true) => v }.sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"min-of-2-passes","pass1_total":${fmt(p1total)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"min-of-3-passes","pass1_total":${fmt(p1total)},"load_at_start":${fmt(loadAtStart)},"load_at_bench":${fmt(loadAtBench)},"idle_wait_s":$idleWait,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the LAST ~2000 chars of output; the
     // full per-query line above exceeds that, so its front is cut and
@@ -171,7 +196,7 @@ object Bench {
     // the full line's own "metric" prefix is what gets truncated away,
     // the first {"metric" occurrence in the tail is this parseable
     // one. Per-query detail remains in the full line + bench_out.json.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"min-of-2-passes","n_queries":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"detail":"bench_out.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"min-of-3-passes","n_queries":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"load_at_bench":${fmt(loadAtBench)},"detail":"bench_out.json","sf":"$sfDir"}""")
     // Also persist to disk: the driver captures only a bounded output tail,
     // which destroyed 9 query rows of the round-3 artifact. The on-disk copy
     // is the authoritative record — so a SPARK_GRAFT_ONLY dev-subset run

@@ -29,9 +29,29 @@ object StateRegistry {
     * from [[sweep]] forever.
     */
   def checkpointed(owner: String, df: DataFrame): DataFrame = synchronized {
+    checkpointWith(owner, df, d => d.localCheckpoint())
+  }
+
+  /** [[checkpointed]], but the checkpointed scan keeps the HASH
+    * partitioning its final stage produced (on `keys`), so downstream
+    * aggregations/joins clustered on `keys` stay partition-local —
+    * the contract the graph queries' per-round aggregations need.
+    * The build runs with AQE partition coalescing disabled so the
+    * stamped `HashPartitioning` describes the true block layout.
+    */
+  def checkpointedHashPartitioned(owner: String, df: DataFrame,
+      keys: Seq[String]): DataFrame = synchronized {
+    import org.apache.spark.sql.GraftColumnBridge
+    checkpointWith(owner, df, d =>
+      GraftColumnBridge.withStablePartitioning(d.sparkSession)(
+        GraftColumnBridge.localCheckpointHashPartitioned(d, keys)))
+  }
+
+  private def checkpointWith(owner: String, df: DataFrame,
+      ckpt: DataFrame => DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val ck = df.localCheckpoint()
+    val ck = ckpt(df)
     // the checkpointed plan is a LogicalRDD scan of the ONE persisted
     // internal RDD — its id is the owned block set (ck.rdd would be a
     // fresh unpersisted wrapper; the global before/after diff is only

@@ -98,26 +98,26 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("q33_market_basket").contains("TakeOrderedAndProject"))
   }
 
-  test("q37_pagerank: zero shuffle above the cached edge list (broadcast iterations)") {
-    // The iteration contract: every per-round join is a broadcast of
-    // the node-bounded contribution table against the dst-partitioned
-    // cached edges, and the dst aggregation is partition-local — so
-    // above the InMemoryTableScan the ONLY exchanges are broadcasts.
-    // A shuffle appearing here means the cache lost its partitioning
-    // (e.g. someone swapped cache() back to localCheckpoint()) or a
-    // join reverted to shuffle form.
+  test("q37_pagerank: zero non-broadcast exchange anywhere (broadcast iterations)") {
+    // The iteration contract since the r12 shared-adjacency build:
+    // the edge list is the STAMPED hash-partitioned checkpoint
+    // (coPurchaseAdjacency — a Scan ExistingRDD carrying
+    // HashPartitioning(n)), every per-round join is a broadcast of
+    // the node-bounded contribution table against it, and the dst
+    // aggregation is partition-local on the stamped layout — so the
+    // whole q37 plan contains NO shuffle at all, only broadcasts
+    // (the one corpus exchange lives inside the shared build, paid
+    // once per dataset). A shuffle appearing here means the
+    // checkpoint lost its partitioning stamp or a join reverted.
     val p = planOf("q37_pagerank")
-    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("Scan ExistingRDD"), s"shared adjacency scan missing\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    val lines = p.linesIterator.toVector
-    val firstScan = lines.indexWhere(_.contains("InMemoryTableScan"))
-    assert(firstScan > 0, p)
-    val bad = lines.take(firstScan).filter(l =>
+    val bad = p.linesIterator.filter(l =>
       l.contains("ShuffledHashJoin") ||
         (l.contains("Exchange") && !l.contains("BroadcastExchange")
-          && !l.contains("ReusedExchange")))
-    assert(bad.isEmpty, s"shuffle above the cached edge scan:\n${bad.mkString("\n")}\n$p")
+          && !l.contains("ReusedExchange"))).toVector
+    assert(bad.isEmpty, s"shuffle in the iteration plan:\n${bad.mkString("\n")}\n$p")
   }
 
   test("q37_pagerank: node count above the cap flips iterations to shuffle-hash automatically") {
@@ -128,18 +128,32 @@ class PlanSpec extends AnyFunSuite {
     val forced = operators.Relational.q37PagerankAt(spark, sf, 0L)
     val p = forced.queryExecution.executedPlan.toString
     assert(p.contains("ShuffledHashJoin"), p)
-    val lines = p.linesIterator.toVector
-    val firstScan = lines.indexWhere(_.contains("InMemoryTableScan"))
-    // guard the slice: with no InMemoryTableScan line, take(-1) would
-    // make the no-broadcast assertion silently vacuous
-    assert(firstScan >= 0, s"cached edge scan missing from the forced plan:\n$p")
-    val aboveScan = lines.take(firstScan)
-    assert(!aboveScan.exists(_.contains("BroadcastHashJoin")),
+    assert(!p.contains("BroadcastHashJoin"),
       s"node-table broadcast above the cap:\n$p")
     val broadcastRegime = SparkEntry.queries("q37_pagerank")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val shuffleRegime = forced.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(shuffleRegime == broadcastRegime)
+  }
+
+  test("q48/q50: graph queries reuse the shared adjacency checkpoint") {
+    // Both consumers must read the checkpointed adjacency (Scan
+    // ExistingRDD), not rebuild the lineitem self-join — rebuilds
+    // would show a shuffle-hash join of two parquet scans.
+    Seq("q48_triangles", "q50_label_propagation").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("Scan ExistingRDD"), s"$q lost the shared adjacency\n$p")
+      assert(!p.toLowerCase.contains("parquet"), s"$q rebuilds the graph from parquet\n$p")
+    }
+    // q50 broadcast regime: per-round aggregations partition-local on
+    // the stamped layout — the only non-broadcast exchanges are the
+    // bounded label-census tail (lbl agg, size agg, final sort), never
+    // a per-round shuffle (which would add two exchanges per round).
+    val p50 = planOf("q50_label_propagation")
+    val bad = p50.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")
+        && !l.contains("ReusedExchange")).toVector
+    assert(bad.size <= 3, s"per-round shuffle in the q50 plan:\n${bad.mkString("\n")}\n$p50")
   }
 
   test("text_bpe_tokens: broadcast dictionary join, fitted vocab as literal, no window") {
