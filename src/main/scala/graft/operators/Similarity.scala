@@ -1853,8 +1853,12 @@ object Similarity {
   def annHybridRrf(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{TextAnalysis => TA}
     val nDocs = Tables.parquetRowCount(s, d, "documents").toDouble
+    // tokenize the corpus ONCE: the token table feeds tf AND avgdl
+    // (un-materialized, avgdl's scan re-ran the tokenizer over every
+    // document — a full second corpus pass)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .localCheckpoint(eager = false)
     val qTerms = docs.filter(col("doc_id") < NumQueryVecs)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(col("toks"))).as("term"))
@@ -1863,48 +1867,69 @@ object Similarity {
     // filter INSIDE the token array, so non-query-term tokens are
     // never exploded into rows at all (textBm25Topk's discipline; the
     // post-explode semi-join this replaces materialized every corpus
-    // token first).
+    // token first). A LocalTableScan qTerms from the same collect
+    // measured WORSE (+0.2 s) than the broadcast subtree — the
+    // driver-side row conversion outweighs the saved build job.
     val qTermList = qTerms.select(col("term")).distinct()
       .collect().map(_.getString(0)).sorted
     val inList = qTermList.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+    // ONE term-clustered exchange carries the tf aggregation AND the
+    // df count: tf is one row per (doc, term) after the partition-
+    // local groupBy, so df is a window count over the same term
+    // clustering — no separate dfTab aggregate, no dfTab broadcast
+    // build job (the r11 form's extra stage pair)
+    val nPart0 = s.sessionState.conf.numShufflePartitions
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val tf = docs
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
         explode(expr(s"filter(toks, t -> t IN ($inList))")).as("term"))
+      .repartition(nPart0, col("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfTab = tf.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      .withColumn("df", count(lit(1)).over(wDf).cast("double"))
     val avgdl = docs.agg(avg(size(col("toks"))).as("avgdl"))
-    val bm = tf.join(broadcast(qTerms), Seq("term"))
+    // Both modalities' SCORED candidate streams union with a tag
+    // BEFORE any ranking, and ONE query_id repartition carries the
+    // score aggregation, both per-modality rankings (one window stage
+    // partitioned (query_id, tag) — the query_id clustering satisfies
+    // it by the subset rule), the rank-pair fusion (a partition-local
+    // conditional-agg pivot, not the r11 full_outer join) and the
+    // final RRF cut. The r11 form ranked each modality in its own
+    // window exchange and joined the two lists — a documented
+    // ~19-stage AQE floor; this form is one exchange + sorts.
+    val bmContrib = tf.join(broadcast(qTerms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
-      .join(broadcast(dfTab), Seq("term"))
       .crossJoin(broadcast(avgdl))
-      .withColumn("contrib",
-        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+      .select(col("query_id"), col("doc_id"), lit(1).as("tag"),
+        (log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
           col("tf") * (lit(TA.Bm25K1) + 1.0) /
           (col("tf") + lit(TA.Bm25K1) *
             (lit(1.0) - lit(TA.Bm25B) + lit(TA.Bm25B) * col("dl") / col("avgdl"))))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("contrib")), 6).as("bm25"))
-    val wl = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("bm25").desc, col("doc_id"))
-    val lex = bm.withColumn("lex_rank", row_number().over(wl).cast("long"))
-      .filter(col("lex_rank") <= RrfDepth)
-      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+          .as("sc"))
     val e = withNorm(s, d)
     val q = e.filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("nrm").as("nrma"))
     val nb = e.select(col("vec_id").as("doc_id"), col("v").as("vb"), col("nrm").as("nrmb"))
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id"))
-    val dense = broadcast(q).join(nb, col("query_id") =!= col("doc_id"))
-      .withColumn("cosine", round(pairDot / col("nrma") / col("nrmb"), 4))
-      .withColumn("emb_rank", row_number().over(wd).cast("long"))
-      .filter(col("emb_rank") <= RrfDepth)
-      .select(col("query_id"), col("doc_id"), col("emb_rank"))
+    val denseScored = broadcast(q).join(nb, col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"), lit(2).as("tag"),
+        round(pairDot / col("nrma") / col("nrmb"), 4).as("sc"))
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("tag"))
+      .orderBy(col("score").desc, col("doc_id"))
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("rrf_raw").desc, col("doc_id"))
-    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+    bmContrib.unionAll(denseScored)
+      .repartition(nPart, col("query_id"))
+      // per-(query, doc, modality) score: Σ contrib is BM25 on the
+      // lexical tag and the (already 4-dp) cosine on the dense tag
+      .groupBy(col("query_id"), col("doc_id"), col("tag"))
+      .agg(round(sum(col("sc")), 6).as("score"))
+      .withColumn("r", row_number().over(wRank).cast("long"))
+      .filter(col("r") <= RrfDepth)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(when(col("tag") === 1, col("r"))).as("lex_rank"),
+        min(when(col("tag") === 2, col("r"))).as("emb_rank"))
       .withColumn("rrf_raw",
         coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0))
           + coalesce(lit(1.0) / (lit(RrfK) + col("emb_rank")), lit(0.0)))
@@ -1912,7 +1937,11 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("rrf_raw"), 6).as("rrf"), col("lex_rank"), col("emb_rank"))
+      // limit = the output's exact upper bound (TopK per query), so
+      // the final sort plans as TakeOrdered per-partition heaps
+      // instead of a range exchange + its sampling job
       .orderBy(col("query_id"), col("rank"))
+      .limit(NumQueryVecs * TopK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -515,15 +515,16 @@ object TextAnalysis {
     * 5-gram key — shuffled-hash, type table build side — then
     * re-aggregates per doc_id.
     *
-    * Measured floor: a 4-level backoff fit is inherently ~20 Spark
-    * stages (type pyramid + one union-aggregation + per-level joins);
-    * at sf0.1 that fixed stage cost dominates (engine ~3 s warm vs
-    * the ~1.3 s single-process DuckDB oracle after both sides'
-    * hash-keying) and AMORTIZES with data: at 10× (tmp/sf1probe, idle
-    * host, lazy-checkpoint form) the engine runs 4.7 s vs the
-    * oracle's 7.7 s median = 0.61× — the same crossover the repo's
-    * other multi-stage designs (q37, dedup_substring) show at scale
-    * (kn3: 3.0× at sf0.1 → 1.31× at 10×).
+    * Measured floor: a 4-level backoff fit is inherently a dozen-plus
+    * Spark stages (the two tagged fit aggregations + per-level joins);
+    * the r12 explode-fan-out form (ALL type sets ride stage 1, ALL
+    * set-derived counts plus the three N₁₊(·ctx·) middles ride
+    * stage 2 — r11 paid a 3-deep distinct() cascade plus three nmid
+    * re-aggregations) measures 2.7 s warm at sf0.1 vs the ~1.3 s
+    * single-process DuckDB oracle, and AMORTIZES with data: at 10×
+    * (tmp/sf1probe, idle host) the engine crosses below the oracle —
+    * the same crossover the repo's other multi-stage designs (q37,
+    * dedup_substring) show at scale.
     */
   def textLmKn5Score(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -564,8 +565,6 @@ object TextAnalysis {
     // (primary, salt) column-name pairs per position / projection slot
     val K1 = Seq("w1", "s1"); val K2 = Seq("w2", "s2"); val K3 = Seq("w3", "s3")
     val K4 = Seq("w4", "s4"); val K5 = Seq("w5", "s5")
-    val G1 = Seq("g1", "h1"); val G2 = Seq("g2", "h2")
-    val G3 = Seq("g3", "h3"); val G4 = Seq("g4", "h4")
     def cols(ks: Seq[String]*): Seq[Column] = knCols(ks: _*)
     def ren(from: Seq[String], to: Seq[String]): Seq[Column] =
       from.zip(to).map { case (f, t) => col(f).as(t) }
@@ -579,71 +578,114 @@ object TextAnalysis {
     val t5 = stream.groupBy(cols(K1, K2, K3, K4, K5): _*)
       .agg(count(lit(1)).as("c5"))
       .localCheckpoint(eager = false)
-    // order-k type sets by projection of the order-(k+1) type set
-    val b4 = t5.select(ren(K1 ++ K2 ++ K3 ++ K4, G1 ++ G2 ++ G3 ++ G4): _*)
-      .union(t5.select(cols(K2, K3, K4, K5): _*))
-      .distinct()
-      .localCheckpoint(eager = false)
-    val b3 = b4.select(cols(G1, G2, G3): _*)
-      .union(b4.select(cols(G2, G3, G4): _*))
-      .distinct()
-      .localCheckpoint(eager = false)
-    val b2 = b3.select(cols(G1, G2): _*)
-      .union(b3.select(cols(G2, G3): _*))
-      .distinct()
-      .localCheckpoint(eager = false)
-    // Exchange economy, the whole game at this table count: the
-    // twelve count tables the recursion needs are ONE tagged-union
-    // aggregation (the q46/q48 single-exchange combine applied to the
-    // model fit — 8 projections of the type pyramid concatenate into
-    // one skinny frame, one exchange, one HashAggregate), each
-    // N₁₊(·ctx·) then derives from its level's N₁₊(·ctx w) slice by a
-    // small second aggregation, and the backoff P tables build
+    // Exchange economy, the whole game at this table count — the r12
+    // TWO-STAGE form (r11 paid a three-deep distinct() cascade b4 →
+    // b3 → b2 plus the count union: four serial exchanges and four
+    // checkpoint barriers). Key insight: every order-k TYPE SET
+    // derives from t5 DIRECTLY — a k-gram inside a 5-gram type sits
+    // at one of its 6−k positions — so all three sets ride ONE
+    // tagged-union aggregation over projections of t5 (groupBy(tg,
+    // slots) IS the per-level distinct; map-side partials collapse
+    // the 11 projections before the wire), and all six set-derived
+    // N₁₊ count tables ride ONE second tagged aggregation over the
+    // deduped sets (exact type counts need the dedup first — two
+    // exchanges is the floor without count-distinct Expands). Each
+    // N₁₊(·ctx·) then derives from its level's N₁₊(·ctx w) slice by
+    // a small second aggregation, and the backoff P tables build
     // BOTTOM-UP (P₂ → P₃ → P₄) so the growing ptype chain
     // re-partitions only twice instead of once per lookup.
-    // Union key slots: (k1, l1) … (k4, l4) — primary + salt per slot.
+    // Projection fan-out by EXPLODE, not union: each stage scans its
+    // input exactly ONCE and emits all its tagged projections
+    // map-side (the Expand pattern Spark itself uses for grouping
+    // sets) — an 11-branch union would re-scan the lazily
+    // checkpointed t5 once per branch inside one job, and the
+    // concurrent block-lock convoy measured 2-10x on this row under
+    // suite memory pressure. Key slots: (k1, l1) … (k4, l4) —
+    // primary + salt per slot.
     val nl = lit(null).cast("long")
     val KL = Seq("k1", "l1", "k2", "l2", "k3", "l3", "k4", "l4")
-    val u = t5.select(lit(1).as("tg") +: ren(K1 ++ K2 ++ K3 ++ K4, KL) :+
-        col("c5").as("wt"): _*)
-      .unionAll(t5.select(lit(2).as("tg") +: cols(K2, K3, K4, K5) :+ lit(1L): _*))
-      .unionAll(b4.select(lit(3).as("tg") +: cols(G1, G2, G3) ++: Seq(nl, nl, lit(1L)): _*))
-      .unionAll(b4.select(lit(4).as("tg") +: cols(G2, G3, G4) ++: Seq(nl, nl, lit(1L)): _*))
-      .unionAll(b3.select(lit(5).as("tg") +: cols(G1, G2) ++: Seq(nl, nl, nl, nl, lit(1L)): _*))
-      .unionAll(b3.select(lit(6).as("tg") +: cols(G2, G3) ++: Seq(nl, nl, nl, nl, lit(1L)): _*))
-      .unionAll(b2.select(lit(7).as("tg") +: cols(G1) ++: Seq(nl, nl, nl, nl, nl, nl, lit(1L)): _*))
-      .unionAll(b2.select(lit(8).as("tg") +: cols(G2) ++: Seq(nl, nl, nl, nl, nl, nl, lit(1L)): _*))
-    val cnts = u.groupBy(col("tg") +: KL.map(col): _*)
+    def tagged(tg: Int, ks: Seq[Seq[String]], wt: Column): Column = {
+      val flat = ks.flatten.map(col) ++ Seq.fill(8 - 2 * ks.length)(nl)
+      struct(lit(tg).as("tg") +: flat.zip(KL).map { case (c, n) => c.as(n) } :+
+        wt.as("wt"): _*)
+    }
+    // stage 1: token-count tables (tags 1-2) + the three type SETS
+    // (tags 3-5; each tag carries ALL of its level's t5 projections,
+    // so the groupBy dedups across projections in the same exchange)
+    val u1 = t5.select(explode(array(
+        tagged(1, Seq(K1, K2, K3, K4), col("c5")),
+        tagged(2, Seq(K2, K3, K4, K5), lit(1L)),
+        tagged(6, Seq(K2, K3, K4), lit(1L)),
+        tagged(3, Seq(K1, K2, K3, K4), lit(1L)),
+        tagged(3, Seq(K2, K3, K4, K5), lit(1L)),
+        tagged(4, Seq(K1, K2, K3), lit(1L)),
+        tagged(4, Seq(K2, K3, K4), lit(1L)),
+        tagged(4, Seq(K3, K4, K5), lit(1L)),
+        tagged(5, Seq(K1, K2), lit(1L)),
+        tagged(5, Seq(K2, K3), lit(1L)),
+        tagged(5, Seq(K3, K4), lit(1L)),
+        tagged(5, Seq(K4, K5), lit(1L)))).as("r"))
+      .select(col("r.*"))
+    val cnts1 = u1.groupBy(col("tg") +: KL.map(col): _*)
       .agg(count(lit(1)).as("c"), sum(col("wt")).as("s"))
       .localCheckpoint(eager = false)
-    // slice(tg, primary names): selects each slot's (kᵢ, lᵢ) pair back
-    // to its (wᵢ, sᵢ) position names
-    def slice(tg: Int, names: Seq[String]): DataFrame =
-      cnts.filter(col("tg") === tg)
+    // stage 2: the six set-derived N₁₊ tables — prefix/suffix
+    // projections of the three deduped sets, one tagged aggregation
+    // over ONE scan of cnts1 (conditional explode per source tag)
+    def reproj(tg: Int, idx: Seq[Int]): Column = {
+      val slots = idx.map(i => col(s"k$i")) ++ Seq.fill(4 - idx.length)(nl)
+      val salts = idx.map(i => col(s"l$i")) ++ Seq.fill(4 - idx.length)(nl)
+      val flat = slots.zip(salts).flatMap { case (k, l) => Seq(k, l) }
+      struct(lit(tg).as("tg") +: flat.zip(KL).map { case (c, n) => c.as(n) }: _*)
+    }
+    val u2 = cnts1.filter(col("tg").isin(3, 4, 5))
+      .select(explode(
+        when(col("tg") === 3,
+            array(reproj(11, Seq(1, 2, 3)), reproj(12, Seq(2, 3, 4)),
+              reproj(17, Seq(2, 3))))
+          .when(col("tg") === 4,
+            array(reproj(13, Seq(1, 2)), reproj(14, Seq(2, 3)),
+              reproj(18, Seq(2))))
+          .otherwise(array(reproj(15, Seq(1)), reproj(16, Seq(2))))).as("r"))
+      .select(col("r.*"))
+    val cnts2 = u2.groupBy(col("tg") +: KL.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    // slice(frame, tg, primary names): selects each slot's (kᵢ, lᵢ)
+    // pair back to its (wᵢ, sᵢ) position names
+    def slice(from: DataFrame, tg: Int, names: Seq[String]): DataFrame =
+      from.filter(col("tg") === tg)
         .select(names.zipWithIndex.flatMap { case (n, i) =>
           Seq(col(s"k${i + 1}").as(n), col(s"l${i + 1}").as("s" + n.drop(1))) } :+
-          col("c") :+ col("s"): _*)
+          col("c"): _*)
     // level 5 (token counts): c(w1..4 ·), N₁₊(w1..4 ·)
-    val ctx4 = slice(1, Seq("w1", "w2", "w3", "w4"))
-      .select(cols(K1, K2, K3, K4) :+ col("s").as("c1234") :+ col("c").as("n1f1234"): _*)
+    val ctx4 = cnts1.filter(col("tg") === 1)
+      .select(KL.zipWithIndex.map { case (k, i) =>
+        col(k).as(if (i % 2 == 0) s"w${i / 2 + 1}" else s"s${i / 2 + 1}") } :+
+        col("s").as("c1234") :+ col("c").as("n1f1234"): _*)
     // level 4 (type counts): N₁₊(· w2345); N₁₊(· w234 ·) = Σ_w5 of it
-    val n1l4 = slice(2, Seq("w2", "w3", "w4", "w5"))
-      .select(cols(K2, K3, K4, K5) :+ col("c").as("n1l4"): _*)
-    val nmid4 = n1l4.groupBy(cols(K2, K3, K4): _*).agg(sum(col("n1l4")).as("nmid4"))
-    val n1f234 = slice(3, Seq("w2", "w3", "w4"))
-      .select(cols(K2, K3, K4) :+ col("c").as("n1f234"): _*)
+    val n1l4 = slice(cnts1, 2, Seq("w2", "w3", "w4", "w5"))
+      .withColumnRenamed("c", "n1l4")
+    // N₁₊(· w234 ·) = |t5 types per middle triple| — a stage-1 tag,
+    // not a re-aggregation of n1l4 (same value: Σ_w5 N₁₊(·w2345))
+    val nmid4 = slice(cnts1, 6, Seq("w2", "w3", "w4"))
+      .withColumnRenamed("c", "nmid4")
+    val n1f234 = slice(cnts2, 11, Seq("w2", "w3", "w4"))
+      .withColumnRenamed("c", "n1f234")
     // level 3
-    val n1l3 = slice(4, Seq("w3", "w4", "w5"))
-      .select(cols(K3, K4, K5) :+ col("c").as("n1l3"): _*)
-    val nmid3 = n1l3.groupBy(cols(K3, K4): _*).agg(sum(col("n1l3")).as("nmid3"))
-    val n1f34 = slice(5, Seq("w3", "w4"))
-      .select(cols(K3, K4) :+ col("c").as("n1f34"): _*)
+    val n1l3 = slice(cnts2, 12, Seq("w3", "w4", "w5"))
+      .withColumnRenamed("c", "n1l3")
+    val nmid3 = slice(cnts2, 17, Seq("w3", "w4"))
+      .withColumnRenamed("c", "nmid3")
+    val n1f34 = slice(cnts2, 13, Seq("w3", "w4"))
+      .withColumnRenamed("c", "n1f34")
     // level 2 (the w4-keyed tables are vocabulary-sized → broadcast)
-    val n1l2 = slice(6, Seq("w4", "w5"))
-      .select(cols(K4, K5) :+ col("c").as("n1l2"): _*)
-    val nmid2 = n1l2.groupBy(cols(K4): _*).agg(sum(col("n1l2")).as("nmid2"))
-    val n1f4 = slice(7, Seq("w4")).select(cols(K4) :+ col("c").as("n1f4"): _*)
-    val n1r = slice(8, Seq("w5")).select(cols(K5) :+ col("c").as("n1r"): _*)
+    val n1l2 = slice(cnts2, 14, Seq("w4", "w5"))
+      .withColumnRenamed("c", "n1l2")
+    val nmid2 = slice(cnts2, 18, Seq("w4"))
+      .withColumnRenamed("c", "nmid2")
+    val n1f4 = slice(cnts2, 15, Seq("w4")).withColumnRenamed("c", "n1f4")
+    val n1r = slice(cnts2, 16, Seq("w5")).withColumnRenamed("c", "n1r")
     // T = |bigram types| = Σ N₁₊(w ·) over the vocabulary-sized slice
     val tot = n1f4.agg(sum(col("n1f4")).cast("double").as("t_types"))
     val dd = lit(D)
