@@ -751,24 +751,55 @@ object Dedup {
       .select(col("doc_id"), (col("idx0") + 1).as("block_idx"), col("block"))
   }
 
+  /** (doc_id, block_idx, bh, bh2): every [[ParaBlockTokens]]-token
+    * block of every document keyed by a 128-bit rolling-hash PAIR —
+    * the [[substrGrams]] kernel discipline applied to fixed blocks.
+    * One typed map-side pass: token hashes via
+    * [[TextAnalysis.tokenHashPairs]], each block's two channels
+    * polynomial-combined in [[RollB]] (seeded with the block length
+    * so a short last block can never alias a full one). The r11 form
+    * built every block STRING through an interpreted
+    * transform/slice/concat_ws lambda + posexplode and then hashed
+    * it — the lambda was the row's dominant cost at 10× (Catalyst
+    * higher-order functions don't codegen). Two blocks merge only on
+    * a simultaneous two-channel collision (~2⁻¹²⁸ per pair).
+    */
+  private[graft] def paraBlockHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = ParaBlockTokens
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val tp = TextAnalysis.tokenHashPairs(text, 1)
+          if (tp == null) Iterator.empty
+          else {
+            val (th, ts) = tp
+            val n = th.length
+            val nBlocks = (n + b - 1) / b
+            (0 until nBlocks).iterator.map { j =>
+              val end = math.min((j + 1) * b, n)
+              var i = j * b
+              var h1 = (end - i).toLong
+              var h2 = h1
+              while (i < end) {
+                h1 = h1 * RollB + th(i)
+                h2 = h2 * RollB + ts(i)
+                i += 1
+              }
+              (id, j + 1, h1, h2)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "block_idx", "bh", "bh2")
+  }
+
   def dedupParagraph(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     requirePackable(s, d)
-    // Blocks keyed by a 128-bit (primary, salted) xxhash64 PAIR of
-    // the block STRING, carried as two primitive long columns (the
-    // [[substrGrams]] shuffle-key + fast-hash-map discipline): the
-    // block text never leaves the scan, and both the argmax exchange
-    // and the mark join carry (long, int, long, long) rows instead of
-    // ~50-byte block text. Two blocks merge only on a simultaneous
-    // two-channel collision (the salted channel chains the
-    // [[TextAnalysis.TokenSalt]] constant in front of the block,
-    // giving an independent second hash); reassembly below recomputes
-    // block text from the token stream, so the string is never needed
-    // downstream.
-    val blocks = paraBlocks(s, d)
-      .select(col("doc_id"), col("block_idx"),
-        xxhash64(col("block")).as("bh"),
-        xxhash64(lit(TextAnalysis.TokenSalt), col("block")).as("bh2"))
+    val blocks = paraBlockHashes(s, d)
     // Keep-first argmax over a PACKED key: (doc_id, block_idx) fits
     // one long (see [[PackPosBits]]) and long-min preserves the
     // lexicographic order, so the aggregate compiles to HashAggregate
@@ -793,6 +824,11 @@ object Dedup {
     // kept-block concatenation (= the kept blocks' tokens joined by
     // single spaces) recomputes locally — no block strings shuffled
     // to this stage, no interpreted transform/concat lambda.
+    // Shuffle-hash, NOT a broadcast of the (often tiny) dup-index
+    // side: a plan-level broadcast serializes the whole dup pipeline
+    // (kernel → argmax → mark join → collect_list) as a build job
+    // ahead of the probe stage instead of overlapping with it —
+    // measured +0.3 s at 10× (the [[markJoin]] finding repeated).
     substrDocs(s, d).select(col("doc_id"), col("toks"))
       .join(byDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .as[(Long, Seq[String], Seq[Int])]
