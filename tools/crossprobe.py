@@ -82,6 +82,6 @@ sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                      capture_output=True, text=True).stdout.strip()
 (REPO / "crossover_10x.json").write_text(json.dumps(
     {"sf": SFDIR, "git_sha": sha, "method":
-     "engine min-of-2 warm (Bench subset) vs DuckDB median-of-3, same host",
+     "engine min-of-3 warm (Bench subset) vs DuckDB median-of-3, same host",
      "queries": result}, indent=1) + "\n")
 print("wrote crossover_10x.json")
