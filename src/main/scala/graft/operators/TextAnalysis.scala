@@ -456,25 +456,60 @@ object TextAnalysis {
     // kn5 measurement showed the cascade multiplying)
     val tc = stream.groupBy(cols(k1, k2, k3): _*).agg(count(lit(1)).as("c_abc"))
       .localCheckpoint(eager = false)
-    // bigram TYPE set from the trigram types' two pair projections
-    val btypes = tc.select(col("w1").as("a"), col("s1").as("sa"),
-        col("w2").as("b"), col("s2").as("sb"))
-      .union(tc.select(col("w2"), col("s2"), col("w3"), col("s3")))
-      .distinct()
+    // The kn5 exchange economy applied one order down (two tagged
+    // aggregations, explode fan-out — see [[textLmKn5Score]]): the
+    // token-count tables (ctx/mid/midctx) and the bigram TYPE SET
+    // (both trigram projections under one tag, so the groupBy dedups
+    // across them) ride ONE stage-1 aggregation over one scan of tc;
+    // the set-derived fan2/rev continuation counts ride ONE stage-2
+    // aggregation over the deduped set. r11 paid a btypes distinct()
+    // + checkpoint + five separate aggregation exchanges.
+    val nl = lit(null).cast("long")
+    val KL = Seq("g1", "h1", "g2", "h2")
+    def tagged(tg: Int, ks: Seq[Seq[String]], wt: Column): Column = {
+      val flat = ks.flatten.map(col) ++ Seq.fill(4 - 2 * ks.length)(nl)
+      struct(lit(tg).as("tg") +: flat.zip(KL).map { case (c, n) => c.as(n) } :+
+        wt.as("wt"): _*)
+    }
+    val cnts1 = tc.select(explode(array(
+        tagged(1, Seq(k1, k2), col("c_abc")),
+        tagged(2, Seq(k2, k3), lit(1L)),
+        tagged(3, Seq(k2), lit(1L)),
+        tagged(4, Seq(k1, k2), lit(1L)),
+        tagged(4, Seq(k2, k3), lit(1L)))).as("r"))
+      .select(col("r.*"))
+      .groupBy(col("tg") +: KL.map(col): _*)
+      .agg(count(lit(1)).as("c"), sum(col("wt")).as("s"))
       .localCheckpoint(eager = false)
-    val fan2 = btypes.groupBy(col("a"), col("sa")).agg(count(lit(1)).as("n1f2")) // N₁₊(w2 ·)
-    val rev = btypes.groupBy(col("b"), col("sb")).agg(count(lit(1)).as("n1r"))   // N₁₊(· w3)
-    val tot = btypes.agg(count(lit(1)).cast("double").as("t_types")) // T
-    val ctx = tc.groupBy(cols(k1, k2): _*)                            // c(w1w2·), N₁₊(w1w2·)
-      .agg(sum(col("c_abc")).as("c12"), count(lit(1)).as("n1f12"))
-    val mid = tc.groupBy(cols(k2, k3): _*).agg(count(lit(1)).as("n1l")) // N₁₊(· w2w3)
-    val midctx = tc.groupBy(cols(k2): _*).agg(count(lit(1)).as("nmid"))  // N₁₊(· w2 ·)
+    def reproj(tg: Int, i: Int): Column =
+      struct(lit(tg).as("tg"), col(s"g$i").as("g1"), col(s"h$i").as("h1"),
+        nl.as("g2"), nl.as("h2"))
+    val cnts2 = cnts1.filter(col("tg") === 4)
+      .select(explode(array(reproj(11, 1), reproj(12, 2))).as("r"))
+      .select(col("r.*"))
+      .groupBy(col("tg"), col("g1"), col("h1"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    def slice2(from: DataFrame, tg: Int, names: Seq[String], cName: String): DataFrame =
+      from.filter(col("tg") === tg)
+        .select(names.zipWithIndex.flatMap { case (n, i) =>
+          Seq(col(s"g${i + 1}").as(n), col(s"h${i + 1}").as("s" + n.drop(1))) } :+
+          col("c").as(cName): _*)
+    val fan2 = slice2(cnts2, 11, Seq("w2"), "n1f2")  // N₁₊(w2 ·)
+    val rev = slice2(cnts2, 12, Seq("w3"), "n1r")    // N₁₊(· w3)
+    val tot = fan2.agg(sum(col("n1f2")).cast("double").as("t_types")) // T = |btypes|
+    val ctx = cnts1.filter(col("tg") === 1)          // c(w1w2·), N₁₊(w1w2·)
+      .select(col("g1").as("w1"), col("h1").as("s1"),
+        col("g2").as("w2"), col("h2").as("s2"),
+        col("s").as("c12"), col("c").as("n1f12"))
+    val mid = slice2(cnts1, 2, Seq("w2", "w3"), "n1l")   // N₁₊(· w2w3)
+    val midctx = slice2(cnts1, 3, Seq("w2"), "nmid")     // N₁₊(· w2 ·)
     val ptype = tc
       .join(ctx.hint("shuffle_hash"), k1 ++ k2)
       .join(mid.hint("shuffle_hash"), k2 ++ k3)
       .join(broadcast(midctx), k2)
-      .join(broadcast(fan2.withColumnRenamed("a", "w2").withColumnRenamed("sa", "s2")), k2)
-      .join(broadcast(rev.withColumnRenamed("b", "w3").withColumnRenamed("sb", "s3")), k3)
+      .join(broadcast(fan2), k2)
+      .join(broadcast(rev), k3)
       .crossJoin(broadcast(tot))
       .select(cols(k1, k2, k3) :+
         ((greatest(col("c_abc") - lit(D), lit(0.0)) +

@@ -476,4 +476,66 @@ class PropertySpec extends AnyFunSuite {
     // legacy single-channel path (oracle continuity)
     assert(p.toSeq == TextAnalysis.tokenHashes("alpha beta gamma", 1).toSeq)
   }
+
+  test("quantile sketch: odd-length compaction conserves total weight (merge path)") {
+    import graft.functions.QuantileSketch
+    import spark.implicits._
+    // mergeIn/deserialize can leave an ODD-length level; the r12
+    // compaction retains the leftover item at its level (standard
+    // KLL) instead of dropping its 2^i weight. Conservation is
+    // observable end-to-end: with every value identical, every
+    // quantile must return that value and the sketch must never go
+    // empty/NaN — and with capacity 2 (the minimum) the compaction
+    // cascade fires maximally, so any dropped weight would surface as
+    // an all-NaN output on small n.
+    val probes = Seq(0.01, 0.5, 1.0)
+    val out = Seq.fill(63)(7.5).toDF("v").repartition(7)
+      .agg(QuantileSketch.quantileSketch(col("v"), 2, probes).as("q"))
+      .collect().head.getSeq[Double](0)
+    assert(out.forall(_ == 7.5), s"weight lost through odd compaction: $out")
+    // rank accuracy with distinct values under the same max-cascade
+    // regime: the retained-leftover variant keeps the median within
+    // the documented levels*n/c bound where the dropping variant's
+    // bias compounds per level
+    val n = 1024
+    val vals = (1 to n).map(_.toDouble)
+    val med = vals.toDF("v").repartition(8)
+      .agg(QuantileSketch.quantileSketch(col("v"), 64, Seq(0.5)).as("q"))
+      .collect().head.getSeq[Double](0).head
+    val levels = (math.log((2.0 * n) / 64) / math.log(2.0)).ceil
+    assert(math.abs(med - n / 2.0) <= levels * n / 64,
+      s"median rank drifted: $med")
+  }
+
+  test("paragraph block hashes: block-length seed prevents prefix aliasing") {
+    import graft.operators.Dedup
+    // A document whose LAST (short) block is a strict prefix of
+    // another document's full block must not merge with it: the
+    // rolling combine alone would alias [h] and [h] (trivially equal)
+    // but also [x] vs [0, x]-style constructions; seeding each
+    // channel with the block length makes the (value, length) pair
+    // part of the key. Exercise through the public operator: two
+    // docs, one 9 tokens (blocks: 8 + 1-token "i"), one whose FIRST
+    // block is the single token "i" padded differently (1-token doc).
+    // The 1-token block of doc A ("i") and the 1-token doc B ("i")
+    // SHOULD merge (same content, same length); a doc whose 8-token
+    // block STARTS with "i" must not.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("parablk").toString
+    Seq(
+      (0L, "a b c d e f g h i", "src", 17L),
+      (1L, "i", "src", 1L),
+      (2L, "i j k l m n o p", "src", 15L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.paraBlockHashes(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val key = rows.map { case (d, i, h1, h2) => ((d, i), (h1, h2)) }.toMap
+    // doc0 block2 = ["i"] must equal doc1 block1 = ["i"]
+    assert(key((0L, 2)) == key((1L, 1)), "identical 1-token blocks must share a key")
+    // ...and must NOT equal doc2 block1 = ["i","j",...] (8 tokens
+    // starting with the same token) — the length seed separates them
+    assert(key((0L, 2)) != key((2L, 1)), "short block aliased a longer one")
+  }
 }
