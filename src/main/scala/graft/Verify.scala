@@ -26,6 +26,17 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // remove any PREVIOUS run's output for this query: overwrite
+          // mode only clears the dir on success, so a stale result
+          // from an earlier dump would otherwise pass the compare and
+          // mask the failure (observed: a broken window expression
+          // went green against a stale /tmp parquet)
+          val dir = Paths.get(outDir, name)
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+          }
         }
       }
     // ANN recall-gate evidence for the performance baseline: dump each

@@ -592,11 +592,16 @@ object TextAnalysis {
         }
       }
       .toDF("doc_id", "w1", "s1", "w2", "s2", "w3", "s3", "w4", "s4", "w5", "s5")
-      // feeds both the model fit and the scoring join (the
-      // [[textLmKnScore]] multi-consumer materialization; measured
-      // against cache(): columnar caching rebuilds per constructed
-      // plan and regressed the suite 2x, checkpoint wins here)
-      .localCheckpoint(eager = false)
+      // deliberately NOT checkpointed (unlike [[textLmKnScore]]): the
+      // two consumers (the t5 fit and the scoring join) each re-run
+      // the tokenizer in their own map side (~0.3 s at sf0.1), but the
+      // r11 checkpoint was a SERIAL job on the critical path before
+      // any model stage could start — the re-tokenize rides INSIDE
+      // already-scheduled exchange map stages, so wall-clock wins.
+      // (A collect_list(doc_id) payload on t5 — which would drop the
+      // second pass entirely — measured slower still: the list
+      // aggregation forces ObjectHashAggregate's sort-based fallback
+      // on the one corpus-sized exchange.)
     // (primary, salt) column-name pairs per position / projection slot
     val K1 = Seq("w1", "s1"); val K2 = Seq("w2", "s2"); val K3 = Seq("w3", "s3")
     val K4 = Seq("w4", "s4"); val K5 = Seq("w5", "s5")
@@ -639,52 +644,63 @@ object TextAnalysis {
     // primary + salt per slot.
     val nl = lit(null).cast("long")
     val KL = Seq("k1", "l1", "k2", "l2", "k3", "l3", "k4", "l4")
-    def tagged(tg: Int, ks: Seq[Seq[String]], wt: Column): Column = {
+    def tagged(tg: Int, ks: Seq[Seq[String]]): Column = {
       val flat = ks.flatten.map(col) ++ Seq.fill(8 - 2 * ks.length)(nl)
-      struct(lit(tg).as("tg") +: flat.zip(KL).map { case (c, n) => c.as(n) } :+
-        wt.as("wt"): _*)
+      struct(lit(tg).as("tg") +: flat.zip(KL).map { case (c, n) => c.as(n) }: _*)
     }
-    // stage 1: token-count tables (tags 1-2) + the three type SETS
-    // (tags 3-5; each tag carries ALL of its level's t5 projections,
-    // so the groupBy dedups across projections in the same exchange)
+    // stage 1: ONLY the three type SETS explode (tags 3-5; each tag
+    // carries ALL of its level's t5 projections, so the groupBy dedups
+    // across projections in the same exchange). The token-COUNT tables
+    // (ctx4 / n1l4 / nmid4) don't need the dedup, so they left the
+    // explode (r12: −25% fan-out volume) and aggregate straight off
+    // the t5 checkpoint as three independent exchanges that the final
+    // DAG schedules CONCURRENTLY — and with them gone the set table
+    // has a single consumer (stage 2), so its checkpoint (a serial
+    // job on the critical path) disappears too.
     val u1 = t5.select(explode(array(
-        tagged(1, Seq(K1, K2, K3, K4), col("c5")),
-        tagged(2, Seq(K2, K3, K4, K5), lit(1L)),
-        tagged(6, Seq(K2, K3, K4), lit(1L)),
-        tagged(3, Seq(K1, K2, K3, K4), lit(1L)),
-        tagged(3, Seq(K2, K3, K4, K5), lit(1L)),
-        tagged(4, Seq(K1, K2, K3), lit(1L)),
-        tagged(4, Seq(K2, K3, K4), lit(1L)),
-        tagged(4, Seq(K3, K4, K5), lit(1L)),
-        tagged(5, Seq(K1, K2), lit(1L)),
-        tagged(5, Seq(K2, K3), lit(1L)),
-        tagged(5, Seq(K3, K4), lit(1L)),
-        tagged(5, Seq(K4, K5), lit(1L)))).as("r"))
+        tagged(3, Seq(K1, K2, K3, K4)),
+        tagged(3, Seq(K2, K3, K4, K5)),
+        tagged(4, Seq(K1, K2, K3)),
+        tagged(4, Seq(K2, K3, K4)),
+        tagged(4, Seq(K3, K4, K5)),
+        tagged(5, Seq(K1, K2)),
+        tagged(5, Seq(K2, K3)),
+        tagged(5, Seq(K3, K4)),
+        tagged(5, Seq(K4, K5)))).as("r"))
       .select(col("r.*"))
     val cnts1 = u1.groupBy(col("tg") +: KL.map(col): _*)
-      .agg(count(lit(1)).as("c"), sum(col("wt")).as("s"))
-      .localCheckpoint(eager = false)
+      .agg(count(lit(1)).as("nproj"))
     // stage 2: the six set-derived N₁₊ tables — prefix/suffix
     // projections of the three deduped sets, one tagged aggregation
     // over ONE scan of cnts1 (conditional explode per source tag)
-    def reproj(tg: Int, idx: Seq[Int]): Column = {
+    // ch: same-KEY tables ride the same group and land as two count
+    // COLUMNS of one row (tg 23: N₁₊(w3w4 ·) / N₁₊(· w3w4 ·); tg 24:
+    // N₁₊(w4 ·) / N₁₊(· w4 ·)) — each pair previously joined as two
+    // separate tables (one extra shuffled join in p3, one extra
+    // broadcast build in p2). Every key reachable from the n1l frame
+    // that drives the consuming inner join provably has BOTH channels
+    // (its 3-gram/4-gram witness contains the pair/middle), so the
+    // pivot cannot change join cardinality.
+    def reproj(tg: Int, ch: Int, idx: Seq[Int]): Column = {
       val slots = idx.map(i => col(s"k$i")) ++ Seq.fill(4 - idx.length)(nl)
       val salts = idx.map(i => col(s"l$i")) ++ Seq.fill(4 - idx.length)(nl)
       val flat = slots.zip(salts).flatMap { case (k, l) => Seq(k, l) }
-      struct(lit(tg).as("tg") +: flat.zip(KL).map { case (c, n) => c.as(n) }: _*)
+      struct(lit(tg).as("tg") +: lit(ch).as("ch") +:
+        flat.zip(KL).map { case (c, n) => c.as(n) }: _*)
     }
-    val u2 = cnts1.filter(col("tg").isin(3, 4, 5))
+    val u2 = cnts1
       .select(explode(
         when(col("tg") === 3,
-            array(reproj(11, Seq(1, 2, 3)), reproj(12, Seq(2, 3, 4)),
-              reproj(17, Seq(2, 3))))
+            array(reproj(11, 0, Seq(1, 2, 3)), reproj(12, 0, Seq(2, 3, 4)),
+              reproj(23, 1, Seq(2, 3))))
           .when(col("tg") === 4,
-            array(reproj(13, Seq(1, 2)), reproj(14, Seq(2, 3)),
-              reproj(18, Seq(2))))
-          .otherwise(array(reproj(15, Seq(1)), reproj(16, Seq(2))))).as("r"))
+            array(reproj(23, 0, Seq(1, 2)), reproj(14, 0, Seq(2, 3)),
+              reproj(24, 1, Seq(2))))
+          .otherwise(array(reproj(24, 0, Seq(1)), reproj(16, 0, Seq(2))))).as("r"))
       .select(col("r.*"))
     val cnts2 = u2.groupBy(col("tg") +: KL.map(col): _*)
-      .agg(count(lit(1)).as("c"))
+      .agg(count(when(col("ch") === 0, 1)).as("c"),
+        count(when(col("ch") === 1, 1)).as("c1"))
       .localCheckpoint(eager = false)
     // slice(frame, tg, primary names): selects each slot's (kᵢ, lᵢ)
     // pair back to its (wᵢ, sᵢ) position names
@@ -693,50 +709,56 @@ object TextAnalysis {
         .select(names.zipWithIndex.flatMap { case (n, i) =>
           Seq(col(s"k${i + 1}").as(n), col(s"l${i + 1}").as("s" + n.drop(1))) } :+
           col("c"): _*)
-    // level 5 (token counts): c(w1..4 ·), N₁₊(w1..4 ·)
-    val ctx4 = cnts1.filter(col("tg") === 1)
-      .select(KL.zipWithIndex.map { case (k, i) =>
-        col(k).as(if (i % 2 == 0) s"w${i / 2 + 1}" else s"s${i / 2 + 1}") } :+
-        col("s").as("c1234") :+ col("c").as("n1f1234"): _*)
-    // level 4 (type counts): N₁₊(· w2345); N₁₊(· w234 ·) = Σ_w5 of it
-    val n1l4 = slice(cnts1, 2, Seq("w2", "w3", "w4", "w5"))
-      .withColumnRenamed("c", "n1l4")
-    // N₁₊(· w234 ·) = |t5 types per middle triple| — a stage-1 tag,
-    // not a re-aggregation of n1l4 (same value: Σ_w5 N₁₊(·w2345))
-    val nmid4 = slice(cnts1, 6, Seq("w2", "w3", "w4"))
-      .withColumnRenamed("c", "nmid4")
+    // level 5 (token counts): c(w1..4 ·), N₁₊(w1..4 ·) — plain
+    // aggregations of the t5 checkpoint (no dedup needed), scheduled
+    // concurrently by the final DAG
+    val ctx4 = t5.groupBy(cols(K1, K2, K3, K4): _*)
+      .agg(sum(col("c5")).as("c1234"), count(lit(1)).as("n1f1234"))
+    // level 4 (type counts): N₁₊(· w2345); N₁₊(· w234 ·) = |t5 types
+    // per middle triple| (same value as Σ_w5 N₁₊(·w2345))
+    val n1l4 = t5.groupBy(cols(K2, K3, K4, K5): _*)
+      .agg(count(lit(1)).as("n1l4"))
+    val nmid4 = t5.groupBy(cols(K2, K3, K4): _*)
+      .agg(count(lit(1)).as("nmid4"))
     val n1f234 = slice(cnts2, 11, Seq("w2", "w3", "w4"))
       .withColumnRenamed("c", "n1f234")
     // level 3
     val n1l3 = slice(cnts2, 12, Seq("w3", "w4", "w5"))
       .withColumnRenamed("c", "n1l3")
-    val nmid3 = slice(cnts2, 17, Seq("w3", "w4"))
-      .withColumnRenamed("c", "nmid3")
-    val n1f34 = slice(cnts2, 13, Seq("w3", "w4"))
-      .withColumnRenamed("c", "n1f34")
-    // level 2 (the w4-keyed tables are vocabulary-sized → broadcast)
+    // (w3,w4)-keyed pair: c = N₁₊(w3w4 ·), c1 = N₁₊(· w3w4 ·)
+    val m34 = cnts2.filter(col("tg") === 23)
+      .select(col("k1").as("w3"), col("l1").as("s3"),
+        col("k2").as("w4"), col("l2").as("s4"),
+        col("c").as("n1f34"), col("c1").as("nmid3"))
+    // level 2 (the w4-keyed tables are vocabulary-sized → broadcast);
+    // pivoted pair: c = N₁₊(w4 ·), c1 = N₁₊(· w4 ·)
     val n1l2 = slice(cnts2, 14, Seq("w4", "w5"))
       .withColumnRenamed("c", "n1l2")
-    val nmid2 = slice(cnts2, 18, Seq("w4"))
-      .withColumnRenamed("c", "nmid2")
-    val n1f4 = slice(cnts2, 15, Seq("w4")).withColumnRenamed("c", "n1f4")
+    // T = |bigram types| = Σ N₁₊(w ·) rides the SAME broadcast as the
+    // per-w4 pair, as an unpartitioned window sum: the table is
+    // vocabulary-sized and broadcast anyway (i.e. single-node by
+    // definition), so the one-partition window costs nothing extra and
+    // retires the separate scalar aggregate + its broadcast +
+    // crossJoin (two scheduled jobs). sum() skips the null channel
+    // rows, so t_types equals the old tag-15-slice total exactly.
+    val w4tab = cnts2.filter(col("tg") === 24)
+      .select(col("k1").as("w4"), col("l1").as("s4"),
+        col("c").as("n1f4"), col("c1").as("nmid2"))
+      .withColumn("t_types", sum(col("n1f4"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy())
+        .cast("double"))
     val n1r = slice(cnts2, 16, Seq("w5")).withColumnRenamed("c", "n1r")
-    // T = |bigram types| = Σ N₁₊(w ·) over the vocabulary-sized slice
-    val tot = n1f4.agg(sum(col("n1f4")).cast("double").as("t_types"))
     val dd = lit(D)
     def disc(c: Column): Column = greatest(c - dd, lit(0.0))
     // bottom-up backoff tables: P₂ needs no shuffled join at all
     val p2 = n1l2
-      .join(broadcast(nmid2), K4)
-      .join(broadcast(n1f4), K4)
+      .join(broadcast(w4tab), K4)
       .join(broadcast(n1r), K5)
-      .crossJoin(broadcast(tot))
       .select(cols(K4, K5) :+
         ((disc(col("n1l2")) + dd * col("n1f4") * (col("n1r") / col("t_types"))) /
           col("nmid2")).as("p2"): _*)
     val p3 = n1l3
-      .join(nmid3.hint("shuffle_hash"), K3 ++ K4)
-      .join(n1f34.hint("shuffle_hash"), K3 ++ K4)
+      .join(m34.hint("shuffle_hash"), K3 ++ K4)
       .join(p2.hint("shuffle_hash"), K4 ++ K5)
       .select(cols(K3, K4, K5) :+
         ((disc(col("n1l3")) + dd * col("n1f34") * col("p2")) / col("nmid3")).as("p3"): _*)

@@ -24,6 +24,10 @@ OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-verify" not in sys.argv:
+    # wipe stale outputs: Verify only clears a query dir on success, so
+    # a prior run's parquet would otherwise mask a now-failing query
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}'],
         cwd="/root/repo", capture_output=True, text=True)

@@ -15,6 +15,12 @@ OUT = Path("/tmp/devcheck_out")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-verify" not in sys.argv:
+    # wipe the named outputs first: Verify only clears a query's dir on
+    # SUCCESS, so a stale parquet from an earlier run would otherwise be
+    # compared (and pass) when the query now fails
+    import shutil
+    for name in NAMES.split(","):
+        shutil.rmtree(OUT / name, ignore_errors=True)
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT} {NAMES}'],
         cwd="/root/repo", capture_output=True, text=True)
