@@ -1853,9 +1853,10 @@ object Similarity {
   def annHybridRrf(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{TextAnalysis => TA}
     val nDocs = Tables.parquetRowCount(s, d, "documents").toDouble
-    // tokenize the corpus ONCE: the token table feeds tf AND avgdl
-    // (un-materialized, avgdl's scan re-ran the tokenizer over every
-    // document — a full second corpus pass)
+    // tokenize the corpus ONCE: the token table feeds the meta collect
+    // below AND tf (un-checkpointed, each consumer re-ran the
+    // tokenizer over every document — measured slower than the
+    // checkpoint job it saves, +0.2 s same-process)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
       .localCheckpoint(eager = false)
@@ -1870,8 +1871,18 @@ object Similarity {
     // token first). A LocalTableScan qTerms from the same collect
     // measured WORSE (+0.2 s) than the broadcast subtree — the
     // driver-side row conversion outweighs the saved build job.
-    val qTermList = qTerms.select(col("term")).distinct()
-      .collect().map(_.getString(0)).sorted
+    // ONE driver round-trip carries BOTH query-side model artifacts:
+    // the term list AND the avgdl scalar (previously its own scalar
+    // aggregate + broadcast + crossJoin — two more scheduled jobs); a
+    // null term marks the avgdl row.
+    val meta = qTerms.select(col("term"), lit(null).cast("double").as("v"))
+      .unionAll(docs.agg(avg(size(col("toks"))).as("v"))
+        .select(lit(null).cast("string").as("term"), col("v")))
+      .collect()
+    // cross-query dedup happens driver-side: a distinct() here would
+    // add its own exchange + scheduled stage for ~10k short strings
+    val qTermList = meta.filter(!_.isNullAt(0)).map(_.getString(0)).distinct.sorted
+    val avgdl = meta.find(_.isNullAt(0)).get.getDouble(1)
     val inList = qTermList.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
     // ONE term-clustered exchange carries the tf aggregation AND the
     // df count: tf is one row per (doc, term) after the partition-
@@ -1887,7 +1898,6 @@ object Similarity {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("df", count(lit(1)).over(wDf).cast("double"))
-    val avgdl = docs.agg(avg(size(col("toks"))).as("avgdl"))
     // Both modalities' SCORED candidate streams union with a tag
     // BEFORE any ranking, and ONE query_id repartition carries the
     // score aggregation, both per-modality rankings (one window stage
@@ -1899,12 +1909,11 @@ object Similarity {
     // ~19-stage AQE floor; this form is one exchange + sorts.
     val bmContrib = tf.join(broadcast(qTerms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
-      .crossJoin(broadcast(avgdl))
       .select(col("query_id"), col("doc_id"), lit(1).as("tag"),
         (log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
           col("tf") * (lit(TA.Bm25K1) + 1.0) /
           (col("tf") + lit(TA.Bm25K1) *
-            (lit(1.0) - lit(TA.Bm25B) + lit(TA.Bm25B) * col("dl") / col("avgdl"))))
+            (lit(1.0) - lit(TA.Bm25B) + lit(TA.Bm25B) * col("dl") / lit(avgdl))))
           .as("sc"))
     val e = withNorm(s, d)
     val q = e.filter(col("vec_id") < NumQueryVecs)
