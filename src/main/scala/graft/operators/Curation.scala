@@ -1217,17 +1217,24 @@ object Curation {
     val cnts = grams.groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).cast("double").as("c"))
       .localCheckpoint(eager = false)
-    val src = cnts.groupBy(col("bucket")).agg(sum(col("c")).as("sc"))
-    val tgt = cnts.filter(pmod(col("doc_id"), lit(10)) === 0)
-      .groupBy(col("bucket")).agg(sum(col("c")).as("tc"))
-    val totals = cnts.agg(
-      sum(col("c")).as("stot"),
-      sum(when(pmod(col("doc_id"), lit(10)) === 0, col("c")).otherwise(lit(0.0)))
-        .as("ttot"))
-    val weights = src.join(tgt, Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
+    // ONE [[DsirBuckets]]-row aggregation carries BOTH distribution
+    // estimates (the target side as a conditional sum — a bucket with
+    // no target grams gets 0.0, exactly the old left-join coalesce),
+    // and the two grand totals ride the same 256-row frame as
+    // unpartitioned window sums (the table is broadcast-destined, i.e.
+    // single-node by definition). The r11 form paid three separate
+    // aggregation jobs + a join + a crossJoin for the same numbers;
+    // every value is an integral double < 2^53, so the regrouped
+    // additions are bit-identical.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val weights = cnts.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("sc"),
+        sum(when(pmod(col("doc_id"), lit(10)) === 0, col("c"))
+          .otherwise(lit(0.0))).as("tc"))
+      .withColumn("stot", sum(col("sc")).over(wAll))
+      .withColumn("ttot", sum(col("tc")).over(wAll))
       .select(col("bucket"),
-        (log((coalesce(col("tc"), lit(0.0)) + alpha) / (col("ttot") + alpha * b))
+        (log((col("tc") + alpha) / (col("ttot") + alpha * b))
           - log((col("sc") + alpha) / (col("stot") + alpha * b))).as("lw"))
     val docw = cnts.join(broadcast(weights), Seq("bucket"))
       .groupBy(col("doc_id"))
