@@ -244,11 +244,14 @@ object TextAnalysis {
   def textLmScore(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // the corpus totals ride the broadcast-destined vocab table as
+    // unpartitioned window sums (single-node by definition once it
+    // broadcasts) instead of a separate scalar aggregate + crossJoin —
+    // two fewer scheduled jobs; long-integer sums, so bit-identical
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val tot = freq.agg(sum(col("c")).cast("double").as("n_total"),
-      count(lit(1)).cast("double").as("vocab"))
+      .withColumn("n_total", sum(col("c")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
+      .withColumn("vocab", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
     toks.join(broadcast(freq), "tok")
-      .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
         min(col("c")).as("rarest_c"),
@@ -307,14 +310,16 @@ object TextAnalysis {
       // lazy so no job is scheduled at plan-construction time
       .localCheckpoint(eager = false)
     val bc = stream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    // T = |bigram types| = Σ_w1 N₁₊(w1 ·), so it rides the broadcast
+    // fwd table as an unpartitioned window sum (exact long arithmetic)
+    // instead of a separate count + crossJoin
     val fwd = bc.groupBy(col("w1"))
       .agg(sum(col("c_ab")).as("c1"), count(lit(1)).as("n1f"))
+      .withColumn("t_types", sum(col("n1f")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
     val rev = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
-    val tot = bc.agg(count(lit(1)).cast("double").as("t_types"))
     val ptype = bc
       .join(broadcast(fwd), "w1")
       .join(broadcast(rev), "w2")
-      .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"),
         ((greatest(col("c_ab") - lit(KnDiscount), lit(0.0)) +
           lit(KnDiscount) * col("n1f") * (col("n1r") / col("t_types"))) / col("c1"))
@@ -495,9 +500,12 @@ object TextAnalysis {
         .select(names.zipWithIndex.flatMap { case (n, i) =>
           Seq(col(s"g${i + 1}").as(n), col(s"h${i + 1}").as("s" + n.drop(1))) } :+
           col("c").as(cName): _*)
+    // T = |bigram types| = Σ N₁₊(w2 ·) rides the broadcast fan2 slice
+    // as an unpartitioned window sum (exact long arithmetic) instead
+    // of a separate scalar aggregate + crossJoin
     val fan2 = slice2(cnts2, 11, Seq("w2"), "n1f2")  // N₁₊(w2 ·)
+      .withColumn("t_types", sum(col("n1f2")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
     val rev = slice2(cnts2, 12, Seq("w3"), "n1r")    // N₁₊(· w3)
-    val tot = fan2.agg(sum(col("n1f2")).cast("double").as("t_types")) // T = |btypes|
     val ctx = cnts1.filter(col("tg") === 1)          // c(w1w2·), N₁₊(w1w2·)
       .select(col("g1").as("w1"), col("h1").as("s1"),
         col("g2").as("w2"), col("h2").as("s2"),
@@ -510,7 +518,6 @@ object TextAnalysis {
       .join(broadcast(midctx), k2)
       .join(broadcast(fan2), k2)
       .join(broadcast(rev), k3)
-      .crossJoin(broadcast(tot))
       .select(cols(k1, k2, k3) :+
         ((greatest(col("c_abc") - lit(D), lit(0.0)) +
           lit(D) * col("n1f12") *
@@ -820,12 +827,15 @@ object TextAnalysis {
     // n_bi = n_uni − n_docs with n_docs a driver-side parquet-footer
     // count — one scheduled aggregation instead of two.
     val nDocs = Tables.parquetRowCount(s, d, "documents").toDouble
-    val tot = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+    // n_uni (and n_bi = n_uni − n_docs) ride the w1-side broadcast
+    // vocab table as an unpartitioned window sum (exact long
+    // arithmetic) instead of a separate scalar aggregate + crossJoin
+    val uniA = uni.select(col("tok").as("w1"), col("c").as("ca"))
+      .withColumn("n_uni", sum(col("ca")).over(org.apache.spark.sql.expressions.Window.partitionBy()).cast("double"))
       .withColumn("n_bi", col("n_uni") - lit(nDocs))
     bi.filter(col("c_ab") >= PmiMinCount)
-      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("ca"))), Seq("w1"))
+      .join(broadcast(uniA), Seq("w1"))
       .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("cb"))), Seq("w2"))
-      .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("c_ab"),
         round(log2((col("c_ab") / col("n_bi")) /
           ((col("ca") / col("n_uni")) * (col("cb") / col("n_uni")))), 6).as("pmi"))
@@ -877,19 +887,20 @@ object TextAnalysis {
       // bigram-type aggregation once instead of re-running the kernel
       // scan per consumer
       .localCheckpoint(eager = false)
+    // n_bi = Σ c_ab = Σ_w1 ka (every document of length L contributes
+    // exactly L−1 bigrams), so the grand total rides the broadcast mA
+    // table as an unpartitioned window sum — this retires the entire
+    // unigram corpus pass (tokenize + explode + aggregate) that
+    // previously existed only to compute n_uni − n_docs, plus the
+    // scalar aggregate and crossJoin; exact long arithmetic
     val mA = bi.groupBy(col("w1")).agg(sum(col("c_ab")).as("ka"))
+      .withColumn("n_bi", sum(col("ka")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
     val mB = bi.groupBy(col("w2")).agg(sum(col("c_ab")).as("kb"))
-    val uni = docs.select(explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val nDocs = Tables.parquetRowCount(s, d, "documents")
-    val tot = uni.agg(sum(col("c")).as("n_uni"))
-      .select((col("n_uni") - lit(nDocs)).as("n_bi"))
     def xlx(c: Column): Column =
       when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
     bi.filter(col("c_ab") >= LlrMinCount)
       .join(broadcast(mA), Seq("w1"))
       .join(broadcast(mB), Seq("w2"))
-      .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("c_ab"),
         col("c_ab").as("k11"),
         (col("ka") - col("c_ab")).as("k12"),

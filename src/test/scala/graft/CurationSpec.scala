@@ -280,8 +280,15 @@ class CurationSpec extends AnyFunSuite {
     def mean(a: Array[org.apache.spark.sql.Row]) =
       a.map(_.getAs[Double]("logw")).sum / a.length
     assert(mean(t) > mean(o), "target subset should carry higher importance weight")
-    // bounded-heap selection, not a global window sort
-    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+    // bounded-heap selection, not a global window sort: no RANKING
+    // window function anywhere in the plan. (A Window NODE is fine —
+    // the r12 form computes the two 256-row distribution totals as an
+    // unpartitioned window sum on the broadcast-destined bucket table;
+    // what this guards against is ranking the corpus-sized scored
+    // frame.)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number") && !plan.contains("dense_rank")
+      && !plan.contains("windowspecdefinition(doc_id"),
       "dsir selection must use the bounded-heap top-k, not a window rank")
   }
 
