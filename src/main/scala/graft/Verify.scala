@@ -4,6 +4,26 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Remove a query's output dir after a failed dump: overwrite mode
+    * only clears the dir on success, so a stale result from an
+    * earlier run would otherwise pass the compare and mask the
+    * failure (observed: a broken window expression went green
+    * against a stale /tmp parquet). The walk stream is closed
+    * (try-with-resources) and the cleanup itself is guarded — an
+    * IOException mid-delete must not abort the remaining query loop.
+    */
+  private[graft] def deleteStaleDir(outDir: String, name: String): Unit = {
+    val dir = Paths.get(outDir, name)
+    try if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(dir)) { st =>
+        st.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] stale cleanup of $name failed: ${e.getMessage}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter (dev loop —
     // the driver always runs the full inventory).
@@ -18,6 +38,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** Session-supplied body of [[main]] — VerifySpec drives this against
+    * the shared test session (main's spark.stop() would kill it). */
+  private[graft] def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]]): Unit = {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -26,17 +54,7 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          // remove any PREVIOUS run's output for this query: overwrite
-          // mode only clears the dir on success, so a stale result
-          // from an earlier dump would otherwise pass the compare and
-          // mask the failure (observed: a broken window expression
-          // went green against a stale /tmp parquet)
-          val dir = Paths.get(outDir, name)
-          if (Files.exists(dir)) {
-            import scala.jdk.CollectionConverters._
-            Files.walk(dir).iterator().asScala.toSeq.reverse
-              .foreach(p => Files.deleteIfExists(p))
-          }
+          deleteStaleDir(outDir, name)
         }
       }
     // ANN recall-gate evidence for the performance baseline: dump each
@@ -66,6 +84,7 @@ object Verify {
           .write.mode("overwrite").parquet(s"$outDir/${name}_pairs")
         catch { case e: Throwable =>
           System.err.println(s"[verify] ${name}_pairs dump failed: ${e.getMessage}")
+          deleteStaleDir(outDir, s"${name}_pairs")
         }
       }
     // dedup_semantic oracle input: the quantizer's cell assignment.
@@ -79,6 +98,7 @@ object Verify {
         .write.mode("overwrite").parquet(s"$outDir/dedup_semantic_cells")
       catch { case e: Throwable =>
         System.err.println(s"[verify] dedup_semantic_cells dump failed: ${e.getMessage}")
+        deleteStaleDir(outDir, "dedup_semantic_cells")
       }
     }
     if (only.isEmpty) {
@@ -97,6 +117,7 @@ object Verify {
           .parquet(s"$outDir/${name}_cand")
         catch { case e: Throwable =>
           System.err.println(s"[verify] ${name}_cand dump failed: ${e.getMessage}")
+          deleteStaleDir(outDir, s"${name}_cand")
         }
       }
       // gt_oracle: the committed oracle whose rows are the gate's
@@ -140,6 +161,5 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{OUT}}", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -1849,6 +1849,19 @@ object Similarity {
     * joins two ≤ queries×[[RrfDepth]]-row lists — trivially bounded.
     * Ranks are taken on rounded scores with doc_id tie-breaks, so
     * every rank (and therefore every RRF score) is deterministic.
+    *
+    * Measured-and-rejected (r13, all same-process min-of-3 pairs vs
+    * this form): (a) per-modality [[graft.functions.TopKIds]] heap
+    * aggregates replacing the rank windows — +0.35 s at sf0.1 (a
+    * TypedImperativeAggregate's update() is interpreted per row over
+    * the ~1M-row dense stream); (b) the same plus in-row array-HOF
+    * fusion — +0.32 s; (c) a typed per-partition heap KERNEL pruning
+    * the dense stream to ≤ partitions×queries×depth before the one
+    * fusion exchange — +0.23 s at sf0.1 AND +5% at 10x: the
+    * DeserializeToObject boundary breaks whole-stage codegen around
+    * the NLJ dot-product scan, costing more than the 1M-row exchange
+    * it saves. The row is floor-bound (~9 scheduled jobs) at sf0.1;
+    * its 10x crossover (≤1.55x, committed) is the scale evidence.
     */
   def annHybridRrf(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{TextAnalysis => TA}
@@ -1882,19 +1895,21 @@ object Similarity {
     // cross-query dedup happens driver-side: a distinct() here would
     // add its own exchange + scheduled stage for ~10k short strings
     val qTermList = meta.filter(!_.isNullAt(0)).map(_.getString(0)).distinct.sorted
-    val avgdl = meta.find(_.isNullAt(0)).get.getDouble(1)
+    // empty documents table ⇒ avg(size) is NULL in the marker row —
+    // fall back to 1.0 (scores stay null downstream) instead of NPEing
+    val avgdl = meta.find(_.isNullAt(0)).filterNot(_.isNullAt(1))
+      .map(_.getDouble(1)).getOrElse(1.0)
     val inList = qTermList.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
     // ONE term-clustered exchange carries the tf aggregation AND the
     // df count: tf is one row per (doc, term) after the partition-
     // local groupBy, so df is a window count over the same term
     // clustering — no separate dfTab aggregate, no dfTab broadcast
     // build job (the r11 form's extra stage pair)
-    val nPart0 = s.sessionState.conf.numShufflePartitions
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val tf = docs
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
         explode(expr(s"filter(toks, t -> t IN ($inList))")).as("term"))
-      .repartition(nPart0, col("term"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("df", count(lit(1)).over(wDf).cast("double"))

@@ -866,9 +866,9 @@ object TextAnalysis {
     * both margin tables are vocabulary-bounded re-aggregations OF THE
     * BIGRAM COUNT TABLE (at 100 TB that table is the persisted model
     * artifact and the margins are cheap rollups of it, never corpus
-    * rescans) and broadcast into the scoring join; N reuses the PMI
-    * row's footer identity (n_bigrams = n_tokens − n_docs), so no
-    * extra corpus pass for the total either.
+    * rescans) and broadcast into the scoring join; N = Σ c_ab rides
+    * the broadcast mA margin table as an unpartitioned window sum —
+    * no extra corpus pass for the total either.
     */
   def textLlrBigrams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1233,37 +1233,84 @@ object TextAnalysis {
     * kept-blocks-in-order concatenation so the oracle certifies the
     * cleaned reconstruction, not just counts.
     *
-    * Scale shape: block extraction is map-side; the df estimate is
-    * one hash aggregation keyed by a 128-bit (primary, salted)
-    * xxhash64 pair of the block — 16-byte shuffle keys, the same
-    * two-channel discipline as [[Dedup.dedupParagraph]] (two blocks
-    * merge only on a simultaneous two-channel collision) — with a
-    * partial-aggregating distinct-doc count. The flagged set
-    * (df ≥ bar) is then LEFT-joined back on the hash key; boilerplate
-    * dictionaries are tiny in practice but the join is a key-equality
-    * shuffle join either way — never a broadcast assumption on an
-    * unbounded side. One more doc_id aggregation reassembles the
-    * documents.
+    * Scale shape: [[Dedup.dedupParagraph]]'s exact topology with the
+    * keep-first argmax swapped for a distinct-doc df count. Blocks
+    * are keyed by [[Dedup.paraBlockHashes]]'s 128-bit two-channel
+    * rolling-hash pair in one typed map-side kernel — the block
+    * STRING never leaves the scan (the r12 form built every block
+    * string through an interpreted transform/slice/concat_ws lambda
+    * and then hashed it; the lambda ran once PER CONSUMER and was the
+    * row's dominant cost). The df estimate is one hash aggregation
+    * over the 16-byte keys; the flagged set (df ≥ bar) marks
+    * occurrences through the salted [[Dedup.markJoin]] (never a
+    * broadcast assumption on an unbounded side), and reassembly is
+    * the same typed kernel over (toks, flagged block indices) —
+    * blocks derive deterministically from the token stream, so the
+    * kept-block concatenation recomputes locally with no block
+    * strings shuffled anywhere.
     */
   def textBoilerplate(s: SparkSession, d: String): DataFrame = {
-    val withBh = Dedup.paraBlocks(s, d)
-      .withColumn("bh", xxhash64(col("block")))
-      .withColumn("bh2", xxhash64(lit(TokenSalt), col("block")))
-    val flagged = withBh.groupBy(col("bh"), col("bh2"))
+    import s.implicits._
+    val b = Dedup.ParaBlockTokens
+    // localCheckpoint: the hash-block kernel feeds BOTH the df
+    // aggregation and the mark-join probe side, and ReuseExchange
+    // cannot canonicalize the typed-kernel subtree (§5 note), so
+    // without it the kernel scan runs once per consumer.
+    val blocks = Dedup.paraBlockHashes(s, d).localCheckpoint(eager = false)
+    val flagged = blocks.groupBy(col("bh"), col("bh2"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= BoilerMinDf)
-    withBh.join(flagged, Seq("bh", "bh2"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_blocks"),
-        sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("n_boiler_blocks"),
-        array_sort(collect_list(when(col("df").isNull,
-          struct(col("block_idx"), col("block"))))).as("kept"))
-      .select(col("doc_id"), col("n_blocks"), col("n_boiler_blocks"),
-        round(col("n_boiler_blocks").cast("double") / col("n_blocks"), 6)
-          .as("boiler_frac"),
-        when(size(col("kept")) === 0, lit(null).cast("string"))
-          .otherwise(md5(concat_ws(" ", expr("transform(kept, x -> x.block)"))))
-          .as("kept_md5"))
+      .select(col("bh"), col("bh2"))
+    // unlike dedupParagraph, EVERY occurrence of a flagged block is
+    // boilerplate — no canonical owner, the first document loses its
+    // copy too
+    val boil = Dedup.markJoin(blocks, flagged, Seq("bh", "bh2"), col("doc_id"))
+      .select(col("doc_id"), col("block_idx"))
+    val byDoc = boil.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("block_idx"))).as("boils"))
+    Dedup.substrDocs(s, d).select(col("doc_id"), col("toks"))
+      .join(byDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .as[(Long, Seq[String], Seq[Int])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, toksIn, boilsIn) =>
+          val toks = if (toksIn == null) Seq.empty[String] else toksIn
+          val n = toks.length
+          val nBlocks = (n + b - 1) / b
+          val boils: Set[Int] =
+            if (boilsIn == null) Set.empty else boilsIn.toSet
+          val kept = new StringBuilder
+          var keptCount = 0
+          var blk = 1
+          while (blk <= nBlocks) {
+            if (!boils.contains(blk)) {
+              var i = (blk - 1) * b
+              val end = math.min(blk * b, n)
+              while (i < end) {
+                if (keptCount > 0) kept.append(' ')
+                kept.append(toks(i))
+                keptCount += 1
+                i += 1
+              }
+            }
+            blk += 1
+          }
+          val nBoil = boils.size.toLong
+          val frac =
+            if (nBlocks == 0) 0.0
+            else java.math.BigDecimal.valueOf(nBoil.toDouble / nBlocks)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val keptMd5 =
+            if (keptCount == 0) null
+            else {
+              md.reset()
+              md.digest(kept.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .map("%02x".format(_)).mkString
+            }
+          (id, nBlocks.toLong, nBoil, frac, keptMd5)
+        }
+      }
+      .toDF("doc_id", "n_blocks", "n_boiler_blocks", "boiler_frac", "kept_md5")
       .orderBy(col("doc_id"))
   }
 

@@ -18,9 +18,15 @@ if "--skip-verify" not in sys.argv:
     # wipe the named outputs first: Verify only clears a query's dir on
     # SUCCESS, so a stale parquet from an earlier run would otherwise be
     # compared (and pass) when the query now fails
+    # ... including the auxiliary dumps the {{OUT}}-reading oracles
+    # consume (candidate pairs / cells), which check.py's full rmtree
+    # covers but a per-name wipe would miss
     import shutil
     for name in NAMES.split(","):
-        shutil.rmtree(OUT / name, ignore_errors=True)
+        for aux in (name, f"{name}_pairs", f"{name}_cand"):
+            shutil.rmtree(OUT / aux, ignore_errors=True)
+    if "dedup_semantic" in NAMES.split(","):
+        shutil.rmtree(OUT / "dedup_semantic_cells", ignore_errors=True)
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT} {NAMES}'],
         cwd="/root/repo", capture_output=True, text=True)
