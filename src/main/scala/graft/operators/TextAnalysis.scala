@@ -622,6 +622,18 @@ object TextAnalysis {
     // (b2 → b3 → b4 → t5 re-aggregates the corpus per consumer —
     // measured 16 s vs 3 s at sf0.1). All four are TYPE-sized model
     // tables, the thing a production fit would persist anyway.
+    // THIRD rejected exchange-economy design (r13, same-process
+    // min-of-3): building t5 on a (K1..K4)-prefix exchange and
+    // stamping that partitioning on the checkpoint
+    // (GraftColumnBridge.localCheckpointHashPartitioned) does make
+    // ctx4's aggregation and the ptype join exchange-free, but
+    // measured 4.03 s vs 3.46 s — the prefix repartition exchanges
+    // RAW occurrences (forfeiting the groupBy's map-side partial
+    // collapse) and the stamped checkpoint must build EAGERLY as a
+    // serial job before any consumer starts. With the two earlier
+    // rejected designs documented below, the row is closed as
+    // floor-bound at sf0.1; its sub-baseline 10x crossover (0.59x)
+    // is the scale evidence.
     val t5 = stream.groupBy(cols(K1, K2, K3, K4, K5): _*)
       .agg(count(lit(1)).as("c5"))
       .localCheckpoint(eager = false)
