@@ -164,17 +164,37 @@ object Dedup {
     * structure and spills. `shingled` is already partitioned by
     * doc_id, so the corpus side re-sorts but does not re-shuffle.
     */
-  private[graft] def verifyExactJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
+  private[graft] def verifyExactJaccard(cand: DataFrame, sh: DataFrame,
+      shCol: String = "sh", bar: Double = JaccardThreshold): DataFrame =
     cand.hint("merge")
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_a"), col(shCol).as("sha")), "doc_a")
       .hint("merge")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_b"), col(shCol).as("shb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         round(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")), 4))
-      .filter(col("jaccard") >= JaccardThreshold)
+      .filter(col("jaccard") >= bar)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Shared bucket-join candidate generation — the probe/index
+    * contract under every banded near-dup operator: equi-join the
+    * probe side's bucket rows against the index side's on `keys`,
+    * emit distinct (doc_a, doc_b). `selfPair` orients a self-join
+    * (doc_a < doc_b); an incremental probe leaves it off (shard×
+    * corpus pairs are already asymmetric). Always sort-merge: both
+    * sides are corpus-sized at the limit (see the per-operator
+    * Scaladoc for why neither broadcast nor a resident hash build
+    * survives 100 TB).
+    */
+  private[graft] def bucketCandidates(probe: DataFrame, index: DataFrame,
+      keys: Seq[String], selfPair: Boolean): DataFrame = {
+    val eq = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val cond = if (selfPair) eq && col("a.doc_id") < col("b.doc_id") else eq
+    probe.hint("merge").as("a").join(index.as("b"), cond)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
 
   /** (doc_id, s, df): the exploded index annotated with each shingle's
     * document frequency. One count window over the shingle key — one
@@ -402,11 +422,7 @@ object Dedup {
     // resident hash build side is the memory hazard, while SMJ
     // spills. Both sides are the same subplan ⇒ the band-key exchange
     // and sort are computed once and reused.
-    val cand = bands.hint("merge").as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = bucketCandidates(bands, bands, Seq("band", "bh"), selfPair = true)
     // Exact-Jaccard verification only on the candidate pairs. The
     // shingle table joins back by SHUFFLE on the doc id (candidates
     // are the tiny build side; the corpus streams) — a broadcast here
@@ -437,10 +453,7 @@ object Dedup {
     val bands = bandTable(s, sh)
     val shard = bands.filter(pmod(col("doc_id"), lit(10)) === 0)
     val corpusIdx = bands.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-    val cand = shard.hint("merge").as("a").join(corpusIdx.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = bucketCandidates(shard, corpusIdx, Seq("band", "bh"), selfPair = false)
     verifyExactJaccard(cand, sh)
   }
 
@@ -1267,21 +1280,10 @@ object Dedup {
     // index and grows with it — at test SFs the planner would happily
     // broadcast it, which is exactly the shape that cannot ship
     // (PlanSpec pins this)
-    val cand = pref.select(col("doc_id").as("doc_a"), col("h"))
-      .hint("merge")
-      .join(pref.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    cand.hint("merge")
-      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
-      .hint("merge")
-      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
-      .withColumn("jaccard",
-        round(col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")), 4))
-      .filter(col("jaccard") >= PrefixFilterBar)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    val cand = bucketCandidates(pref, pref, Seq("h"), selfPair = true)
+    // same sort-merge verify contract as the LSH rows, over the
+    // hashed LONG arrays and at this operator's native high bar
+    verifyExactJaccard(cand, sh, shCol = "hs", bar = PrefixFilterBar)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
