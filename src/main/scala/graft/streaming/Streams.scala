@@ -564,7 +564,126 @@ object Streams {
       }
       .start()
 
+  // ------------------------------------------------------------------
+  // Sink-drive gate entries (round 13): the three foreachBatch sinks
+  // were spec-only; these entries drive each REAL streaming sink end
+  // to end — a file-source stream replaying deterministic epoch files
+  // (pinned mtimes ⇒ oldest-first order; maxFilesPerTrigger=1 ⇒ one
+  // epoch per micro-batch under AvailableNow) into a temp table —
+  // and return the resulting TABLE, which DuckDB recomputes from the
+  // events table (last-writer-wins argmax per epoch chain). Input is
+  // a bounded user slice: the rows certify merge/commit SEMANTICS,
+  // not throughput (the sinks' scale posture is §2.8's).
+  // ------------------------------------------------------------------
+
+  /** Epochs of unique-(user, type) upsert batches from a deterministic
+    * slice of events: epoch = event_id mod [[SinkEpochs]], one row per
+    * (user, type) carrying the epoch's last event (max event_id) and
+    * its value in integer CENTS (the stream_sliding_agg float-parity
+    * discipline). */
+  val SinkEpochs = 2
+  private def sinkEpochFrame(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(pmod(col("user_id"), lit(7)) === 0)
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("ep", pmod(col("event_id"), lit(SinkEpochs)).cast("int"))
+      .groupBy(col("ep"), col("user_id"), col("event_type"))
+      .agg(max(col("event_id")).as("last_event_id"),
+        max_by(col("cents"), col("event_id")).as("last_cents"))
+
+  /** Writes one parquet file per epoch under a fresh temp dir with
+    * strictly increasing mtimes, and returns (inputDir, base, schema)
+    * for the file-source stream. */
+  private def sinkEpochFiles(s: SparkSession, d: String,
+      frame: DataFrame): (String, java.nio.file.Path,
+      org.apache.spark.sql.types.StructType) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink")
+    val inDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    // ONE partitioned write materializes every epoch file (a
+    // write-per-epoch loop paid one scheduled job per epoch)
+    val stage = base.resolve("stage").toString
+    frame.repartition(SinkEpochs, col("ep"))
+      .write.partitionBy("ep").parquet(stage)
+    (0 until SinkEpochs).foreach { e =>
+      val part = new java.io.File(s"$stage/ep=$e").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName).head
+      val dst = inDir.resolve(f"epoch$e%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + e * 60000L))
+    }
+    (inDir.toString, base, frame.drop("ep").schema)
+  }
+
+  private def epochStream(s: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(inDir)
+
+  /** [[upsertSink]] driven end to end: replay the epoch files through
+    * the copy-on-write keyed upsert, return the final table. */
+  def streamUpsertSink(s: SparkSession, d: String): DataFrame = {
+    val (inDir, base, schema) = sinkEpochFiles(s, d, sinkEpochFrame(s, d))
+    val table = base.resolve("table").toString
+    upsertSink(epochStream(s, inDir, schema), table, "user_id", "event_type",
+      base.resolve("ckpt").toString).awaitTermination()
+    s.read.parquet(table)
+      .select(col("user_id"), col("event_type"), col("last_event_id"),
+        col("last_cents"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** [[versionedSink]] driven end to end: one manifest version per
+    * epoch; the output is the UNION of every version's snapshot tagged
+    * by its commit index, so the oracle certifies the whole
+    * time-travel history (state after epochs 0..i), not just the final
+    * table. */
+  def streamVersionedSink(s: SparkSession, d: String): DataFrame = {
+    val (inDir, base, schema) = sinkEpochFiles(s, d, sinkEpochFrame(s, d))
+    val table = base.resolve("table").toString
+    versionedSink(epochStream(s, inDir, schema), table, "user_id", "event_type",
+      base.resolve("ckpt").toString).awaitTermination()
+    graft.sources.Versioned.versions(s, table).zipWithIndex
+      .map { case (v, i) =>
+        graft.sources.Versioned.snapshot(s, table, v)
+          .select(lit(i.toLong).as("epoch"), col("user_id"), col("event_type"),
+            col("last_event_id"), col("last_cents"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("epoch"), col("user_id"), col("event_type"))
+  }
+
+  /** [[cdcSink]] driven end to end: each epoch row is a DELETE
+    * tombstone when its last_event_id ≡ 0 (mod 5), else an upsert —
+    * so some keys die and are later re-upserted, exercising the
+    * tombstone anti-join and re-insert paths. Output is the final
+    * snapshot (deleted keys absent). */
+  def streamCdcSink(s: SparkSession, d: String): DataFrame = {
+    val frame = sinkEpochFrame(s, d)
+      .withColumn("op", when(pmod(col("last_event_id"), lit(5)) === 0,
+        lit("delete")).otherwise(lit("upsert")))
+    val (inDir, base, schema) = sinkEpochFiles(s, d, frame)
+    val table = base.resolve("table").toString
+    cdcSink(epochStream(s, inDir, schema), table, "user_id", "event_type", "op",
+      base.resolve("ckpt").toString).awaitTermination()
+    // manifest-log table: the LIVE file set is the latest manifest's,
+    // never a raw directory read (old versions' files stay on disk
+    // for time travel)
+    graft.sources.Versioned.snapshot(s, table)
+      .select(col("user_id"), col("event_type"), col("last_event_id"),
+        col("last_cents"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_upsert_sink" -> streamUpsertSink _,
+    "stream_versioned_sink" -> streamVersionedSink _,
+    "stream_cdc_sink" -> streamCdcSink _,
     "stream_sliding_agg" -> streamSlidingAgg _,
     "stream_windowed_agg" -> streamWindowedAgg _,
     "stream_session_state" -> sessionizeBatch _,
@@ -578,7 +697,47 @@ object Streams {
     "stream_cms" -> streamCms _,
     "stream_quantile" -> streamQuantile _)
 
+  /** Shared epoch/agg CTE for the sink-drive oracles — the DuckDB
+    * restatement of [[sinkEpochFrame]]. */
+  private val sinkEpochCte =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |   event_id % $SinkEpochs AS ep
+       |  FROM events WHERE user_id % 7 = 0),
+       |agg AS (SELECT ep, user_id, event_type,
+       |   max(event_id) AS last_event_id,
+       |   arg_max(cents, event_id) AS last_cents
+       |  FROM e GROUP BY 1, 2, 3)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // last-writer-wins per (key, partition): the row from the max
+    // epoch containing the key — exactly the CoW upsert's contract
+    "stream_upsert_sink" ->
+      s"""$sinkEpochCte
+         |SELECT user_id, event_type,
+         | arg_max(last_event_id, ep) AS last_event_id,
+         | arg_max(last_cents, ep) AS last_cents
+         |FROM agg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the whole time-travel history: state after epochs 0..i for each
+    // commit index i
+    "stream_versioned_sink" ->
+      s"""$sinkEpochCte
+         |SELECT CAST(i.epoch AS BIGINT) AS epoch, a.user_id, a.event_type,
+         | arg_max(a.last_event_id, a.ep) AS last_event_id,
+         | arg_max(a.last_cents, a.ep) AS last_cents
+         |FROM (SELECT unnest(generate_series(0, ${SinkEpochs - 1})) AS epoch) i
+         |JOIN agg a ON a.ep <= i.epoch
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // last op wins; keys whose final op is a tombstone are absent
+    "stream_cdc_sink" ->
+      s"""$sinkEpochCte,
+         |fin AS (SELECT user_id, event_type,
+         |  arg_max(last_event_id, ep) AS last_event_id,
+         |  arg_max(last_cents, ep) AS last_cents,
+         |  arg_max(CASE WHEN last_event_id % 5 = 0 THEN 'delete' ELSE 'upsert' END, ep) AS last_op
+         | FROM agg GROUP BY 1, 2)
+         |SELECT user_id, event_type, last_event_id, last_cents FROM fin
+         |WHERE last_op <> 'delete' ORDER BY 1, 2""".stripMargin,
     // each event contributes to exactly two half-hour-aligned windows
     // (width 1h, slide 30m); Spark's epoch-aligned window start equals
     // hour truncation plus the half-hour step
