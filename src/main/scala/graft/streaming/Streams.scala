@@ -317,6 +317,42 @@ object Streams {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** [[neardupProbeStream]] driven through a REAL MemoryStream (round
+    * 13): the shard arrives as a micro-batch, the probe joins the
+    * static corpus index, and the memory-sink result is the gate
+    * row — held to the same exact batch×corpus jaccard oracle as
+    * [[streamNeardup]], so the STREAMING execution path itself is
+    * hash-certified, not just spec-compared. (Cross-batch
+    * dropDuplicates state is StreamingSpec's two-batch case; a
+    * two-batch drive here measured +5 s of per-batch re-planning for
+    * no additional oracle signal.) The driver-side collect is the
+    * shard only — the bounded recurring increment (the corpus never
+    * leaves executors).
+    */
+  def streamNeardupProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val shardRows = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .as[(Long, String)].collect().toSeq
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = neardupProbeStream(s, stream.toDF().toDF("doc_id", "text"), corpus)
+    val name = "np_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      stream.addData(shardRows)
+      q.processAllAvailable()
+    } finally q.stop()
+    val res = s.table(name)
+      .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    res
+  }
+
   /** Driver-gated batch-mode evaluation of [[neardupProbeStream]]:
     * the shard split is the same doc_id % 10 convention as
     * [[graft.operators.Dedup.dedupIncrementalMinhash]], so the probe
@@ -681,6 +717,7 @@ object Streams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_neardup_probe" -> streamNeardupProbe _,
     "stream_upsert_sink" -> streamUpsertSink _,
     "stream_versioned_sink" -> streamVersionedSink _,
     "stream_cdc_sink" -> streamCdcSink _,
@@ -757,6 +794,9 @@ object Streams {
     // Same exact pair-set oracle as dedup_incremental_minhash — the
     // stream-shaped plan must agree with the batch pipeline.
     "stream_neardup" -> graft.operators.Dedup.incrementalMinhashOracle,
+    // the MemoryStream execution of the same probe must reproduce the
+    // identical exact pair set
+    "stream_neardup_probe" -> graft.operators.Dedup.incrementalMinhashOracle,
     "stream_decontaminate" ->
       """WITH t AS (SELECT doc_id, list_distinct(list_transform(
         |   generate_series(1, len(string_split(text, ' ')) - 4),
