@@ -9,8 +9,15 @@ object Verify {
     * earlier run would otherwise pass the compare and mask the
     * failure (observed: a broken window expression went green
     * against a stale /tmp parquet). The walk stream is closed
-    * (try-with-resources) and the cleanup itself is guarded — an
-    * IOException mid-delete must not abort the remaining query loop.
+    * (try-with-resources) and a cleanup failure must not abort the
+    * remaining query loop — but it must also not leave the stale
+    * parquet where the compare would silently pass against it, so
+    * the fallback is an ATOMIC rename to `<name>.failed.<uuid>`
+    * (single metadata op, succeeds even when a recursive delete
+    * can't — open handle, mid-tree permission). Only if BOTH the
+    * delete and the rename fail does the dir survive, and then the
+    * loop is aborted: a possibly-green compare against a stale
+    * result is strictly worse than a visibly failed run.
     */
   private[graft] def deleteStaleDir(outDir: String, name: String): Unit = {
     val dir = Paths.get(outDir, name)
@@ -21,6 +28,16 @@ object Verify {
       }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] stale cleanup of $name failed: ${e.getMessage}")
+      try {
+        val parked = Paths.get(outDir,
+          s"$name.failed.${java.util.UUID.randomUUID().toString.take(8)}")
+        Files.move(dir, parked)
+        System.err.println(s"[verify] stale dir parked as ${parked.getFileName}")
+      } catch { case e2: Throwable =>
+        throw new java.io.IOException(
+          s"stale result for $name could not be deleted OR parked — " +
+            s"the compare would pass against stale data: ${e2.getMessage}", e2)
+      }
     }
   }
 

@@ -1280,7 +1280,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("block_idx"))
     val byDoc = boil.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("block_idx"))).as("boils"))
+    // NULL-text docs produce no row: the oracle's block CTE unnests an
+    // empty list for them (string_split(NULL) is NULL ⇒ no blk rows ⇒
+    // no group), so emitting an (n_blocks=0, frac=0) row here would be
+    // a latent row-set mismatch the moment a corpus carries NULL text.
+    // Non-null text always yields ≥1 token (split keeps empties), so
+    // isNotNull alone pins the row sets equal.
     Dedup.substrDocs(s, d).select(col("doc_id"), col("toks"))
+      .filter(col("toks").isNotNull)
       .join(byDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .as[(Long, Seq[String], Seq[Int])]
       .mapPartitions { it =>

@@ -30,8 +30,13 @@ import org.apache.spark.sql.functions._
   * match, no storage listing at all), which is exactly how
   * log-backed formats prune; only the affected partitions' files are
   * ever read or rewritten, so a 1%-of-partitions daily merge costs
-  * 1% of the table in IO at any scale. Same single-writer contract
-  * as the table formats without a locking service.
+  * 1% of the table in IO at any scale. Concurrency is Delta-style
+  * optimistic (round 14): a merge that loses the manifest rename
+  * revalidates against the new head and re-commits when the
+  * interleaved commit touched none of its claimed partitions —
+  * disjoint-partition writers both succeed without a locking
+  * service; a true overlap fails the loser loudly
+  * (ConcurrentModificationException).
   *
   * Key semantics are [[Sinks.upsert]]'s (Hudi non-global-index):
   * keys are scoped to their partition; null partition values and
@@ -206,12 +211,30 @@ object Versioned {
       .select(col(keyCol), col(partCol), col("change"))
   }
 
-  /** Atomically commit `files` as the next version; returns it. The
-    * tmp-write + rename-without-overwrite makes a racing second
-    * writer fail its rename instead of silently clobbering.
+  /** Thrown when the atomic manifest rename loses to a concurrent
+    * writer — the retryable half of the optimistic-concurrency
+    * protocol ([[applyChanges]] catches it and revalidates against
+    * the new head; a TRUE conflict surfaces as
+    * `ConcurrentModificationException` instead). */
+  private[graft] class CommitRaceException(msg: String)
+    extends java.io.IOException(msg)
+
+  private val MaxCommitRetries = 5
+
+  /** Atomically commit `files` as version `expectedNext` (or, when
+    * None, whatever the log listing says is next — the restore/compact
+    * path); returns it. The tmp-write + rename-without-overwrite makes
+    * a racing second writer fail its rename instead of silently
+    * clobbering. Pinning expectedNext = basedOn + 1 is what makes a
+    * STALE writer (one that merged against a head that has since
+    * moved) detectable at all: its rename target already exists, so it
+    * gets a [[CommitRaceException]] rather than committing a manifest
+    * that silently drops the interleaved writer's files — the
+    * lost-update hole a listing-based next leaves open.
     */
-  private def commit(fs: FileSystem, root: Path, files: Seq[FileEntry]): Int = {
-    val next = {
+  private def commit(fs: FileSystem, root: Path, files: Seq[FileEntry],
+      expectedNext: Option[Int] = None): Int = {
+    val next = expectedNext.getOrElse {
       val log = new Path(root, LogDir)
       fs.mkdirs(log)
       val existing = fs.listStatus(log).map(_.getPath.getName)
@@ -219,6 +242,8 @@ object Versioned {
         .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
       if (existing.isEmpty) 0 else existing.max + 1
     }
+    val log = new Path(root, LogDir)
+    fs.mkdirs(log)
     val target = manifestPath(root, next)
     val tmp = new Path(target.getParent, target.getName + ".tmp" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -227,10 +252,58 @@ object Versioned {
     finally out.close()
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, true)
-      throw new java.io.IOException(
+      throw new CommitRaceException(
         s"versioned commit race: $target already exists — concurrent writer detected")
     }
     next
+  }
+
+  /** Delta-style optimistic commit for the merge path: try to commit
+    * as basedOn + 1; when a concurrent writer won that version,
+    * re-read the head and REVALIDATE instead of failing — the merge
+    * output stays valid as long as no interleaved commit touched any
+    * of this writer's `claimed` partitions (data files are immutable,
+    * so "untouched" = the claimed partitions' file LISTS are
+    * byte-identical between basedOn and the new head). On success the
+    * new head's entries for unclaimed partitions are carried, so the
+    * interleaved writer's files survive; on a true overlap the loser
+    * fails loudly with `ConcurrentModificationException` (its merged
+    * output is stale — retrying would need a re-merge, which the
+    * single-writer-per-partition contract says is the caller's call).
+    */
+  private def commitOptimistic(spark: SparkSession, fs: FileSystem, root: Path,
+      path: String, basedOn: Option[Int], claimed: Set[String],
+      newEntries: Seq[FileEntry]): Int = {
+    def partOf(e: FileEntry): String = e.path.split('/').head
+    def entriesAt(v: Option[Int]): Seq[FileEntry] =
+      v.map(manifestEntries(spark, path, _)).getOrElse(Seq.empty)
+    val basePaths = entriesAt(basedOn)
+      .filter(e => claimed.contains(partOf(e))).map(_.path).toSet
+    var head = basedOn
+    var attempt = 0
+    while (true) {
+      val headEntries = entriesAt(head)
+      if (head != basedOn) {
+        val headPaths = headEntries
+          .filter(e => claimed.contains(partOf(e))).map(_.path).toSet
+        if (headPaths != basePaths)
+          throw new java.util.ConcurrentModificationException(
+            s"versioned commit conflict at $path: a concurrent commit " +
+              s"changed claimed partition(s) ${
+                (headPaths diff basePaths) ++ (basePaths diff headPaths)
+              } — this merge was computed against version ${basedOn.getOrElse(-1)}")
+      }
+      val carried = headEntries.filterNot(e => claimed.contains(partOf(e)))
+      try return commit(fs, root, carried ++ newEntries,
+        Some(head.map(_ + 1).getOrElse(0)))
+      catch {
+        case e: CommitRaceException =>
+          attempt += 1
+          if (attempt > MaxCommitRetries) throw e
+          head = latestVersion(spark, path)
+      }
+    }
+    -1 // unreachable
   }
 
   /** RESTORE the table to an earlier version AS A NEW COMMIT (Delta's
@@ -333,8 +406,19 @@ object Versioned {
       keyCol: String, partCol: String, opCol: String): Int =
     applyChanges(spark, path, changes, keyCol, partCol, opCol = Some(opCol))
 
+  /** [[upsert]] with a seam between the merge write and the commit —
+    * SinksSpec interleaves a second writer's full upsert there to
+    * exercise the optimistic-retry and true-conflict paths
+    * deterministically (a thread race would be a coin flip). */
+  private[graft] def upsertWithHook(spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String, partCol: String)(
+      beforeCommit: () => Unit): Int =
+    applyChanges(spark, path, updates, keyCol, partCol, opCol = None,
+      beforeCommit = beforeCommit)
+
   private def applyChanges(spark: SparkSession, path: String, changes: DataFrame,
-      keyCol: String, partCol: String, opCol: Option[String]): Int = {
+      keyCol: String, partCol: String, opCol: Option[String],
+      beforeCommit: () => Unit = () => ()): Int = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val u = changes.persist()
@@ -412,19 +496,17 @@ object Versioned {
       fs.delete(tmp, true)
       // a rewritten-affected partition whose rows ALL vanished (pure
       // delete batch) produces no new file — it must still drop out of
-      // the carried set, so carry-over excludes every affected partition
+      // the carried set, so the CLAIM covers every affected partition,
+      // not just those that got new files
       val changedParts = u.select(col(partCol)).distinct().collect()
         .map(r => s"$partCol=${r.get(0)}").toSet
-      val newParts = newFiles.map(_.split('/').head).toSet ++
-        (if (prev.isDefined) changedParts else Set.empty[String])
+      val claimed = newFiles.map(_.split('/').head).toSet ++ changedParts
       // carried files KEEP their recorded stats; new files get theirs
       // from the one-column stats pass
       val newEntries = entriesWithStats(spark, path, newFiles,
         statsKeyFor(merged.schema, keyCol))
-      val carried = prev.map(v =>
-        manifestEntries(spark, path, v).filterNot(e => newParts.contains(e.path.split('/').head)))
-        .getOrElse(Seq.empty)
-      commit(fs, root, carried ++ newEntries)
+      beforeCommit()
+      commitOptimistic(spark, fs, root, path, prev, claimed, newEntries)
     } finally u.unpersist()
   }
 

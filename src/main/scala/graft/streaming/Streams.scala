@@ -151,6 +151,62 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** [[sessionizeStateful]] driven through a REAL MemoryStream and
+    * hash-gated (round 14; the r13 sink-drive pattern applied to the
+    * flatMapGroupsWithState path, which until now was StreamingSpec-
+    * only): a bounded user slice of the events table arrives as TWO
+    * time-ordered micro-batches split at the midpoint of the observed
+    * ts range, so sessions spanning the split exercise the cross-
+    * trigger GroupState carry (lastMicros + running counts), and the
+    * memory-sink result is held to the same per-user gap oracle as the
+    * batch sessionizer. Append mode emits one running summary per
+    * (user, trigger); the final summary is the per-user max — count
+    * and session number are monotone across triggers because state
+    * only accumulates. The slice (user_id % 7 = 0, the sink rows'
+    * convention) bounds the driver-side collect a MemoryStream feed
+    * requires to ~1/7 of events; the real deployment shape is
+    * readStream from a source, where no collect exists.
+    */
+  def streamSessionStateful(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .filter(pmod(col("user_id"), lit(7)) === 0)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[Ev].collect()
+    // midpoint time split: equal-ts events stay in one batch, so each
+    // batch's (ts, event_id) sort reproduces the oracle's global order
+    val split = {
+      val (mn, mx) = rows.foldLeft((Long.MaxValue, Long.MinValue)) {
+        case ((a, b), e) => (math.min(a, e.tsMicros), math.max(b, e.tsMicros))
+      }
+      mn + (mx - mn) / 2
+    }
+    val (b1, b2) = rows.partition(_.tsMicros < split)
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val out = sessionizeStateful(stream.toDS())
+    val name = "ss_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      stream.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val res = s.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"),
+        max(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    res
+  }
+
   // ------------------------------------------------------------------
   // Streaming dedup (keep-first by content fingerprint).
   // ------------------------------------------------------------------
@@ -277,11 +333,20 @@ object Streams {
     * stream-vs-batch equivalence check).
     */
   def neardupProbeStream(s: SparkSession, shardDocs: DataFrame,
-      corpusDocs: DataFrame): DataFrame = {
+      corpusDocs: DataFrame, pinBands: Boolean = false): DataFrame = {
     import s.implicits._
     import graft.operators.Dedup
     val corpusSh = Dedup.shingleArrays(s, corpusDocs).localCheckpoint()
-    val corpusBands = Dedup.bandTable(s, corpusSh)
+    // pinBands: a MULTI-batch drive re-executes the static side per
+    // micro-batch — without pinning, every trigger re-pays the
+    // corpus-sized band build (explode → groupBy → signature kernel;
+    // the +5 s that killed the r13 two-batch drive). Checkpointing the
+    // band table makes each extra trigger cost only its shard side.
+    // Batch-mode consumers (streamNeardup) leave it off: the bands are
+    // consumed exactly once there, so pinning would only add a
+    // materialization pass.
+    val corpusBands0 = Dedup.bandTable(s, corpusSh)
+    val corpusBands = if (pinBands) corpusBands0.localCheckpoint() else corpusBands0
     val bandRows = Dedup.NumHashes / Dedup.NumBands
     val shardBands = Dedup.shingleArrays(s, shardDocs)
       .withColumn("hs", expr("transform(sh, x -> xxhash64(x))"))
@@ -318,32 +383,41 @@ object Streams {
   }
 
   /** [[neardupProbeStream]] driven through a REAL MemoryStream (round
-    * 13): the shard arrives as a micro-batch, the probe joins the
+    * 13): the shard arrives as micro-batches, the probe joins the
     * static corpus index, and the memory-sink result is the gate
     * row — held to the same exact batch×corpus jaccard oracle as
     * [[streamNeardup]], so the STREAMING execution path itself is
-    * hash-certified, not just spec-compared. (Cross-batch
-    * dropDuplicates state is StreamingSpec's two-batch case; a
-    * two-batch drive here measured +5 s of per-batch re-planning for
-    * no additional oracle signal.) The driver-side collect is the
-    * shard only — the bounded recurring increment (the corpus never
-    * leaves executors).
+    * hash-certified, not just spec-compared. TWO batches (round 14):
+    * the shard's doc_id % 1000 == 0 tail arrives as a second trigger,
+    * so the CROSS-BATCH dropDuplicates state path is inside the gate
+    * too — the r13 single-batch compromise existed only because the
+    * un-pinned static side re-paid the corpus band build per trigger
+    * (+5 s); with [[neardupProbeStream]]'s pinBands the second trigger
+    * costs just its tail-sized shard side. The driver-side collect is
+    * the shard only — the bounded recurring increment (the corpus
+    * never leaves executors).
     */
   def streamNeardupProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val shardRows = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
       .as[(Long, String)].collect().toSeq
+    // a doc_id lands in exactly one batch, so the pair SET is
+    // batch-split-invariant; only the state path differs
+    val (tail, main) = shardRows.partition(_._1 % 1000 == 0)
     val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val stream =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val out = neardupProbeStream(s, stream.toDF().toDF("doc_id", "text"), corpus)
+    val out = neardupProbeStream(s, stream.toDF().toDF("doc_id", "text"), corpus,
+      pinBands = true)
     val name = "np_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
-      stream.addData(shardRows)
+      stream.addData(main)
+      q.processAllAvailable()
+      stream.addData(tail)
       q.processAllAvailable()
     } finally q.stop()
     val res = s.table(name)
@@ -629,29 +703,68 @@ object Streams {
       .agg(max(col("event_id")).as("last_event_id"),
         max_by(col("cents"), col("event_id")).as("last_cents"))
 
-  /** Writes one parquet file per epoch under a fresh temp dir with
-    * strictly increasing mtimes, and returns (inputDir, base, schema)
-    * for the file-source stream. */
-  private def sinkEpochFiles(s: SparkSession, d: String,
-      frame: DataFrame): (String, java.nio.file.Path,
-      org.apache.spark.sql.types.StructType) = {
-    val base = java.nio.file.Files.createTempDirectory("graft_sink")
-    val inDir = base.resolve("in")
-    java.nio.file.Files.createDirectories(inDir)
-    // ONE partitioned write materializes every epoch file (a
-    // write-per-epoch loop paid one scheduled job per epoch)
-    val stage = base.resolve("stage").toString
-    frame.repartition(SinkEpochs, col("ep"))
-      .write.partitionBy("ep").parquet(stage)
-    (0 until SinkEpochs).foreach { e =>
-      val part = new java.io.File(s"$stage/ep=$e").listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName).head
-      val dst = inDir.resolve(f"epoch$e%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + e * 60000L))
+  /** Recursive delete for the sink drives' temp trees (children
+    * before parents; missing paths tolerated). */
+  private def removeRecursive(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+          .foreach(q => java.nio.file.Files.deleteIfExists(q))
+      }
     }
-    (inDir.toString, base, frame.drop("ep").schema)
+
+  /** ONE epoch-file fixture per (process, sf dir), shared by all
+    * three sink drives (round 14: each drive previously rebuilt its
+    * own — three identical agg + partitioned-write + move passes per
+    * Verify run, nine per three-pass Bench). The CDC drive derives
+    * its op column on the STREAM side (it is a pure function of
+    * last_event_id), so the one base fixture serves all three. The
+    * fixture is INPUT data, so sharing it across bench passes follows
+    * the trained-model-state convention (centroids/codebooks persist;
+    * only evaluation caches reset). Its temp tree lives until process
+    * exit (shutdown hook); each drive's OUTPUT dirs (table,
+    * checkpoint) are per-call and removed in its finally — previously
+    * every Verify/Bench invocation leaked input+table+checkpoint+stage
+    * trees under /tmp.
+    */
+  private val epochFixtures = scala.collection.mutable.Map
+    .empty[String, (String, org.apache.spark.sql.types.StructType)]
+
+  private def sharedEpochFixture(s: SparkSession, d: String)
+      : (String, org.apache.spark.sql.types.StructType) = synchronized {
+    epochFixtures.getOrElseUpdate(d, {
+      val frame = sinkEpochFrame(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_sink_in")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try removeRecursive(base) catch { case _: Throwable => () }))
+      val inDir = base.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      // ONE partitioned write materializes every epoch file (a
+      // write-per-epoch loop paid one scheduled job per epoch); pinned
+      // strictly increasing mtimes ⇒ oldest-first replay order.
+      val stage = base.resolve("stage")
+      frame.repartition(SinkEpochs, col("ep"))
+        .write.partitionBy("ep").parquet(stage.toString)
+      (0 until SinkEpochs).foreach { e =>
+        val dir = new java.io.File(s"$stage/ep=$e")
+        // an epoch slice can be empty under another SF's distribution
+        // (no event_id ≡ e in the user_id % 7 slice): fail with the
+        // cause, not the NPE/.head throw a missing dir produced before
+        val parts = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.endsWith(".parquet"))
+        require(parts.nonEmpty,
+          s"sink fixture: epoch $e has no parquet file under $dir — the " +
+            s"user_id % 7 = 0 slice of $d has no rows with " +
+            s"event_id % $SinkEpochs = $e")
+        val dst = inDir.resolve(f"epoch$e%03d.parquet")
+        java.nio.file.Files.move(parts.sortBy(_.getName).head.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + e * 60000L))
+      }
+      removeRecursive(stage)
+      (inDir.toString, frame.drop("ep").schema)
+    })
   }
 
   private def epochStream(s: SparkSession, inDir: String,
@@ -661,63 +774,81 @@ object Streams {
       .option("latestFirst", "false")
       .parquet(inDir)
 
+  /** Run one sink drive against the shared fixture: `body` gets the
+    * epoch stream and a fresh output base dir, and must return the
+    * MATERIALIZED result (the finally removes the output tree the
+    * lazy frame would still read). */
+  private def sinkDrive(s: SparkSession, d: String)(
+      body: (DataFrame, java.nio.file.Path) => DataFrame): DataFrame = {
+    val (inDir, schema) = sharedEpochFixture(s, d)
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_out")
+    try body(epochStream(s, inDir, schema), out)
+    finally removeRecursive(out)
+  }
+
   /** [[upsertSink]] driven end to end: replay the epoch files through
     * the copy-on-write keyed upsert, return the final table. */
-  def streamUpsertSink(s: SparkSession, d: String): DataFrame = {
-    val (inDir, base, schema) = sinkEpochFiles(s, d, sinkEpochFrame(s, d))
-    val table = base.resolve("table").toString
-    upsertSink(epochStream(s, inDir, schema), table, "user_id", "event_type",
-      base.resolve("ckpt").toString).awaitTermination()
-    s.read.parquet(table)
-      .select(col("user_id"), col("event_type"), col("last_event_id"),
-        col("last_cents"))
-      .orderBy(col("user_id"), col("event_type"))
-  }
+  def streamUpsertSink(s: SparkSession, d: String): DataFrame =
+    sinkDrive(s, d) { (updates, base) =>
+      val table = base.resolve("table").toString
+      upsertSink(updates, table, "user_id", "event_type",
+        base.resolve("ckpt").toString).awaitTermination()
+      s.read.parquet(table)
+        .select(col("user_id"), col("event_type"), col("last_event_id"),
+          col("last_cents"))
+        .orderBy(col("user_id"), col("event_type"))
+        .localCheckpoint()
+    }
 
   /** [[versionedSink]] driven end to end: one manifest version per
     * epoch; the output is the UNION of every version's snapshot tagged
     * by its commit index, so the oracle certifies the whole
     * time-travel history (state after epochs 0..i), not just the final
     * table. */
-  def streamVersionedSink(s: SparkSession, d: String): DataFrame = {
-    val (inDir, base, schema) = sinkEpochFiles(s, d, sinkEpochFrame(s, d))
-    val table = base.resolve("table").toString
-    versionedSink(epochStream(s, inDir, schema), table, "user_id", "event_type",
-      base.resolve("ckpt").toString).awaitTermination()
-    graft.sources.Versioned.versions(s, table).zipWithIndex
-      .map { case (v, i) =>
-        graft.sources.Versioned.snapshot(s, table, v)
-          .select(lit(i.toLong).as("epoch"), col("user_id"), col("event_type"),
-            col("last_event_id"), col("last_cents"))
-      }
-      .reduce(_ unionByName _)
-      .orderBy(col("epoch"), col("user_id"), col("event_type"))
-  }
+  def streamVersionedSink(s: SparkSession, d: String): DataFrame =
+    sinkDrive(s, d) { (updates, base) =>
+      val table = base.resolve("table").toString
+      versionedSink(updates, table, "user_id", "event_type",
+        base.resolve("ckpt").toString).awaitTermination()
+      graft.sources.Versioned.versions(s, table).zipWithIndex
+        .map { case (v, i) =>
+          graft.sources.Versioned.snapshot(s, table, v)
+            .select(lit(i.toLong).as("epoch"), col("user_id"), col("event_type"),
+              col("last_event_id"), col("last_cents"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy(col("epoch"), col("user_id"), col("event_type"))
+        .localCheckpoint()
+    }
 
   /** [[cdcSink]] driven end to end: each epoch row is a DELETE
     * tombstone when its last_event_id ≡ 0 (mod 5), else an upsert —
     * so some keys die and are later re-upserted, exercising the
-    * tombstone anti-join and re-insert paths. Output is the final
-    * snapshot (deleted keys absent). */
-  def streamCdcSink(s: SparkSession, d: String): DataFrame = {
-    val frame = sinkEpochFrame(s, d)
-      .withColumn("op", when(pmod(col("last_event_id"), lit(5)) === 0,
-        lit("delete")).otherwise(lit("upsert")))
-    val (inDir, base, schema) = sinkEpochFiles(s, d, frame)
-    val table = base.resolve("table").toString
-    cdcSink(epochStream(s, inDir, schema), table, "user_id", "event_type", "op",
-      base.resolve("ckpt").toString).awaitTermination()
-    // manifest-log table: the LIVE file set is the latest manifest's,
-    // never a raw directory read (old versions' files stay on disk
-    // for time travel)
-    graft.sources.Versioned.snapshot(s, table)
-      .select(col("user_id"), col("event_type"), col("last_event_id"),
-        col("last_cents"))
-      .orderBy(col("user_id"), col("event_type"))
-  }
+    * tombstone anti-join and re-insert paths. The op column derives
+    * on the stream (per micro-batch), which is what lets this drive
+    * share the base fixture. Output is the final snapshot (deleted
+    * keys absent). */
+  def streamCdcSink(s: SparkSession, d: String): DataFrame =
+    sinkDrive(s, d) { (updates, base) =>
+      val changes = updates.withColumn("op",
+        when(pmod(col("last_event_id"), lit(5)) === 0, lit("delete"))
+          .otherwise(lit("upsert")))
+      val table = base.resolve("table").toString
+      cdcSink(changes, table, "user_id", "event_type", "op",
+        base.resolve("ckpt").toString).awaitTermination()
+      // manifest-log table: the LIVE file set is the latest manifest's,
+      // never a raw directory read (old versions' files stay on disk
+      // for time travel)
+      graft.sources.Versioned.snapshot(s, table)
+        .select(col("user_id"), col("event_type"), col("last_event_id"),
+          col("last_cents"))
+        .orderBy(col("user_id"), col("event_type"))
+        .localCheckpoint()
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_neardup_probe" -> streamNeardupProbe _,
+    "stream_session_stateful" -> streamSessionStateful _,
     "stream_upsert_sink" -> streamUpsertSink _,
     "stream_versioned_sink" -> streamVersionedSink _,
     "stream_cdc_sink" -> streamCdcSink _,
@@ -898,6 +1029,19 @@ object Streams {
         | round(sum(cents) / 100.0, 2) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // The MemoryStream-driven flatMapGroupsWithState execution must
+    // reproduce the same per-user gap counts over its user slice —
+    // including sessions spanning the two-trigger split.
+    "stream_session_stateful" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM (SELECT user_id, epoch_us(ts) AS us,
+        |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events WHERE user_id % 7 = 0))
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Same gap rule as q13 — the stateful path must agree with the
     // declarative window-function formulation.
     "stream_session_state" ->

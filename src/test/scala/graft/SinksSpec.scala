@@ -537,6 +537,55 @@ class SinksSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Versioned.restore(spark, path, 99) }
   }
 
+  test("versioned optimistic concurrency: interleaved disjoint writers both land; true overlap fails the loser") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val path = tmp("versioned-occ")
+    def rows() = Versioned.snapshot(spark, path)
+      .select(col("id"), col("v"), col("part")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // interleave at the FIRST commit: writer A merges against an empty
+    // table, writer B creates v0 (partition p2) before A commits — A
+    // must lose the v0 rename, revalidate (claim p1 untouched) and
+    // land as v1 carrying B's files
+    var vB = -1
+    val vA = Versioned.upsertWithHook(spark, path,
+      Seq((1L, "a", "p1")).toDF("id", "v", "part"), "id", "part") { () =>
+      vB = Versioned.upsert(spark, path,
+        Seq((2L, "b", "p2")).toDF("id", "v", "part"), "id", "part")
+    }
+    assert(vB == 0 && vA == 1)
+    assert(rows() == Set((1L, "a", "p1"), (2L, "b", "p2")))
+    // interleave on an existing table, still disjoint partitions: the
+    // late committer retries and neither writer's rows are lost (the
+    // lost-update hole a listing-based next version left open)
+    val vA2 = Versioned.upsertWithHook(spark, path,
+      Seq((1L, "A", "p1")).toDF("id", "v", "part"), "id", "part") { () =>
+      Versioned.upsert(spark, path,
+        Seq((2L, "B", "p2")).toDF("id", "v", "part"), "id", "part")
+    }
+    assert(vA2 == 3)
+    assert(rows() == Set((1L, "A", "p1"), (2L, "B", "p2")))
+    // the interleaved history stays time-travelable: v2 is B's commit,
+    // which still reads A's first-round p1 row
+    assert(Versioned.snapshot(spark, path, 2)
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "B")))
+    // TRUE conflict: the interleaved commit rewrites the SAME
+    // partition the late writer merged against — its merge output is
+    // stale, so it must fail loudly and the winner's state must hold
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.upsertWithHook(spark, path,
+        Seq((1L, "stale", "p1")).toDF("id", "v", "part"), "id", "part") { () =>
+        Versioned.upsert(spark, path,
+          Seq((1L, "winner", "p1")).toDF("id", "v", "part"), "id", "part")
+      }
+    }
+    assert(Versioned.latestVersion(spark, path).contains(4))
+    assert(rows() == Set((1L, "winner", "p1"), (2L, "B", "p2")))
+  }
+
   test("versioned compact: fewer files, identical contents, history intact") {
     import spark.implicits._
     import graft.sources.Versioned
