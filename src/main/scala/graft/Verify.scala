@@ -118,30 +118,36 @@ object Verify {
         deleteStaleDir(outDir, "dedup_semantic_cells")
       }
     }
-    if (only.isEmpty) {
+    // _cand dumps + gate_bars respect the dev-loop filter (round 14):
+    // a recall gate's SCALE-probe oracle (tools/crossprobe.py's
+    // baseline-style gate recompute) needs the candidate set dumped AT
+    // THE PROBE SF, and a full Verify run at 10x just to get one _cand
+    // parquet would cost minutes per probed row.
+    locally {
       import graft.operators.Similarity
       Seq(
-        ("ann_lsh_recall", Similarity.lshCandidates(spark, sfDir)),
-        ("ann_multiprobe_recall", Similarity.multiprobeCandidates(spark, sfDir)),
-        ("ann_ivf_recall", Similarity.ivfCandidates(spark, sfDir)),
-        ("ann_pq_recall", Similarity.pqCandidates(spark, sfDir)),
-        ("ann_ivfpq_recall", Similarity.ivfpqCandidates(spark, sfDir)),
-        ("ann_binary_recall", Similarity.binaryCandidates(spark, sfDir)),
-        ("ann_filtered_ivfpq_recall", Similarity.ivfpqFilteredCandidates(spark, sfDir)),
-        ("ann_upsert_recall", Similarity.upsertCandidates(spark, sfDir)),
-      ).foreach { case (name, cand) =>
-        try cand.coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/${name}_cand")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] ${name}_cand dump failed: ${e.getMessage}")
-          deleteStaleDir(outDir, s"${name}_cand")
+        ("ann_lsh_recall", () => Similarity.lshCandidates(spark, sfDir)),
+        ("ann_multiprobe_recall", () => Similarity.multiprobeCandidates(spark, sfDir)),
+        ("ann_ivf_recall", () => Similarity.ivfCandidates(spark, sfDir)),
+        ("ann_pq_recall", () => Similarity.pqCandidates(spark, sfDir)),
+        ("ann_ivfpq_recall", () => Similarity.ivfpqCandidates(spark, sfDir)),
+        ("ann_binary_recall", () => Similarity.binaryCandidates(spark, sfDir)),
+        ("ann_filtered_ivfpq_recall", () => Similarity.ivfpqFilteredCandidates(spark, sfDir)),
+        ("ann_upsert_recall", () => Similarity.upsertCandidates(spark, sfDir)),
+      ).filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, cand) =>
+          try cand().coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/${name}_cand")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] ${name}_cand dump failed: ${e.getMessage}")
+            deleteStaleDir(outDir, s"${name}_cand")
+          }
         }
-      }
       // gt_oracle: the committed oracle whose rows are the gate's
       // ground-truth top-k (the filtered gate restricts candidates AND
       // ground truth to the query's label — bruteforce would be the
       // wrong yardstick)
-      val bars = Seq(
+      val barRows = Seq(
         ("ann_lsh_recall", Similarity.LshRecallBar, Similarity.LshPruneBar, None),
         ("ann_multiprobe_recall", Similarity.MpRecallBar, Similarity.MpPruneBar, None),
         ("ann_ivf_recall", Similarity.IvfRecallBar, Similarity.IvfPruneBar, None),
@@ -152,11 +158,14 @@ object Verify {
           Similarity.FilteredIvfPqPruneBar, Some("ann_filtered_topk")),
         ("ann_upsert_recall", Similarity.UpsertRecallBar,
           Similarity.UpsertPruneBar, None),
-      ).map { case (n, r, p, gt) =>
-        val gtField = gt.fold("")(g => s""", "gt_oracle": "$g"""")
-        s""""$n": {"recall_bar": $r, "prune_bar": $p, "topk": ${Similarity.TopK}$gtField}"""
-      }.mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/gate_bars.json"), bars)
+      ).filter { case (n, _, _, _) => only.forall(_.contains(n)) }
+      if (barRows.nonEmpty) {
+        val bars = barRows.map { case (n, r, p, gt) =>
+          val gtField = gt.fold("")(g => s""", "gt_oracle": "$g"""")
+          s""""$n": {"recall_bar": $r, "prune_bar": $p, "topk": ${Similarity.TopK}$gtField}"""
+        }.mkString("{", ",", "}")
+        Files.writeString(Paths.get(s"$outDir/gate_bars.json"), bars)
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -434,6 +434,13 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bits.as("bkt"))
     }
+    // q derives from the SAME bucketed subtree as n, filter applied
+    // AFTER the hash columns: a filter-first build (hash only the 10
+    // query vectors) was measured SLOWER at sf0.1 AND 10x (1.16 vs
+    // 1.04 s / 1.86 vs 1.70 s, same-process min-of-3 pairs) — the
+    // shared subtree keeps both sides on one generated codegen unit,
+    // and the corpus-side dot work it would save is codegen'd and
+    // cheap at any probed SF.
     val eb = e.select(col("vec_id"), col("v"), col("nrm"),
         explode(array(bucketStructs: _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"),
