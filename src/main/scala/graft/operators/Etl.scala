@@ -961,10 +961,18 @@ QUESTION:
     * projected list, and interpolate question / answer / chunk count
     * / chunk JSON / session id into the fixed evaluator template.
     * Pure column work — sort_array + slice + transform + to_json +
-    * concat, all codegen — so at 100 TB this is one groupBy exchange
-    * plus map-side string assembly. The gate hashes md5(prompt) per
-    * session, so a single byte of template, serialization, or slice
-    * drift fails the row. Null similarities are injected on
+    * concat — so at 100 TB this is one groupBy exchange plus string
+    * assembly. The chunk strings are built AFTER the slice (round
+    * 14): the exchange carries only (event_id, similarity) structs
+    * and the "c-…"/"doc-…"/"chunk text …" concats run on ≤12 rows
+    * per session instead of every event — the shuffle-key discipline
+    * applied to payload strings (same-process min-of-3 at 10x:
+    * 1.27 s vs 2.41 s for the build-then-shuffle form; identical at
+    * sf0.1 where the row is dispatch-floor-bound; the post-slice
+    * transform lambda is interpreted, but over session-capped rows
+    * that loses to the 4x shuffle-byte cut). The gate hashes
+    * md5(prompt) per session, so a single byte of template,
+    * serialization, or slice drift fails the row. Null similarities are injected on
     * event_id % 5: the reference's `c.get("similarity")` passes None
     * through json.dumps as a JSON null, so the engine serializes with
     * ignoreNullFields=false to keep the key (Spark's default would
@@ -976,17 +984,15 @@ QUESTION:
       .otherwise(round(col("value"), 2))
     val per = Tables.events(s, d)
       .select(col("user_id"),
-        struct(e.as("event_id"),
-          concat(lit("c-"), e.cast("string")).as("id"),
-          concat(lit("doc-"), (e % 7).cast("string")).as("document_name"),
-          sim.as("similarity"),
-          concat(lit("chunk text "), e.cast("string")).as("content")).as("c"))
+        struct(e.as("event_id"), sim.as("similarity")).as("c"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("c"))).as("cs"))
       .select(col("user_id"),
         expr("transform(slice(cs, 1, 12), c -> struct(" +
-          "c.id AS id, c.document_name AS document_name, " +
-          "c.similarity AS similarity, c.content AS content))").as("chunks"))
+          "concat('c-', CAST(c.event_id AS STRING)) AS id, " +
+          "concat('doc-', CAST(c.event_id % 7 AS STRING)) AS document_name, " +
+          "c.similarity AS similarity, " +
+          "concat('chunk text ', CAST(c.event_id AS STRING)) AS content))").as("chunks"))
     val u = col("user_id").cast("string")
     val chunksJson = to_json(col("chunks"), Map("ignoreNullFields" -> "false"))
     val prompt = concat(
@@ -1002,6 +1008,7 @@ QUESTION:
         md5(prompt).as("prompt_md5"))
       .orderBy(col("user_id"))
   }
+
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_judge_prompt" -> etlJudgePrompt _,
