@@ -412,6 +412,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains((1L, 2L, 3L)))
   }
 
+  test("MemoryStream-driven stateful sessionizer equals the batch sessionizer on its user slice") {
+    import org.apache.spark.sql.functions._
+    // the gate row's two-batch MemoryStream drive must reproduce the
+    // batch kernel's per-user (n_sessions, n_events) on the same
+    // user_id % 7 slice — the cross-trigger state carry is inside
+    val streamed = Streams.streamSessionStateful(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Streams.sessionizeBatch(spark, sf)
+      .filter(pmod(col("user_id"), lit(7)) === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // at least one sliced user must actually have >1 session, or the
+    // equality above would not exercise the gap rule
+    assert(streamed.exists(_._2 > 1L))
+  }
+
   test("checkpointed parquet sink: no duplicates across stop + restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
