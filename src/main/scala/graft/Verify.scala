@@ -28,15 +28,21 @@ object Verify {
       }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] stale cleanup of $name failed: ${e.getMessage}")
-      try {
-        val parked = Paths.get(outDir,
-          s"$name.failed.${java.util.UUID.randomUUID().toString.take(8)}")
-        Files.move(dir, parked)
-        System.err.println(s"[verify] stale dir parked as ${parked.getFileName}")
-      } catch { case e2: Throwable =>
-        throw new java.io.IOException(
-          s"stale result for $name could not be deleted OR parked — " +
-            s"the compare would pass against stale data: ${e2.getMessage}", e2)
+      // re-check before escalating: if the walk failed because the dir
+      // vanished mid-delete (or a concurrent cleanup won), there is no
+      // stale data left and the remaining query loop must continue
+      if (Files.exists(dir)) {
+        try {
+          val parked = Paths.get(outDir,
+            s"$name.failed.${java.util.UUID.randomUUID().toString.take(8)}")
+          Files.move(dir, parked)
+          System.err.println(s"[verify] stale dir parked as ${parked.getFileName}")
+        } catch { case e2: Throwable =>
+          if (Files.exists(dir))
+            throw new java.io.IOException(
+              s"stale result for $name could not be deleted OR parked — " +
+                s"the compare would pass against stale data: ${e2.getMessage}", e2)
+        }
       }
     }
   }
@@ -160,11 +166,29 @@ object Verify {
           Similarity.UpsertPruneBar, None),
       ).filter { case (n, _, _, _) => only.forall(_.contains(n)) }
       if (barRows.nonEmpty) {
-        val bars = barRows.map { case (n, r, p, gt) =>
+        val entries = barRows.map { case (n, r, p, gt) =>
           val gtField = gt.fold("")(g => s""", "gt_oracle": "$g"""")
-          s""""$n": {"recall_bar": $r, "prune_bar": $p, "topk": ${Similarity.TopK}$gtField}"""
-        }.mkString("{", ",", "}")
-        Files.writeString(Paths.get(s"$outDir/gate_bars.json"), bars)
+          n -> s"""{"recall_bar": $r, "prune_bar": $p, "topk": ${Similarity.TopK}$gtField}"""
+        }
+        // MERGE into an existing gate_bars.json rather than replace it:
+        // a dev-loop subset run into a dir holding a full dump would
+        // otherwise shrink the file to the subset's gates, and the next
+        // tools/baseline.py over that dir would silently time the other
+        // gates as constant-probe SELECTs. Values are rebuilt from the
+        // same constants every run, so keep-new-on-collision is exact.
+        val barsPath = Paths.get(s"$outDir/gate_bars.json")
+        val existing: Map[String, String] =
+          if (!Files.exists(barsPath)) Map.empty
+          else {
+            // entries are flat {"name": {...}} objects written only by
+            // this code; split on the top-level keys it itself emits
+            val txt = Files.readString(barsPath).trim.stripPrefix("{").stripSuffix("}")
+            """"(ann_\w+)": (\{[^}]*\})""".r.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2)).toMap
+          }
+        val merged = existing ++ entries
+        Files.writeString(barsPath, merged.toSeq.sortBy(_._1)
+          .map { case (n, v) => s""""$n": $v""" }.mkString("{", ",", "}"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -273,7 +273,8 @@ object Versioned {
     */
   private def commitOptimistic(spark: SparkSession, fs: FileSystem, root: Path,
       path: String, basedOn: Option[Int], claimed: Set[String],
-      newEntries: Seq[FileEntry]): Int = {
+      newEntries: Seq[FileEntry],
+      mergedSchema: org.apache.spark.sql.types.StructType): Int = {
     def partOf(e: FileEntry): String = e.path.split('/').head
     def entriesAt(v: Option[Int]): Seq[FileEntry] =
       v.map(manifestEntries(spark, path, _)).getOrElse(Seq.empty)
@@ -292,6 +293,24 @@ object Versioned {
               s"changed claimed partition(s) ${
                 (headPaths diff basePaths) ++ (basePaths diff headPaths)
               } — this merge was computed against version ${basedOn.getOrElse(-1)}")
+        // schema revalidation against the MOVED head: the serial path
+        // rejects a batch missing any table column (evolution only
+        // ADDS) — an interleaved commit that widened the schema in a
+        // DISJOINT partition must make this writer a conflict too, or
+        // the retry silently bypasses that loud contract (Delta treats
+        // concurrent metadata change as a conflict for the same reason)
+        head.foreach { v =>
+          snapshot(spark, path, v).schema.foreach { f =>
+            mergedSchema.find(_.name == f.name) match {
+              case Some(g) if g.dataType == f.dataType => ()
+              case _ => throw new java.util.ConcurrentModificationException(
+                s"versioned commit conflict at $path: a concurrent commit " +
+                  s"changed the table schema (column ${f.name}: " +
+                  s"${f.dataType}) after this merge was validated against " +
+                  s"version ${basedOn.getOrElse(-1)}")
+            }
+          }
+        }
       }
       val carried = headEntries.filterNot(e => claimed.contains(partOf(e)))
       try return commit(fs, root, carried ++ newEntries,
@@ -506,7 +525,19 @@ object Versioned {
       val newEntries = entriesWithStats(spark, path, newFiles,
         statsKeyFor(merged.schema, keyCol))
       beforeCommit()
-      commitOptimistic(spark, fs, root, path, prev, claimed, newEntries)
+      try commitOptimistic(spark, fs, root, path, prev, claimed, newEntries,
+        merged.schema)
+      catch { case e: java.util.ConcurrentModificationException =>
+        // a designed, test-exercised outcome must not leak: the loser's
+        // freshly moved-in data files are referenced by no manifest
+        // (its commit never happened), so delete them — otherwise every
+        // true conflict permanently parks a full rewritten copy of its
+        // affected partitions in the table directory
+        newFiles.foreach { f =>
+          try fs.delete(new Path(root, f), false) catch { case _: Throwable => () }
+        }
+        throw e
+      }
     } finally u.unpersist()
   }
 

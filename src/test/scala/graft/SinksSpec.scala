@@ -584,6 +584,34 @@ class SinksSpec extends AnyFunSuite {
     }
     assert(Versioned.latestVersion(spark, path).contains(4))
     assert(rows() == Set((1L, "winner", "p1"), (2L, "B", "p2")))
+    // a concurrent SCHEMA change is a conflict even on disjoint
+    // partitions: the serial path rejects a batch missing any table
+    // column, and the retry must not silently bypass that contract
+    // when the widening commit interleaves
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.upsertWithHook(spark, path,
+        Seq((1L, "old", "p1")).toDF("id", "v", "part"), "id", "part") { () =>
+        Versioned.upsert(spark, path,
+          Seq((2L, "B3", 0.5, "p2")).toDF("id", "v", "score", "part"),
+          "id", "part")
+      }
+    }
+    assert(Versioned.snapshot(spark, path).columns.contains("score"))
+    // conflict losers must not leak data files: every parquet under the
+    // table root is referenced by some manifest version (the losers'
+    // moved-in files were deleted when their commit was refused)
+    val referenced = Versioned.versions(spark, path)
+      .flatMap(v => Versioned.manifestFiles(spark, path, v)).toSet
+    val onDisk = {
+      val root = new java.io.File(path)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath.stripPrefix(root.getAbsolutePath).stripPrefix("/"))
+        .filterNot(_.startsWith("_graft_log")).toSet
+    }
+    assert(onDisk == referenced,
+      s"orphan data files leaked: ${onDisk diff referenced}")
   }
 
   test("versioned compact: fewer files, identical contents, history intact") {

@@ -33,6 +33,8 @@ from pathlib import Path
 
 import duckdb
 
+import gatesql
+
 SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 arg2 = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
 OUTDIR = arg2.parent if arg2.name == "oracle_sql.json" else arg2
@@ -46,41 +48,22 @@ for t in TABLES:
 oracle = json.loads(ORACLE.read_text())
 bars_path = OUTDIR / "gate_bars.json"
 gate_bars = json.loads(bars_path.read_text()) if bars_path.exists() else {}
-
-
-def gate_sql(name: str) -> str:
-    """Real-work equivalent of an ann_*_recall gate: exact ground truth
-    (the committed ann_bruteforce_topk oracle, the dominant cost) +
-    rank/hit/volume aggregation over the dumped candidate set."""
-    bars = gate_bars[name]
-    k, rbar, pbar = bars["topk"], bars["recall_bar"], bars["prune_bar"]
-    # a gate may name its own ground-truth oracle (the filtered gate's
-    # ground truth is label-restricted; bruteforce would be the wrong
-    # yardstick and would flip recall_ok)
-    gt = oracle[bars.get("gt_oracle", "ann_bruteforce_topk")].rstrip().rstrip(";")
-    cand = OUTDIR / f"{name}_cand"
-    return f"""
-WITH gt AS ({gt}),
-cand AS (SELECT * FROM read_parquet('{cand}/*.parquet')),
-ranked AS (SELECT query_id, neighbor_id,
-    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk,
-    count(*) OVER (PARTITION BY query_id) AS n_cand
-  FROM cand),
-hits AS (SELECT count(*) AS n_hit
-  FROM ranked r JOIN gt g USING (query_id, neighbor_id) WHERE r.rk <= {k}),
-vol AS (SELECT max(n_cand) AS max_cand FROM ranked),
-corpus AS (SELECT count(*) AS n_total,
-    sum(CASE WHEN vec_id < 10 THEN 1 ELSE 0 END) AS n_queries
-  FROM embeddings)
-SELECT CAST(n_queries AS BIGINT) AS n_queries,
-  CAST(n_hit >= n_queries * {k} * {rbar} AS BIGINT) AS recall_ok,
-  CAST(max_cand <= n_total * {pbar} AS BIGINT) AS prune_ok
-FROM corpus, hits, vol"""
-
+# a baseline over the FULL inventory must time every recall gate as
+# the real recompute — a gate_bars.json missing entries (e.g.
+# clobbered by a dev-loop subset Verify into the same outDir) would
+# silently time those gates as constant-probe SELECTs
+_expected_gates = {n for n in oracle if n.endswith("_recall") and
+                   (OUTDIR / f"{n}_cand").exists()}
+_missing = _expected_gates - set(gate_bars)
+if _missing:
+    sys.exit(f"gate_bars.json is missing {sorted(_missing)} — regenerate "
+             f"the Verify dump at {OUTDIR} (full run, or a subset that "
+             "includes every recall gate) before timing a baseline")
 
 rows = []
 for name, sql in sorted(oracle.items()):
-    timed_sql = gate_sql(name) if name in gate_bars else sql
+    timed_sql = gatesql.gate_sql(name, gate_bars, oracle, OUTDIR) \
+        if name in gate_bars else sql
     times = []
     nrows = 0
     try:
@@ -89,7 +72,7 @@ for name, sql in sorted(oracle.items()):
             res = con.execute(timed_sql).fetchall()
             nrows = len(res)
             times.append(time.monotonic() - t0)
-        if name in gate_bars and res != [(10, 1, 1)]:
+        if name in gate_bars and res != [gatesql.EXPECTED_GATE_ROW]:
             raise RuntimeError(f"gate recompute disagrees with oracle: {res}")
         rows.append((name, statistics.median(times), nrows, None))
     except Exception as e:  # noqa: BLE001 - record and continue

@@ -4,7 +4,7 @@
 For the named queries, measure BOTH engines on the 10x-replicated
 tmp/sf1probe data (build it first with tools/scaleprobe.py if absent):
 
-  - engine: graft.Bench subset mode (min-of-2 warm passes, the same
+  - engine: graft.Bench subset mode (min-of-3 warm passes, the same
     harness the driver runs) -> bench_out_subset.json
   - oracle: the committed DuckDB oracle SQL (median of 3 runs) over
     the same parquet tables
@@ -38,6 +38,8 @@ from pathlib import Path
 
 import duckdb
 
+import gatesql
+
 REPO = Path(__file__).parent.parent
 SFDIR = str(REPO / "tmp" / "sf1probe")
 NAMES = sys.argv[1].split(",") if len(sys.argv) > 1 else [
@@ -62,33 +64,7 @@ if PROBE_OUT is not None:
     if probe_bars.exists():
         gate_bars = json.loads(probe_bars.read_text())
 
-
-def gate_sql(name: str) -> str:
-    """baseline.py's real-work recall-gate recompute, over the
-    probe-SF candidate dump."""
-    bars = gate_bars[name]
-    k, rbar, pbar = bars["topk"], bars["recall_bar"], bars["prune_bar"]
-    gt = oracle[bars.get("gt_oracle", "ann_bruteforce_topk")].rstrip().rstrip(";")
-    cand = PROBE_OUT / f"{name}_cand"
-    return f"""
-WITH gt AS ({gt}),
-cand AS (SELECT * FROM read_parquet('{cand}/*.parquet')),
-ranked AS (SELECT query_id, neighbor_id,
-    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk,
-    count(*) OVER (PARTITION BY query_id) AS n_cand
-  FROM cand),
-hits AS (SELECT count(*) AS n_hit
-  FROM ranked r JOIN gt g USING (query_id, neighbor_id) WHERE r.rk <= {k}),
-vol AS (SELECT max(n_cand) AS max_cand FROM ranked),
-corpus AS (SELECT count(*) AS n_total,
-    sum(CASE WHEN vec_id < 10 THEN 1 ELSE 0 END) AS n_queries
-  FROM embeddings)
-SELECT CAST(n_queries AS BIGINT) AS n_queries,
-  CAST(n_hit >= n_queries * {k} * {rbar} AS BIGINT) AS recall_ok,
-  CAST(max_cand <= n_total * {pbar} AS BIGINT) AS prune_ok
-FROM corpus, hits, vol"""
-
-# engine: Bench subset (min-of-2 warm passes at SFDIR).
+# engine: Bench subset (min-of-3 warm passes at SFDIR).
 # CROSSPROBE_BENCH_EXTRA: comma-separated query names ADDED to the
 # Bench subset but not timed/reported — absorbers that restore the
 # full suite's cost accounting inside a subset run. Bench charges
@@ -119,15 +95,23 @@ for t in TABLES:
 
 result = {}
 for name in NAMES:
-    sql = gate_sql(name) if name in gate_bars else oracle.get(name)
+    is_gate = name in gate_bars
+    sql = gatesql.gate_sql(name, gate_bars, oracle, PROBE_OUT) if is_gate \
+        else oracle.get(name)
     if sql is None:
         print(f"skip {name}: no oracle sql")
         continue
     times = []
     for _ in range(3):
         t0 = time.time()
-        con.execute(sql).fetchall()
+        res = con.execute(sql).fetchall()
         times.append(time.time() - t0)
+    # a recall gate that does not HOLD at the probe SF must fail the
+    # probe loudly, never be silently timed into the artifact
+    if is_gate and res != [gatesql.EXPECTED_GATE_ROW]:
+        sys.exit(f"{name}: gate recompute at the probe SF reads {res}, "
+                 f"expected {[gatesql.EXPECTED_GATE_ROW]} — the gate does "
+                 "not hold on this data; fix the gate before timing it")
     o = statistics.median(times)
     e = bench.get(name)
     result[name] = {"engine_s": round(e, 3) if e is not None else None,
