@@ -164,32 +164,20 @@ object Verify {
           Similarity.FilteredIvfPqPruneBar, Some("ann_filtered_topk")),
         ("ann_upsert_recall", Similarity.UpsertRecallBar,
           Similarity.UpsertPruneBar, None),
-      ).filter { case (n, _, _, _) => only.forall(_.contains(n)) }
-      if (barRows.nonEmpty) {
-        val entries = barRows.map { case (n, r, p, gt) =>
-          val gtField = gt.fold("")(g => s""", "gt_oracle": "$g"""")
-          n -> s"""{"recall_bar": $r, "prune_bar": $p, "topk": ${Similarity.TopK}$gtField}"""
-        }
-        // MERGE into an existing gate_bars.json rather than replace it:
-        // a dev-loop subset run into a dir holding a full dump would
-        // otherwise shrink the file to the subset's gates, and the next
-        // tools/baseline.py over that dir would silently time the other
-        // gates as constant-probe SELECTs. Values are rebuilt from the
-        // same constants every run, so keep-new-on-collision is exact.
-        val barsPath = Paths.get(s"$outDir/gate_bars.json")
-        val existing: Map[String, String] =
-          if (!Files.exists(barsPath)) Map.empty
-          else {
-            // entries are flat {"name": {...}} objects written only by
-            // this code; split on the top-level keys it itself emits
-            val txt = Files.readString(barsPath).trim.stripPrefix("{").stripSuffix("}")
-            """"(ann_\w+)": (\{[^}]*\})""".r.findAllMatchIn(txt)
-              .map(m => m.group(1) -> m.group(2)).toMap
-          }
-        val merged = existing ++ entries
-        Files.writeString(barsPath, merged.toSeq.sortBy(_._1)
-          .map { case (n, v) => s""""$n": $v""" }.mkString("{", ",", "}"))
+      )
+      // Always write the FULL bar set (round 15; was filtered +
+      // merge-on-collision): every entry is a pure function of the
+      // current constants, so a subset dev-loop run costs nothing to
+      // restate them all — and a stale entry can no longer survive a
+      // bar-constant edit (the r14 merge kept unrun gates' OLD bars,
+      // which baseline.py could not distinguish from fresh ones).
+      val entries = barRows.map { case (n, r, p, gt) =>
+        val gtField = gt.fold("")(g => s""", "gt_oracle": "$g"""")
+        n -> s"""{"recall_bar": $r, "prune_bar": $p, "topk": ${Similarity.TopK}$gtField}"""
       }
+      Files.writeString(Paths.get(s"$outDir/gate_bars.json"),
+        entries.sortBy(_._1)
+          .map { case (n, v) => s""""$n": $v""" }.mkString("{", ",", "}"))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -204,10 +192,15 @@ object Verify {
       case c => c.toString
     } + "\""
     // {{OUT}} in an oracle → this run's output dir (the dumped-input
-    // oracles read their candidate parquet from there).
+    // oracles read their candidate parquet from there). The dump is
+    // ALWAYS the full inventory (round 15; was filtered by the
+    // dev-loop subset): the SQL strings are in-memory constants, so a
+    // subset run restates them all for free — and tools/baseline.py's
+    // expected-gate guard now derives from a file no subset run can
+    // narrow (the r14 shape let a subset Verify shrink oracle_sql.json
+    // while gate_bars.json merged, leaving the guard blind).
     val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{OUT}}", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

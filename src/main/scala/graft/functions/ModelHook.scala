@@ -163,21 +163,32 @@ object ModelHook {
       promptCol: String,
       client: ModelClient,
       batchSize: Int = DefaultBatchSize,
-      maxRetries: Int = 1): DataFrame = {
+      maxRetries: Int = 1,
+      minGapMs: Long = 0L): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     require(maxRetries >= 0, s"maxRetries must be non-negative, got $maxRetries")
+    require(minGapMs >= 0, s"minGapMs must be non-negative, got $minGapMs")
     import s.implicits._
     val in: Dataset[(Long, String)] =
       df.select(col(keyCol).cast("long"), col(promptCol).cast("string"))
         .as[(Long, String)]
     in.mapPartitions { it =>
+      // minGapMs > 0: the reference pipelines' inter-call pacing
+      // (extract_chat_qa_tsv.py:48 sleep=0.05, test_chat_assistant.py
+      // --delay, judge --judge-delay) as a per-task-slot gap —
+      // executors × slots × (1000/minGapMs) bounds aggregate QPS.
+      // Wrapped HERE, inside mapPartitions, so the throttle state
+      // lives per task like any executor-side client state; 0 is a
+      // true no-op (same client object, zero clock reads).
+      val paced =
+        if (minGapMs == 0) client else new ThrottledClient(client, minGapMs)
       def attempt(prompts: Seq[String]): Either[Throwable, Seq[String]] = {
         var last: Either[Throwable, Seq[String]] = null
         var tries = 0
         while (tries <= maxRetries && (last == null || last.isLeft)) {
           last =
             try {
-              val out = client.complete(prompts)
+              val out = paced.complete(prompts)
               require(out.length == prompts.length,
                 s"model client returned ${out.length} completions for ${prompts.length} prompts")
               Right(out)

@@ -36,7 +36,12 @@ import org.apache.spark.sql.functions._
   * interleaved commit touched none of its claimed partitions —
   * disjoint-partition writers both succeed without a locking
   * service; a true overlap fails the loser loudly
-  * (ConcurrentModificationException).
+  * (ConcurrentModificationException). Round 15 closes the maintenance
+  * ops' lost-update hole: [[compact]] commits through the same
+  * optimistic protocol (disjoint writers merge, a write into a
+  * partition being compacted conflicts), and [[restore]] pins its
+  * commit to the head it read — any interleaved commit makes the
+  * restore a loud conflict, Delta's RESTORE rule.
   *
   * Key semantics are [[Sinks.upsert]]'s (Hudi non-global-index):
   * keys are scoped to their partition; null partition values and
@@ -221,27 +226,20 @@ object Versioned {
 
   private val MaxCommitRetries = 5
 
-  /** Atomically commit `files` as version `expectedNext` (or, when
-    * None, whatever the log listing says is next — the restore/compact
-    * path); returns it. The tmp-write + rename-without-overwrite makes
-    * a racing second writer fail its rename instead of silently
-    * clobbering. Pinning expectedNext = basedOn + 1 is what makes a
-    * STALE writer (one that merged against a head that has since
-    * moved) detectable at all: its rename target already exists, so it
-    * gets a [[CommitRaceException]] rather than committing a manifest
-    * that silently drops the interleaved writer's files — the
-    * lost-update hole a listing-based next leaves open.
+  /** Atomically commit `files` as version `next`; returns it. The
+    * tmp-write + rename-without-overwrite makes a racing second writer
+    * fail its rename instead of silently clobbering. `next` is always
+    * PINNED by the caller to the-head-it-validated-against + 1
+    * (round 15: the listing-based fallback is gone — every writer,
+    * including restore and compact, now commits through this pin),
+    * which is what makes a STALE writer detectable at all: its rename
+    * target already exists, so it gets a [[CommitRaceException]]
+    * rather than committing a manifest that silently drops the
+    * interleaved writer's files — the lost-update hole a listing-based
+    * next leaves open.
     */
   private def commit(fs: FileSystem, root: Path, files: Seq[FileEntry],
-      expectedNext: Option[Int] = None): Int = {
-    val next = expectedNext.getOrElse {
-      val log = new Path(root, LogDir)
-      fs.mkdirs(log)
-      val existing = fs.listStatus(log).map(_.getPath.getName)
-        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-        .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt)
-      if (existing.isEmpty) 0 else existing.max + 1
-    }
+      next: Int): Int = {
     val log = new Path(root, LogDir)
     fs.mkdirs(log)
     val target = manifestPath(root, next)
@@ -274,7 +272,7 @@ object Versioned {
   private def commitOptimistic(spark: SparkSession, fs: FileSystem, root: Path,
       path: String, basedOn: Option[Int], claimed: Set[String],
       newEntries: Seq[FileEntry],
-      mergedSchema: org.apache.spark.sql.types.StructType): Int = {
+      schemaCheck: Option[org.apache.spark.sql.types.StructType]): Int = {
     def partOf(e: FileEntry): String = e.path.split('/').head
     def entriesAt(v: Option[Int]): Seq[FileEntry] =
       v.map(manifestEntries(spark, path, _)).getOrElse(Seq.empty)
@@ -298,8 +296,14 @@ object Versioned {
         // ADDS) — an interleaved commit that widened the schema in a
         // DISJOINT partition must make this writer a conflict too, or
         // the retry silently bypasses that loud contract (Delta treats
-        // concurrent metadata change as a conflict for the same reason)
-        head.foreach { v =>
+        // concurrent metadata change as a conflict for the same reason).
+        // The COMPACT path passes schemaCheck = None: its rewritten
+        // files carry their source partitions' own schema, and a
+        // column widened in an unclaimed partition still lives in that
+        // partition's files — mergeSchema reads recover it, so a
+        // disjoint widening is NOT a conflict for compaction (Delta's
+        // OPTIMIZE merges past disjoint writers the same way).
+        for (mergedSchema <- schemaCheck; v <- head) {
           snapshot(spark, path, v).schema.foreach { f =>
             mergedSchema.find(_.name == f.name) match {
               case Some(g) if g.dataType == f.dataType => ()
@@ -314,7 +318,7 @@ object Versioned {
       }
       val carried = headEntries.filterNot(e => claimed.contains(partOf(e)))
       try return commit(fs, root, carried ++ newEntries,
-        Some(head.map(_ + 1).getOrElse(0)))
+        head.map(_ + 1).getOrElse(0))
       catch {
         case e: CommitRaceException =>
           attempt += 1
@@ -333,12 +337,42 @@ object Versioned {
     * readable for time travel until [[vacuum]] ages them out, and a
     * second restore can roll the rollback back. Zero data IO at any
     * table size: the commit writes one manifest file. Returns the new
-    * head version. */
-  def restore(spark: SparkSession, path: String, version: Int): Int = {
+    * head version.
+    *
+    * Concurrency (round 15): the commit is PINNED to head + 1 as read
+    * at entry. A concurrent commit that moves the head first makes the
+    * rename lose, and the loss surfaces as
+    * `ConcurrentModificationException` — never a silent wipe of the
+    * interleaved writer's changes (the listing-based next the old path
+    * used would have re-listed, taken max + 1, and committed a
+    * manifest built from the stale target version). There is NO retry:
+    * Delta's conflict matrix makes RESTORE conflict with every
+    * concurrent write, because "roll back to v" computed before an
+    * interleaved upsert and applied after it are different user
+    * intents — the caller must look at the new head and decide.
+    */
+  def restore(spark: SparkSession, path: String, version: Int): Int =
+    restoreWithHook(spark, path, version)(() => ())
+
+  /** [[restore]] with a seam before the commit — SinksSpec interleaves
+    * a concurrent upsert there to exercise the conflict path
+    * deterministically. */
+  private[graft] def restoreWithHook(spark: SparkSession, path: String,
+      version: Int)(beforeCommit: () => Unit): Int = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val entries = manifestEntries(spark, path, version)
-    commit(fs, root, entries)
+    val head = latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"versioned table $path has no commits"))
+    beforeCommit()
+    try commit(fs, root, entries, head + 1)
+    catch { case e: CommitRaceException =>
+      throw new java.util.ConcurrentModificationException(
+        s"versioned restore conflict at $path: a concurrent commit moved " +
+          s"the head past $head while restoring to version $version — " +
+          "re-read the table and re-issue the restore if rollback is " +
+          s"still intended (${e.getMessage})")
+    }
   }
 
   /** Move every parquet file under tmp's `part=value` dirs into the
@@ -526,13 +560,16 @@ object Versioned {
         statsKeyFor(merged.schema, keyCol))
       beforeCommit()
       try commitOptimistic(spark, fs, root, path, prev, claimed, newEntries,
-        merged.schema)
-      catch { case e: java.util.ConcurrentModificationException =>
-        // a designed, test-exercised outcome must not leak: the loser's
-        // freshly moved-in data files are referenced by no manifest
-        // (its commit never happened), so delete them — otherwise every
-        // true conflict permanently parks a full rewritten copy of its
-        // affected partitions in the table directory
+        Some(merged.schema))
+      catch { case scala.util.control.NonFatal(e) =>
+        // a failed commit must not leak: the loser's freshly moved-in
+        // data files are referenced by no manifest (its commit never
+        // happened), so delete them — otherwise every failure
+        // permanently parks a full rewritten copy of its affected
+        // partitions in the table directory. NonFatal (round 15, was
+        // ConcurrentModificationException only): a CommitRaceException
+        // that exhausts MaxCommitRetries, or any commit IO failure,
+        // leaves the same orphans as a true conflict.
         newFiles.foreach { f =>
           try fs.delete(new Path(root, f), false) catch { case _: Throwable => () }
         }
@@ -552,9 +589,29 @@ object Versioned {
     * repartitions on the partition column so each compacted hive
     * partition lands as one file. Returns the committed version (the
     * current one if nothing needed compacting).
+    *
+    * Concurrency (round 15): the same optimistic protocol as the
+    * merge. The compacted partitions are the CLAIM; a concurrent
+    * commit to disjoint partitions merges cleanly (the retry carries
+    * the new head's entries for everything unclaimed, so the
+    * interleaved writer's files survive — Delta's OPTIMIZE-vs-write
+    * rule), while a commit that touched a partition being compacted is
+    * a true conflict: the compacted files were rewritten from now-dead
+    * inputs, so the loser cleans up its orphans and fails loudly.
+    * Schema revalidation is intentionally skipped ([[commitOptimistic]]
+    * schemaCheck = None): compacted files carry their own partitions'
+    * schema and a column widened elsewhere still lives in that
+    * partition's files.
     */
   def compact(spark: SparkSession, path: String, partCol: String,
-      maxFiles: Int = 1): Int = {
+      maxFiles: Int = 1): Int =
+    compactWithHook(spark, path, partCol, maxFiles)(() => ())
+
+  /** [[compact]] with a seam between the rewrite and the commit —
+    * SinksSpec interleaves a concurrent upsert there to exercise the
+    * disjoint-merge and true-conflict paths deterministically. */
+  private[graft] def compactWithHook(spark: SparkSession, path: String,
+      partCol: String, maxFiles: Int = 1)(beforeCommit: () => Unit): Int = {
     require(maxFiles >= 1, "maxFiles must be at least 1")
     val root = new Path(path)
     val fs = fsOf(spark, root)
@@ -579,8 +636,17 @@ object Versioned {
     val inheritedKey = entries.flatMap(_.statsCol).headOption
       .flatMap(k => statsKeyFor(affected.schema, k))
     val newEntries = entriesWithStats(spark, path, newFiles, inheritedKey)
-    val carried = entries.filterNot(e => compacted.contains(e.path.split('/').head))
-    commit(fs, root, carried ++ newEntries)
+    beforeCommit()
+    try commitOptimistic(spark, fs, root, path, Some(v), compacted, newEntries,
+      schemaCheck = None)
+    catch { case scala.util.control.NonFatal(e) =>
+      // same no-leak rule as the merge path: a conflicted or failed
+      // compaction's rewritten files are referenced by no manifest
+      newFiles.foreach { f =>
+        try fs.delete(new Path(root, f), false) catch { case _: Throwable => () }
+      }
+      throw e
+    }
   }
 
   /** Retire all but the last `keepVersions` manifests and delete the

@@ -151,60 +151,84 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
-  /** [[sessionizeStateful]] driven through a REAL MemoryStream and
-    * hash-gated (round 14; the r13 sink-drive pattern applied to the
-    * flatMapGroupsWithState path, which until now was StreamingSpec-
-    * only): a bounded user slice of the events table arrives as TWO
-    * time-ordered micro-batches split at the midpoint of the observed
-    * ts range, so sessions spanning the split exercise the cross-
-    * trigger GroupState carry (lastMicros + running counts), and the
-    * memory-sink result is held to the same per-user gap oracle as the
-    * batch sessionizer. Append mode emits one running summary per
-    * (user, trigger); the final summary is the per-user max — count
-    * and session number are monotone across triggers because state
-    * only accumulates. The slice (user_id % 7 = 0, the sink rows'
-    * convention) bounds the driver-side collect a MemoryStream feed
-    * requires to ~1/7 of events; the real deployment shape is
-    * readStream from a source, where no collect exists.
+  /** [[sessionizeStateful]] driven through a REAL file-source stream
+    * and hash-gated (round 15; previously a MemoryStream feed, which
+    * required collecting the event slice to the driver — the last
+    * data-sized driver collect in any gate row, ~1/7 of events, 1.4 M
+    * rows at 100x): a bounded user slice of the events table is staged
+    * DISTRIBUTED as two pinned-mtime epoch files split at the midpoint
+    * of the observed ts range ([[stageEpochFiles]], the sink drives'
+    * pattern), replayed one file per trigger under AvailableNow, so
+    * sessions spanning the split exercise the cross-trigger GroupState
+    * carry (lastMicros + running counts), and the memory-sink result
+    * is held to the same per-user gap oracle as the batch sessionizer.
+    * The only driver-resident data are 3 aggregate scalars (min/max ts,
+    * count) and the user-count-sized output table.
+    *
+    * Split correctness: equal-ts events stay in one epoch, so each
+    * epoch's (ts, event_id) sort reproduces the oracle's global order,
+    * and both epochs are PROVABLY non-empty whenever the slice's ts
+    * range spans ≥ 2 µs (split > mn keeps the min-ts event in epoch 0;
+    * split ≤ mx puts the max-ts event in epoch 1). A degenerate
+    * single-timestamp slice — where the old midpoint rule silently
+    * produced an empty first batch and never exercised the carry
+    * (ADVICE r14) — now falls back VISIBLY to one epoch, and the
+    * trigger-count pin below still holds it to one data trigger.
+    *
+    * Append mode emits one running summary per (user, trigger); the
+    * final summary is the per-user max — count and session number are
+    * monotone across triggers because state only accumulates.
     */
   def streamSessionStateful(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rows = Tables.events(s, d)
+    val ev = Tables.events(s, d)
       .filter(pmod(col("user_id"), lit(7)) === 0)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
         unix_micros(col("ts")).as("tsMicros"))
-      .as[Ev].collect()
-    // midpoint time split: equal-ts events stay in one batch, so each
-    // batch's (ts, event_id) sort reproduces the oracle's global order
-    val split = {
-      val (mn, mx) = rows.foldLeft((Long.MaxValue, Long.MinValue)) {
-        case ((a, b), e) => (math.min(a, e.tsMicros), math.max(b, e.tsMicros))
-      }
-      mn + (mx - mn) / 2
-    }
-    val (b1, b2) = rows.partition(_.tsMicros < split)
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val stream =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
-    val out = sessionizeStateful(stream.toDS())
-    val name = "ss_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    val q = out.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
+    val st = ev.agg(min(col("tsMicros")), max(col("tsMicros")), count(lit(1))).head()
+    require(st.getLong(2) > 0,
+      s"stream_session_stateful: the user_id % 7 = 0 slice of $d is empty")
+    val (mn, mx) = (st.getLong(0), st.getLong(1))
+    val split = mn + (mx - mn) / 2
+    val nEp = if (mx - mn >= 2) 2 else 1
+    val withEp = ev.withColumn("ep",
+      when(lit(nEp) === 2 && col("tsMicros") >= split, lit(1))
+        .otherwise(lit(0)).cast("int"))
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_in")
     try {
-      stream.addData(b1.toIndexedSeq)
-      q.processAllAvailable()
-      stream.addData(b2.toIndexedSeq)
-      q.processAllAvailable()
-    } finally q.stop()
-    val res = s.table(name)
-      .groupBy(col("user_id"))
-      .agg(max(col("n_sessions")).as("n_sessions"),
-        max(col("n_events")).as("n_events"))
-      .orderBy(col("user_id"))
-      .localCheckpoint()
-    s.catalog.dropTempView(name)
-    res
+      val inDir = stageEpochFiles(withEp, nEp, base,
+        e => s"the ts-midpoint split of the user_id % 7 = 0 slice of $d " +
+          s"left epoch $e empty — unreachable while the split invariant holds")
+      val src = s.readStream.schema(withEp.drop("ep").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(inDir)
+        .as[Ev]
+      val out = sessionizeStateful(src)
+      val name = "ss_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        // structural pin: the cross-trigger carry the gate certifies
+        // only exists if each epoch file really arrived as its own
+        // trigger (maxFilesPerTrigger=1 under AvailableNow)
+        val fired = q.recentProgress.count(_.numInputRows > 0)
+        require(fired == nEp,
+          s"stream_session_stateful: expected $nEp data triggers, saw $fired")
+      } finally q.stop()
+      val res = s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_sessions")).as("n_sessions"),
+          max(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+        .localCheckpoint()
+      s.catalog.dropTempView(name)
+      res
+    } finally removeRecursive(base)
   }
 
   // ------------------------------------------------------------------
@@ -731,6 +755,49 @@ object Streams {
   private val epochFixtures = scala.collection.mutable.Map
     .empty[String, (String, org.apache.spark.sql.types.StructType)]
 
+  /** Stage `frame` (carrying an int `ep` column in [0, nEpochs)) as
+    * ONE pinned-mtime parquet file per epoch under `base/in`; returns
+    * the input dir for [[epochStream]]. One partitioned write
+    * materializes every epoch file (a write-per-epoch loop paid one
+    * scheduled job per epoch); `repartition(nEpochs, ep)` puts each
+    * epoch's rows in exactly one task, so each `ep=` dir holds exactly
+    * one part file (asserted — a second file would otherwise be
+    * dropped silently); pinned strictly increasing mtimes ⇒
+    * oldest-first replay order. The whole fixture is built
+    * DISTRIBUTED — no data-sized driver collect anywhere on the
+    * file-source drive path (round 15: the stateful sessionizer drive
+    * now shares this, retiring the last data-sized collect in a gate
+    * row).
+    */
+  private def stageEpochFiles(frame: DataFrame, nEpochs: Int,
+      base: java.nio.file.Path, emptyHint: Int => String): String = {
+    val inDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val stage = base.resolve("stage")
+    frame.repartition(nEpochs, col("ep"))
+      .write.partitionBy("ep").parquet(stage.toString)
+    (0 until nEpochs).foreach { e =>
+      val dir = new java.io.File(s"$stage/ep=$e")
+      // an epoch slice can be empty under another SF's distribution:
+      // fail with the cause, not the NPE/.head throw a missing dir
+      // produced before
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.endsWith(".parquet"))
+      require(parts.nonEmpty,
+        s"epoch fixture: epoch $e has no parquet file under $dir — ${emptyHint(e)}")
+      require(parts.length == 1,
+        s"epoch fixture: epoch $e has ${parts.length} part files — the " +
+          "one-task-per-epoch repartition contract broke; moving just one " +
+          "would silently drop rows")
+      val dst = inDir.resolve(f"epoch$e%03d.parquet")
+      java.nio.file.Files.move(parts.head.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + e * 60000L))
+    }
+    removeRecursive(stage)
+    inDir.toString
+  }
+
   private def sharedEpochFixture(s: SparkSession, d: String)
       : (String, org.apache.spark.sql.types.StructType) = synchronized {
     epochFixtures.getOrElseUpdate(d, {
@@ -738,32 +805,10 @@ object Streams {
       val base = java.nio.file.Files.createTempDirectory("graft_sink_in")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try removeRecursive(base) catch { case _: Throwable => () }))
-      val inDir = base.resolve("in")
-      java.nio.file.Files.createDirectories(inDir)
-      // ONE partitioned write materializes every epoch file (a
-      // write-per-epoch loop paid one scheduled job per epoch); pinned
-      // strictly increasing mtimes ⇒ oldest-first replay order.
-      val stage = base.resolve("stage")
-      frame.repartition(SinkEpochs, col("ep"))
-        .write.partitionBy("ep").parquet(stage.toString)
-      (0 until SinkEpochs).foreach { e =>
-        val dir = new java.io.File(s"$stage/ep=$e")
-        // an epoch slice can be empty under another SF's distribution
-        // (no event_id ≡ e in the user_id % 7 slice): fail with the
-        // cause, not the NPE/.head throw a missing dir produced before
-        val parts = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(f => f.getName.endsWith(".parquet"))
-        require(parts.nonEmpty,
-          s"sink fixture: epoch $e has no parquet file under $dir — the " +
-            s"user_id % 7 = 0 slice of $d has no rows with " +
-            s"event_id % $SinkEpochs = $e")
-        val dst = inDir.resolve(f"epoch$e%03d.parquet")
-        java.nio.file.Files.move(parts.sortBy(_.getName).head.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + e * 60000L))
-      }
-      removeRecursive(stage)
-      (inDir.toString, frame.drop("ep").schema)
+      val inDir = stageEpochFiles(frame, SinkEpochs, base,
+        e => s"the user_id % 7 = 0 slice of $d has no rows with " +
+          s"event_id % $SinkEpochs = $e")
+      (inDir, frame.drop("ep").schema)
     })
   }
 
@@ -846,7 +891,66 @@ object Streams {
         .localCheckpoint()
     }
 
+  /** Crash-recovery drive of the CoW upsert sink (round 15 — the
+    * production contract the fresh-checkpoint drives above never
+    * exercise): run 1 replays the epoch files, but an injected fault
+    * kills the query AFTER epoch 0's table merge and BEFORE its
+    * streaming offset commit — the worst-case crash point, where the
+    * sink's work is on disk while the checkpoint says the epoch never
+    * ran. Run 2 restarts from the SAME checkpoint: Spark re-executes
+    * the torn epoch with its logged file set (the offset log records
+    * the plan before execution), the idempotent keyed merge converges
+    * the re-applied epoch to the same table, and the remaining epoch
+    * then applies once. The final table is held to the SAME
+    * last-writer-wins oracle as [[streamUpsertSink]] — the restarted
+    * stream is hash-certified to converge to the identical state,
+    * which is exactly-once delivery in the only sense a foreachBatch
+    * sink has (effectively-once into an idempotent writer).
+    */
+  def streamRestartSink(s: SparkSession, d: String): DataFrame =
+    sinkDrive(s, d) { (updates, base) =>
+      val table = base.resolve("table").toString
+      val ckpt = base.resolve("ckpt").toString
+      // foreachBatch bodies run on the driver, so plain local state
+      // works for one-shot fault injection
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val q1 = updates.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sources.Sinks.upsert(batch.sparkSession, table, batch,
+            "user_id", "event_type")
+          if (!crashed.getAndSet(true))
+            throw new RuntimeException(
+              "injected crash: epoch written, offsets not committed")
+          ()
+        }
+        .start()
+      val failure =
+        try { q1.awaitTermination(); None }
+        catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          Some(e)
+        }
+      def chain(t: Throwable): List[String] = Iterator.iterate(t)(_.getCause)
+        .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+        .take(10).toList
+      require(failure.exists(e => chain(e).exists(_.contains("injected crash"))),
+        s"restart drive: run 1 must die on the injected crash, got " +
+          failure.fold("clean termination")(e => chain(e).mkString(" <- ")))
+      // run 2: a clean restart of the SAME sink from the same
+      // checkpoint — the replayed epoch and the remaining one both
+      // land through the normal production path
+      upsertSink(updates, table, "user_id", "event_type", ckpt)
+        .awaitTermination()
+      s.read.parquet(table)
+        .select(col("user_id"), col("event_type"), col("last_event_id"),
+          col("last_cents"))
+        .orderBy(col("user_id"), col("event_type"))
+        .localCheckpoint()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_restart_sink" -> streamRestartSink _,
     "stream_neardup_probe" -> streamNeardupProbe _,
     "stream_session_stateful" -> streamSessionStateful _,
     "stream_upsert_sink" -> streamUpsertSink _,
@@ -877,15 +981,22 @@ object Streams {
        |   arg_max(cents, event_id) AS last_cents
        |  FROM e GROUP BY 1, 2, 3)""".stripMargin
 
+  /** Last-writer-wins per (key, partition): the row from the max
+    * epoch containing the key — exactly the CoW upsert's contract.
+    * Shared by the clean drive and the crash-restart drive: recovery
+    * MUST converge to the state a never-crashed run reaches. */
+  private val upsertSinkOracle =
+    s"""$sinkEpochCte
+       |SELECT user_id, event_type,
+       | arg_max(last_event_id, ep) AS last_event_id,
+       | arg_max(last_cents, ep) AS last_cents
+       |FROM agg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // last-writer-wins per (key, partition): the row from the max
-    // epoch containing the key — exactly the CoW upsert's contract
-    "stream_upsert_sink" ->
-      s"""$sinkEpochCte
-         |SELECT user_id, event_type,
-         | arg_max(last_event_id, ep) AS last_event_id,
-         | arg_max(last_cents, ep) AS last_cents
-         |FROM agg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_upsert_sink" -> upsertSinkOracle,
+    // crash mid-epoch + restart from the same checkpoint must be
+    // indistinguishable from the clean run in the final table
+    "stream_restart_sink" -> upsertSinkOracle,
     // the whole time-travel history: state after epochs 0..i for each
     // commit index i
     "stream_versioned_sink" ->

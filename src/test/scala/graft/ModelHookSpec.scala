@@ -45,6 +45,21 @@ class FlakyOnceClient extends ModelHook.ModelClient {
   * batch it arrives in must degrade to per-row calls, and only the
   * poison row may become an error row.
   */
+/** JVM-static call-entry timestamps for the pacing test (same
+  * singleton-sharing rationale as [[BatchSizeCollector]]).
+  */
+object CallClockCollector {
+  val entries = new ConcurrentLinkedQueue[java.lang.Long]()
+}
+
+class ClockedClient extends ModelHook.ModelClient {
+  private val ok = new ModelHook.StubClient("paced")
+  override def complete(prompts: Seq[String]): Seq[String] = {
+    CallClockCollector.entries.add(System.currentTimeMillis())
+    ok.complete(prompts)
+  }
+}
+
 class PoisonClient extends ModelHook.ModelClient {
   override def complete(prompts: Seq[String]): Seq[String] = {
     AttemptCounter.calls.getAndIncrement()
@@ -140,6 +155,31 @@ class ModelHookSpec extends AnyFunSuite {
     assert(slept.toSeq == Seq(70L))
     // the decorated client still completes normally
     assert(c.complete(Seq("hello")).head.startsWith("[t "))
+  }
+
+  test("completions: minGapMs paces every successive client call from one task slot") {
+    CallClockCollector.entries.clear()
+    // one partition ⇒ one throttle state ⇒ the recorded inter-call
+    // gaps are exactly the knob's contract (round 15: the reference's
+    // --delay/--judge-delay pacing reachable from completions itself,
+    // not only via a hand-wrapped ThrottledClient)
+    val docs = sources.Tables.documents(spark, sf).limit(12)
+      .select(col("doc_id"), col("text")).coalesce(1)
+    val out = ModelHook.completions(spark, docs, "doc_id", "text",
+      new ClockedClient, batchSize = 4, minGapMs = 120).collect()
+    assert(out.length == 12)
+    assert(out.forall(_.getInt(2) == ModelHook.StatusOk))
+    val ts = CallClockCollector.entries.toArray(Array.empty[java.lang.Long])
+      .map(_.toLong).sorted
+    assert(ts.length == 3, s"expected 3 batch calls, saw ${ts.length}")
+    // Thread.sleep can only oversleep; allow small clock granularity
+    val gaps = ts.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(gaps.forall(_ >= 110), s"inter-call gaps $gaps violate minGapMs=120")
+    // minGapMs = 0 stays a true no-op: same client path, no pacing
+    CallClockCollector.entries.clear()
+    ModelHook.completions(spark, docs, "doc_id", "text",
+      new ClockedClient, batchSize = 4).count()
+    assert(CallClockCollector.entries.size() == 3)
   }
 
   test("etlModelJudge: deterministic failure injection emits 503 rows for exactly the md5-'0' prompts") {

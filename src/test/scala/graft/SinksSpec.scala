@@ -644,6 +644,85 @@ class SinksSpec extends AnyFunSuite {
     assert(Versioned.compact(spark, path, "part") == v1)
   }
 
+  test("versioned compact vs concurrent upsert: disjoint merges, overlap conflicts, restore always conflicts") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val path = tmp("versioned-maint-occ")
+    // two multi-file partitions plus a single-file one
+    val v0 = Versioned.upsert(spark, path,
+      (1L to 40L).map(i => (i, s"v$i", s"p${i % 2}")).toDF("id", "v", "part")
+        .repartition(4), "id", "part")
+    val v1 = Versioned.upsert(spark, path,
+      Seq((100L, "x", "p9")).toDF("id", "v", "part"), "id", "part")
+    def rows() = Versioned.snapshot(spark, path)
+      .select(col("id"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet
+    val base = rows()
+    // DISJOINT: an upsert into p9 (one file, never compacted) lands
+    // between compact's rewrite and its commit — compact retries
+    // against the new head and BOTH changes survive (the listing-based
+    // next the old path used would have silently dropped the upsert's
+    // p9 file from compact's manifest)
+    var vMid = -1
+    val vC = Versioned.compactWithHook(spark, path, "part") { () =>
+      vMid = Versioned.upsert(spark, path,
+        Seq((101L, "y", "p9")).toDF("id", "v", "part"), "id", "part")
+    }
+    assert(vMid == v1 + 1 && vC == vMid + 1)
+    assert(rows() == base + ((101L, "y", "p9")))
+    // the compacted partitions really compacted
+    val after = Versioned.manifestFiles(spark, path, vC)
+    assert(after.count(_.startsWith("part=p0")) == 1, after.toString)
+    assert(after.count(_.startsWith("part=p1")) == 1, after.toString)
+    // OVERLAP: a commit into a partition being compacted makes the
+    // compaction's rewritten files stale → loud conflict, winner holds.
+    // First fragment p0/p1 again so the compaction claims them.
+    Versioned.upsert(spark, path,
+      (200L to 239L).map(i => (i, "m", s"p${i % 2}")).toDF("id", "v", "part")
+        .repartition(4), "id", "part")
+    val vBefore = Versioned.latestVersion(spark, path).get
+    assert(Versioned.manifestFiles(spark, path, vBefore)
+      .count(_.startsWith("part=p1")) > 1)
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.compactWithHook(spark, path, "part") { () =>
+        Versioned.upsert(spark, path,
+          Seq((1L, "winner", "p1")).toDF("id", "v", "part"), "id", "part")
+      }
+    }
+    assert(Versioned.latestVersion(spark, path).contains(vBefore + 1))
+    assert(rows().contains((1L, "winner", "p1")))
+    // RESTORE always conflicts with an interleaved commit (Delta's
+    // rule): rolling back to v0 computed before an interleaved upsert
+    // and applied after it would silently wipe that upsert
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.restoreWithHook(spark, path, v0) { () =>
+        Versioned.upsert(spark, path,
+          Seq((102L, "z", "p9")).toDF("id", "v", "part"), "id", "part")
+      }
+    }
+    assert(rows().contains((102L, "z", "p9")))
+    // an uncontended restore still works through the pinned path
+    val snapshotAtV0 = Versioned.snapshot(spark, path, v0)
+      .select(col("id"), col("v"), col("part"))
+      .as[(Long, String, String)].collect().toSet
+    Versioned.restore(spark, path, v0)
+    assert(rows() == snapshotAtV0)
+    // no orphans: every parquet on disk is referenced by some manifest
+    // (the conflicted compaction deleted its rewritten files)
+    val referenced = Versioned.versions(spark, path)
+      .flatMap(v => Versioned.manifestFiles(spark, path, v)).toSet
+    val onDisk = {
+      val root = new java.io.File(path)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath.stripPrefix(root.getAbsolutePath).stripPrefix("/"))
+        .filterNot(_.startsWith("_graft_log")).toSet
+    }
+    assert(onDisk == referenced,
+      s"orphan data files leaked: ${onDisk diff referenced}")
+  }
+
   test("versioned table: snapshots time-travel, untouched partitions share files, vacuum retires") {
     import spark.implicits._
     import graft.sources.Versioned

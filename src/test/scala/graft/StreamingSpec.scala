@@ -412,11 +412,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains((1L, 2L, 3L)))
   }
 
-  test("MemoryStream-driven stateful sessionizer equals the batch sessionizer on its user slice") {
+  test("file-source-driven stateful sessionizer equals the batch sessionizer on its user slice") {
     import org.apache.spark.sql.functions._
-    // the gate row's two-batch MemoryStream drive must reproduce the
-    // batch kernel's per-user (n_sessions, n_events) on the same
-    // user_id % 7 slice — the cross-trigger state carry is inside
+    // the gate row's two-epoch file-source drive (collect-free since
+    // round 15) must reproduce the batch kernel's per-user
+    // (n_sessions, n_events) on the same user_id % 7 slice — the
+    // cross-trigger state carry is inside
     val streamed = Streams.streamSessionStateful(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val batch = Streams.sessionizeBatch(spark, sf)
@@ -427,6 +428,18 @@ class StreamingSpec extends AnyFunSuite {
     // at least one sliced user must actually have >1 session, or the
     // equality above would not exercise the gap rule
     assert(streamed.exists(_._2 > 1L))
+  }
+
+  test("crash-restart upsert sink converges to the clean drive's table") {
+    // the injected mid-epoch crash (table written, offsets not
+    // committed) plus a checkpoint restart must be indistinguishable
+    // from a never-crashed run in the final table
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val restarted = asSet(Streams.streamRestartSink(spark, sf))
+    val clean = asSet(Streams.streamUpsertSink(spark, sf))
+    assert(restarted.nonEmpty)
+    assert(restarted == clean)
   }
 
   test("checkpointed parquet sink: no duplicates across stop + restart") {

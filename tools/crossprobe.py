@@ -30,6 +30,7 @@ rank/hit aggregation over the probe-SF candidate dump) instead of its
 constant-probe correctness oracle.
 """
 import json
+import os
 import statistics
 import subprocess
 import sys
@@ -41,7 +42,13 @@ import duckdb
 import gatesql
 
 REPO = Path(__file__).parent.parent
-SFDIR = str(REPO / "tmp" / "sf1probe")
+# CROSSPROBE_SFDIR / CROSSPROBE_OUT (round 15): point the same harness
+# at the 100x tree (tmp/sf10probe from tools/scaleprobe100.py) and
+# write crossover_100x.json — the evidence VERDICT r14 asks for on
+# rows whose 10x ratio is >2x of a sub-second oracle ("the gap closes
+# with data" must be MEASURED past 10x, not asserted).
+SFDIR = os.environ.get("CROSSPROBE_SFDIR", str(REPO / "tmp" / "sf1probe"))
+OUT_NAME = os.environ.get("CROSSPROBE_OUT", "crossover_10x.json")
 NAMES = sys.argv[1].split(",") if len(sys.argv) > 1 else [
     "q50_label_propagation", "text_lm_kn5", "text_lm_kn3",
     "dedup_substring", "stream_cms"]
@@ -124,9 +131,19 @@ for name in NAMES:
 
 sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                      capture_output=True, text=True).stdout.strip()
-(REPO / "crossover_10x.json").write_text(json.dumps(
+out_path = REPO / OUT_NAME
+merged = {}
+if out_path.exists():
+    # MERGE into an existing artifact (round 15): 100x probes are run
+    # row-by-row in idle windows, and each invocation must not drop
+    # the rows timed before it
+    prior = json.loads(out_path.read_text())
+    if prior.get("sf") == SFDIR:
+        merged = prior.get("queries", {})
+merged.update(result)
+out_path.write_text(json.dumps(
     {"sf": SFDIR, "git_sha": sha, "method":
      "engine min-of-3 warm (Bench subset) vs DuckDB median-of-3, same host",
      "bench_absorbers": [n for n in bench_names if n not in NAMES],
-     "queries": result}, indent=1) + "\n")
-print("wrote crossover_10x.json")
+     "queries": merged}, indent=1) + "\n")
+print(f"wrote {OUT_NAME}")
