@@ -351,6 +351,13 @@ object Probe {
         println(f"[ivfpqstats] $sfd macro-recall@5=${nHit / 50.0}%.2f " +
           f"maxcandfrac=${maxCand.toDouble / nTotal}%.3f")
         cand.unpersist()
+      case "ivfpqwhy" :: rest =>
+        // per exact top-5 pair: did the true neighbor land in a probed
+        // cell, and at what ADC rank / pool share — separates
+        // coarse-probe loss from refine-cut loss (r15 100x calibration)
+        val sfd = rest.headOption.getOrElse(d)
+        graft.operators.Similarity.ivfpqDiag(spark, sfd)
+          .show(60, false)
       case "fivfpqstats" :: rest =>
         // filtered IVFPQ vs FILTERED brute force (annFilteredTopk)
         import org.apache.spark.sql.functions._

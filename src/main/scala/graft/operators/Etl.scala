@@ -854,12 +854,20 @@ object Etl {
     * the stub byte-for-byte, so the driver's hash gate covers the
     * batching kernel, not just a spec.
     */
-  def etlModelSummarize(s: SparkSession, d: String): DataFrame = {
+  def etlModelSummarize(s: SparkSession, d: String): DataFrame =
+    etlModelSummarize(s, d, minGapMs = 0L)
+
+  /** CLI flavor: `minGapMs` is the reference's `--delay` inter-call
+    * pacing ([[graft.functions.ModelHook.completions]]'s knob); the
+    * output is identical at any setting — pacing must never change
+    * results, only aggregate QPS. */
+  def etlModelSummarize(s: SparkSession, d: String, minGapMs: Long): DataFrame = {
     val prompts = Tables.documents(s, d)
       .select(col("doc_id"), concat(lit("summarize: "), col("text")).as("prompt"))
     graft.functions.ModelHook.completions(
         s, prompts, "doc_id", "prompt",
-        new graft.functions.ModelHook.StubClient("summary"))
+        new graft.functions.ModelHook.StubClient("summary"),
+        minGapMs = minGapMs)
       // lazy checkpoint before the sort: the range exchange's sampling
       // pass would otherwise re-run the model stage — twice the model
       // calls, which against a live endpoint is twice the cost/rate
@@ -883,13 +891,19 @@ object Etl {
     * test_chat_assistant_with_judge.py:361-377's per-row
     * `judge-http-<status>` rows.
     */
-  def etlModelJudge(s: SparkSession, d: String): DataFrame = {
+  def etlModelJudge(s: SparkSession, d: String): DataFrame =
+    etlModelJudge(s, d, minGapMs = 0L)
+
+  /** CLI flavor: `minGapMs` = the reference judge loop's
+    * `--judge-delay` pacing; retries are paced too (the throttle
+    * wraps the client under the retry machinery). */
+  def etlModelJudge(s: SparkSession, d: String, minGapMs: Long): DataFrame = {
     val prompts = Tables.documents(s, d)
       .select(col("doc_id"), concat(lit("judge: "), col("text")).as("prompt"))
     graft.functions.ModelHook.completions(
         s, prompts, "doc_id", "prompt",
         new graft.functions.ModelHook.FlakyStubClient("judge", "0"),
-        maxRetries = 1)
+        maxRetries = 1, minGapMs = minGapMs)
       // lazy checkpoint before the sort — same reasoning as
       // etlModelSummarize (the sampling pass must not re-fire the
       // model stage)

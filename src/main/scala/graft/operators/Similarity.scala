@@ -1266,16 +1266,48 @@ object Similarity {
       }.toDF("query_id", "nrma", "m", "code", "pdot", "cnorm2")
   }
 
-  /** ADC top-[[PqRefine]] cut per query: a bounded q·R candidate list
-    * (the window ranks rows already reduced to one per (query,
-    * vector); at 100 TB the ADC aggregation bounds what reaches it).
+  /** Share of the scanned ADC pool the PERCENTILE refine cut keeps
+    * (1/[[PqRefineShare]]): a fixed refine DEPTH decays as the probed
+    * pool grows — a true neighbor's ADC rank is approximately
+    * percentile-stable when the pool fills with i.i.d. crowding noise,
+    * so the depth-64 cut that holds 8.5% of sf0.1's ~750-code pool
+    * keeps it, while the same 64 is 0.085% of the 100x pool and the
+    * gate MEASURABLY fails there (recall_ok = 0 at the r15 100x probe,
+    * the first recall gate ever run at 100x). 1/12 ≈ the 64/750 share
+    * the committed sf0.1 bars were calibrated at; the [[PqRefine]]
+    * floor keeps every small-SF cut at least as deep as before (a
+    * deeper cut can only add candidates ahead of the exact re-rank, so
+    * recall is monotone in it) and the kept share is ≤ probed-mass/12
+    * ≤ (NumProbe/NumCells)/12 ≈ 3.1% of the corpus — far inside the
+    * 15% prune bar at any scale.
     */
-  private def adcRefineCut(adc: DataFrame): DataFrame = {
+  val PqRefineShare = 12
+
+  /** ADC refine cut per query: fixed top-[[PqRefine]] depth
+    * (`percentile = false`, flat PQ's corpus-wide-scan shape, whose
+    * shrinking candidate FRACTION is the point of that baseline form),
+    * or the scale-true percentile cut max([[PqRefine]],
+    * pool/[[PqRefineShare]]) (`percentile = true`, the IVF-pruned
+    * forms, whose pool is already bounded by the probed cells). Either
+    * way a bounded q·R candidate list (the window ranks rows already
+    * reduced to one per (query, vector); at 100 TB the ADC aggregation
+    * bounds what reaches it).
+    */
+  private def adcRefineCut(adc: DataFrame, percentile: Boolean = false): DataFrame = {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
-    adc.withColumn("rk", row_number().over(wq))
-      .filter(col("rk") <= PqRefine)
+    // window expressions must be materialized as columns before the
+    // filter (Spark disallows them in WHERE); both windows share the
+    // query_id partitioning so this is one exchange, one sort
+    val ranked = adc.withColumn("rk", row_number().over(wq))
+      .withColumn("cut",
+        if (!percentile) lit(PqRefine.toLong)
+        else greatest(lit(PqRefine.toLong),
+          ceil(count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("query_id")))
+            .cast("double") / PqRefineShare)))
+    ranked.filter(col("rk") <= col("cut"))
       .select(col("query_id"), col("neighbor_id"))
   }
 
@@ -1306,9 +1338,15 @@ object Similarity {
     * aggregation, now on the pruned stream.
     */
   private[graft] def ivfpqCandidates(s: SparkSession, d: String): DataFrame = {
-    val cents = kmeansCentroids(s, d)
+    val e = withNorm(s, d).withColumn("sims", centroidSims(kmeansCentroids(s, d)))
+    refineExact(e, adcRefineCut(ivfpqAdc(s, d, e), percentile = true))
+  }
+
+  /** The IVFPQ ADC scores — one row per (query, vector-in-a-probed-
+    * cell) with the PQ-approximated cosine; shared by the candidate
+    * generator and the [[ivfpqDiag]] calibration diagnostic. */
+  private def ivfpqAdc(s: SparkSession, d: String, e: DataFrame): DataFrame = {
     val books = pqCodebooks(s, d)
-    val e = withNorm(s, d).withColumn("sims", centroidSims(cents))
     val cellOf = e
       .withColumn("cell", (-array_max(col("sims")).getField("negcell")).cast("int"))
       .select(col("vec_id").as("neighbor_id"), col("cell"))
@@ -1319,12 +1357,34 @@ object Similarity {
       .withColumn("cell", explode(expr(
         s"transform(slice(reverse(array_sort(sims)), 1, $NumProbe), e -> cast(-e.negcell AS int))")))
       .select(col("vec_id").as("query_id"), col("cell"))
-    val adc = codes.join(broadcast(probes), Seq("cell"))
+    codes.join(broadcast(probes), Seq("cell"))
       .join(broadcast(pqLut(s, e, books)), Seq("query_id", "m", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg((sum(col("pdot")) / max(col("nrma")) / sqrt(sum(col("cnorm2")))).as("approx_cos"))
-    refineExact(e, adcRefineCut(adc))
+  }
+
+  /** Calibration diagnostic (Probe ivfpqwhy): for each exact top-k
+    * pair, whether the true neighbor sits in one of its query's probed
+    * cells at all (coarse-probe ceiling) and, if so, its ADC rank and
+    * the query's scanned-pool size (refine-cut question) — separates
+    * the two loss stages when the recall gate is recalibrated at a new
+    * scale. */
+  private[graft] def ivfpqDiag(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d).withColumn("sims", centroidSims(kmeansCentroids(s, d)))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    val ranked = ivfpqAdc(s, d, e)
+      .withColumn("adc_rank", row_number().over(wq))
+      .withColumn("pool", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))))
+      .select(col("query_id"), col("neighbor_id"), col("adc_rank"), col("pool"))
+    annBruteforceTopk(s, d)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .join(ranked, Seq("query_id", "neighbor_id"), "left_outer")
+      .withColumn("in_probed", col("adc_rank").isNotNull.cast("int"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** CORRECTNESS bars for [[annPqRecall]], calibrated like the
@@ -1409,7 +1469,11 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg((sum(col("pdot")) / max(col("nrma")) / sqrt(sum(col("cnorm2")))).as("approx_cos"))
-    refineExact(e.drop("label", "sims"), adcRefineCut(adc))
+    // percentile cut like the unfiltered row: the label-restricted
+    // pool is smaller, so the PqRefine floor dominates through 10x and
+    // the cut only deepens once the filtered pool itself outgrows
+    // PqRefine·PqRefineShare codes — the same scale posture
+    refineExact(e.drop("label", "sims"), adcRefineCut(adc, percentile = true))
   }
 
   /** CORRECTNESS bars for [[annFilteredIvfpqRecall]], calibrated like
