@@ -606,6 +606,18 @@ object Relational {
     * re-exchanges and two sorts (measured 1.54 → ~0.6 s warm sf0.1).
     * The top-k is TakeOrderedAndProject (per-partition heaps + driver
     * merge of k rows), not a global sort.
+    *
+    * KEPT after a measured r15 redesign attempt — a run-iterating
+    * pair kernel (repartition →
+    * sortWithinPartitions → typed mapPartitions emitting each order's
+    * C(k,2) distinct-part pairs directly) won the same-process A/B at
+    * 10x (1.39 vs 1.58 s) but lost it decisively at 100x (20.7 vs
+    * 13.9 s): at 1.9M-row partitions the kernel pays a per-partition
+    * sort plus a codegen break (60M rows deserialized to tuples),
+    * while the join form keeps dedup + build + probe inside one
+    * whole-stage-codegen span and its k² → C(k,2) overshoot is
+    * bounded by the ~4-line orders of TPC-H-shaped data. The 100x
+    * posture decides: join form stays.
     */
   def q33MarketBasket(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -969,23 +981,52 @@ object Relational {
     * exactly what the partial aggregation does. At 100 TB the
     * register table is still 256 rows.
     */
+  /** 48-bit md5 key hash as a typed per-partition kernel: (h, idx,
+    * rho) rows for the HLL family — h = the first 12 hex chars of
+    * md5(CAST(key AS STRING)) read as an unsigned 48-bit integer,
+    * BIT-IDENTICAL to the expression form
+    * `conv(substring(md5(...), 1, 12), 16, 10)` the DuckDB oracle
+    * still evaluates (first 6 digest bytes, big-endian); idx = top 8
+    * bits, rho = 41 − bitlength of the 40-bit suffix. The expression
+    * form paid, per ROW, a long→string cast, a 32-char hex encode, a
+    * substring, a base-16 string parse, and — for the rank — a
+    * base-2 STRING RENDER (`length(conv(w, 10, 2))` builds a ≤40-char
+    * string only to take its length); the kernel is one reused
+    * MessageDigest call plus two shifts — the
+    * [[TextAnalysis.cmsPartialCells]] lesson applied to the HLL rows
+    * (same-process A/B at the 10x/100x probes, r15). idx/rho ride the
+    * dedup exchange as plain ints so no string op survives anywhere
+    * in the plan.
+    */
+  private def hll48Kernel(s: SparkSession, keys: DataFrame): DataFrame = {
+    import s.implicits._
+    keys.as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { k =>
+        val dig = md.digest(java.lang.Long.toString(k)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val h = ((dig(0) & 0xffL) << 40) | ((dig(1) & 0xffL) << 32) |
+          ((dig(2) & 0xffL) << 24) | ((dig(3) & 0xffL) << 16) |
+          ((dig(4) & 0xffL) << 8) | (dig(5) & 0xffL)
+        val w = h & ((1L << 40) - 1)
+        val rho = if (w == 0L) 41 else java.lang.Long.numberOfLeadingZeros(w) - 23
+        (h, (h >>> 40).toInt, rho)
+      }
+    }.toDF("h", "idx", "rho")
+  }
+
   def q47HllDistinct(s: SparkSession, d: String): DataFrame = {
     val M = 256               // 2^8 registers
-    val W = 40                // 48-bit hash = 8 index bits + 40 suffix bits
     val Scale = 50            // Z numerator scale: 2^(Scale − rho)
     val Dom = 1L << Scale
     // alpha_m · m² · 2^Scale, one double constant shared verbatim
     // with the oracle SQL (same literal, same parse)
     val alphaC = 0.7213 / (1.0 + 1.079 / M) * M * M * Dom
-    Tables.orders(s, d)
-      .select(conv(substring(md5(col("o_orderkey").cast("string")), 1, 12), 16, 10)
-        .cast("long").as("h"))
-      .distinct()
-      .select(shiftrightunsigned(col("h"), W).as("idx"),
-        col("h").bitwiseAND(lit((1L << W) - 1)).as("w"))
-      .select(col("idx"),
-        when(col("w") === 0, lit(W + 1))
-          .otherwise(lit(W + 1) - length(conv(col("w"), 10, 2))).as("rho"))
+    hll48Kernel(s, Tables.orders(s, d).select(col("o_orderkey")))
+      // register max is dedup-insensitive; the h-dedup exchange exists
+      // for the EXACT count the gate rides along (idx/rho are pure
+      // functions of h, so they carry through the dedup unchanged)
+      .dropDuplicates("h")
       .groupBy(col("idx"))
       .agg(max(col("rho")).as("mj"), count(lit(1)).as("cnt"))
       .agg(
@@ -1026,25 +1067,21 @@ object Relational {
     */
   def q49HllSetops(s: SparkSession, d: String): DataFrame = {
     val M = 256
-    val W = 40
     val Scale = 50
     val Dom = 1L << Scale
     val alphaC = 0.7213 / (1.0 + 1.079 / M) * M * M * Dom
+    // per-population distinct hash sets through the same typed kernel
+    // as q47 (no string op in the plan; idx/rho ride the dedup)
     def hashes(lo: String, hi: String): DataFrame =
-      Tables.orders(s, d)
-        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
-        .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 12), 16, 10)
-          .cast("long").as("h"))
-        .distinct()
+      hll48Kernel(s,
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+          .select(col("o_custkey")))
+        .dropDuplicates("h")
     val ha = hashes("1995-01-01", "1998-01-01")
     val hb = hashes("1998-01-01", "2002-01-01")
     val regsAB = ha.withColumn("tag", lit("a"))
       .unionAll(hb.withColumn("tag", lit("b")))
-      .select(col("tag"), shiftrightunsigned(col("h"), W).as("idx"),
-        col("h").bitwiseAND(lit((1L << W) - 1)).as("w"))
-      .select(col("tag"), col("idx"),
-        when(col("w") === 0, lit(W + 1))
-          .otherwise(lit(W + 1) - length(conv(col("w"), 10, 2))).as("rho"))
       .groupBy(col("tag"), col("idx"))
       .agg(max(col("rho")).as("mj"), count(lit(1)).as("cnt"))
     // the union sketch: register-max MERGE of the two sketches (512
