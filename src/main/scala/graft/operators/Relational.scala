@@ -998,7 +998,7 @@ object Relational {
     * dedup exchange as plain ints so no string op survives anywhere
     * in the plan.
     */
-  private def hll48Kernel(s: SparkSession, keys: DataFrame): DataFrame = {
+  private[graft] def hll48Kernel(s: SparkSession, keys: DataFrame): DataFrame = {
     import s.implicits._
     keys.as[Long].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -538,4 +538,37 @@ class PropertySpec extends AnyFunSuite {
     // starting with the same token) — the length seed separates them
     assert(key((0L, 2)) != key((2L, 1)), "short block aliased a longer one")
   }
+
+  test("hll48Kernel is bit-identical to the conv(substring(md5)) expression form") {
+    import graft.operators.Relational
+    // The r15 typed kernel replaced the five-string-op Column
+    // expression in q47/q49; the DuckDB oracle still evaluates the
+    // expression form, so the claim under the gate is exact
+    // (h, idx, rho) equality for EVERY key — pin it directly on
+    // adversarial longs, not just the corpus keys (negatives hash
+    // their '-'-prefixed decimal rendering). The w == 0 branch is
+    // unreachable by construction here (no key's md5 has 40 zero
+    // suffix bits); both forms guard it identically by code.
+    val keys = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 40) ++
+      Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 42L, -42L)
+    val in = keys.toDF("k")
+    val W = 40
+    val expr = in
+      .select(conv(substring(md5(col("k").cast("string")), 1, 12), 16, 10)
+        .cast("long").as("h"))
+      .select(col("h"), shiftrightunsigned(col("h"), W).cast("int").as("idx"),
+        col("h").bitwiseAND(lit((1L << W) - 1)).as("w"))
+      .select(col("h"), col("idx"),
+        when(col("w") === 0, lit(W + 1))
+          .otherwise(lit(W + 1) - length(conv(col("w"), 10, 2)))
+          .cast("int").as("rho"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    val kern = Relational.hll48Kernel(spark, in)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(kern.toSeq == expr.toSeq)
+    // and the advertised ranges hold: idx in [0, 256), rho in [1, 41]
+    kern.foreach { case (_, idx, rho) =>
+      assert(idx >= 0 && idx < 256 && rho >= 1 && rho <= 41)
+    }
+  }
 }
