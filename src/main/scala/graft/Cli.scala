@@ -63,6 +63,11 @@ object Cli {
     require(formats.contains(format), s"unknown --format $format; one of $formats")
     val delayMs = flags.get("delay-ms").map(_.toLong).getOrElse(0L)
     val singleFile = flags.contains("single-file")
+    // reject-loudly posture, same as --delay-ms: a flag that silently
+    // does nothing would let a user believe the empty-QA rows were
+    // included when the filtered pipeline ran
+    require(!flags.contains("include-empty") || name == "extract-chat-qa",
+      s"--include-empty only applies to extract-chat-qa, not $name")
     val name0 = if (name == "extract-chat-qa" && flags.contains("include-empty"))
       "etl_qa_extract" else name
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -200,11 +200,7 @@ object Streams {
       val inDir = stageEpochFiles(withEp, nEp, base,
         e => s"the ts-midpoint split of the user_id % 7 = 0 slice of $d " +
           s"left epoch $e empty — unreachable while the split invariant holds")
-      val src = s.readStream.schema(withEp.drop("ep").schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(inDir)
-        .as[Ev]
+      val src = epochStream(s, inDir, withEp.drop("ep").schema).as[Ev]
       val out = sessionizeStateful(src)
       val name = "ss_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       val q = out.writeStream.outputMode("append").format("memory")

@@ -42,6 +42,11 @@ import duckdb
 import gatesql
 
 REPO = Path(__file__).parent.parent
+
+
+def _head_sha():
+    return subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                          capture_output=True, text=True).stdout.strip()
 # CROSSPROBE_SFDIR / CROSSPROBE_OUT (round 15): point the same harness
 # at the 100x tree (tmp/sf10probe from tools/scaleprobe100.py) and
 # write crossover_100x.json — the evidence VERDICT r14 asks for on
@@ -49,6 +54,16 @@ REPO = Path(__file__).parent.parent
 # with data" must be MEASURED past 10x, not asserted).
 SFDIR = os.environ.get("CROSSPROBE_SFDIR", str(REPO / "tmp" / "sf1probe"))
 OUT_NAME = os.environ.get("CROSSPROBE_OUT", "crossover_10x.json")
+# fail fast on an SFDIR/OUT mismatch: without this, pointing SFDIR at
+# the 100x tree while OUT still names the 10x artifact would wipe the
+# committed 10x rows (the merge drops prior rows whose "sf" differs)
+# and leave one 100x row under a filename that says 10x
+if (REPO / OUT_NAME).exists():
+    _prior_sf = json.loads((REPO / OUT_NAME).read_text()).get("sf")
+    if _prior_sf and _prior_sf != SFDIR:
+        sys.exit(f"{OUT_NAME} holds rows measured at sf={_prior_sf} but "
+                 f"CROSSPROBE_SFDIR={SFDIR} — set CROSSPROBE_OUT to the "
+                 "artifact for that tree; refusing to clobber committed evidence")
 NAMES = sys.argv[1].split(",") if len(sys.argv) > 1 else [
     "q50_label_propagation", "text_lm_kn5", "text_lm_kn3",
     "dedup_substring", "stream_cms"]
@@ -123,14 +138,19 @@ for name in NAMES:
     e = bench.get(name)
     result[name] = {"engine_s": round(e, 3) if e is not None else None,
                     "oracle_s": round(o, 3),
-                    "ratio": round(e / o, 3) if e is not None else None}
+                    "ratio": round(e / o, 3) if e is not None else None,
+                    # per-row provenance: merged artifacts accumulate rows
+                    # measured at different trees, so the sha a row was
+                    # actually timed at lives ON the row (the file-level
+                    # git_sha is only the sha of the last WRITE; rows
+                    # without this key predate r15 provenance stamping)
+                    "git_sha": _head_sha()}
     if e is not None:
         print(f"{name}: engine {e}s vs oracle {o:.2f}s = {e / o:.2f}x")
     else:
         print(f"{name}: engine missing from bench subset; oracle {o:.2f}s")
 
-sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
-                     capture_output=True, text=True).stdout.strip()
+sha = _head_sha()
 out_path = REPO / OUT_NAME
 merged = {}
 if out_path.exists():
