@@ -607,8 +607,8 @@ object Relational {
     * The top-k is TakeOrderedAndProject (per-partition heaps + driver
     * merge of k rows), not a global sort.
     *
-    * KEPT after a measured r15 redesign attempt — a run-iterating
-    * pair kernel (repartition →
+    * Two measured r15 redesign attempts shaped the registered form:
+    * (1) a run-iterating pair kernel (repartition →
     * sortWithinPartitions → typed mapPartitions emitting each order's
     * C(k,2) distinct-part pairs directly) won the same-process A/B at
     * 10x (1.39 vs 1.58 s) but lost it decisively at 100x (20.7 vs
@@ -616,8 +616,12 @@ object Relational {
     * sort plus a codegen break (60M rows deserialized to tuples),
     * while the join form keeps dedup + build + probe inside one
     * whole-stage-codegen span and its k² → C(k,2) overshoot is
-    * bounded by the ~4-line orders of TPC-H-shaped data. The 100x
-    * posture decides: join form stays.
+    * bounded by the ~4-line orders of TPC-H-shaped data — REJECTED.
+    * (2) packing the pair key into one long ([[q33MarketBasketPacked]],
+    * now the registered form) KEPT: it wins at every scale once the
+    * range guard is an in-stage branch. This two-column form remains
+    * as the documented fallback for partkeys ≥ 2^31 (TPC-H crosses
+    * that around SF 10k ≈ 10 TB raw).
     */
   def q33MarketBasket(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -631,6 +635,47 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(20)
+  }
+
+  /** The registered q33 form (r15): pack the (part_a, part_b) pair
+    * into ONE long before the pair-count exchange — `(a << 32) | b` —
+    * so the 90M-row (at 100x) shuffle carries an 8-byte key instead
+    * of 16 and the partial-agg hashmap keys a single long.
+    * Lexicographic (a, b) order == numeric packed order for
+    * non-negative 32-bit halves, so the top-k tie-break is preserved.
+    * Same-process A/B vs the two-column join form: −5.6% at 10x
+    * (2.01 vs 2.12 s), −15.5% at 100x (16.7 vs 19.8 s), wash at
+    * sf0.1 — the win grows with the pair exchange, exactly the
+    * 100 TB posture. A first variant that derived the range guard
+    * from a max(partkey) driver probe was measured and REJECTED: the
+    * extra job cost +29% at 10x, swamping the shuffle saving; the
+    * in-stage branch costs two comparisons per row inside the
+    * pair-emitting codegen span and fails LOUDLY above 2^31 (use
+    * [[q33MarketBasket]] there).
+    */
+  def q33MarketBasketPacked(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("ok"))
+      .dropDuplicates(Seq("ok", "pk"))
+    // the guard is a branch INSIDE the pair-emitting codegen stage
+    // (two comparisons per row, no extra job): loud failure above
+    // 2^31, where the caller must use the two-column q33MarketBasket
+    val packed = when(col("pa") >= lit(1L << 31) || col("pb") >= lit(1L << 31),
+      raise_error(lit("q33 packed pair key needs partkey < 2^31; " +
+        "use q33MarketBasket (two-column keys) at this scale")))
+      .otherwise(shiftleft(col("pa"), 32).bitwiseOR(col("pb")))
+    li.select(col("ok"), col("pk").as("pa"))
+      .join(li.select(col("ok"), col("pk").as("pb")).hint("shuffle_hash"), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .select(packed.as("ab"))
+      .groupBy(col("ab"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("ab"))
+      .limit(20)
+      .select(shiftrightunsigned(col("ab"), 32).as("part_a"),
+        col("ab").bitwiseAND(lit((1L << 32) - 1)).as("part_b"),
+        col("n_orders"))
   }
 
   /** Daily-revenue z-score outliers. The variance is computed from
@@ -1483,7 +1528,7 @@ object Relational {
     "q39_cdc_apply" -> q39CdcApply _,
     "q40_scd2" -> q40Scd2 _,
     "q32_retention" -> q32Retention _,
-    "q33_market_basket" -> q33MarketBasket _,
+    "q33_market_basket" -> q33MarketBasketPacked _,
     "q34_anomaly" -> q34Anomaly _,
     "q35_attribution" -> q35Attribution _,
     "q36_histogram" -> q36Histogram _,

@@ -373,6 +373,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("q33 packed pair key fails loudly when a partkey exceeds 2^31") {
+    // the packed form's range guard is an in-stage branch, not a
+    // driver probe — prove it actually fires instead of silently
+    // corrupting the pair key by carry into the high half
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q33big").toString
+    Seq((1L, (1L << 31) + 7L), (1L, 3L), (2L, 5L), (2L, 6L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val e = intercept[Exception] {
+      operators.Relational.q33MarketBasketPacked(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("partkey < 2^31")), msgs(e).mkString(" | "))
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
