@@ -602,6 +602,30 @@ object Probe {
           }
         }
 
+      case "explainall" :: outDir :: qs =>
+        // dump .explain("formatted") for every query (or the given
+        // subset) to <outDir>/<query>.txt — the plans/r15 evidence
+        // capture. Uses explainString on the query execution so the
+        // full formatted text lands in the file, not stdout.
+        val targets = if (qs.nonEmpty) qs else SparkEntry.queries.keys.toList.sorted
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        targets.foreach { q =>
+          try {
+            val df = SparkEntry.queries(q)(spark, d)
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outDir, q + ".txt"),
+              txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            println(s"[probe] explained $q")
+          } catch { case e: Throwable =>
+            println(s"[probe] explain $q FAILED: ${e.getMessage}")
+          }
+          spark.sharedState.cacheManager.clearCache()
+          graft.StateRegistry.sweep(spark)
+          graft.operators.Similarity.dropDistributedEvalState()
+        }
+
       case "times" :: qs =>
         val targets = if (qs.nonEmpty) qs else SparkEntry.queries.keys.toList.sorted
         targets.foreach { q =>
