@@ -115,7 +115,15 @@ object Probe {
           StateRegistry.sweep(spark)
         }
       case "knjobs" :: q :: Nil =>
-        // per-job wall breakdown for one query (dev forensics)
+        // per-job wall breakdown for one query (dev forensics).
+        // Warm-run first (plan-specific janino/C2 compiles land outside
+        // the instrumented run), sweep state, then instrument run 2.
+        time(s"$q warmrun") {
+          SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save(); 0L
+        }
+        spark.sharedState.cacheManager.clearCache()
+        StateRegistry.sweep(spark)
+        graft.operators.Similarity.dropDistributedEvalState()
         val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
         val done = new scala.collection.mutable.ArrayBuffer[(Int, Double, String)]()
         val l = new org.apache.spark.scheduler.SparkListener {

@@ -947,7 +947,20 @@ object Relational {
     * the small regime, but the shuffle-hash form survives a 1e9-node
     * graph unchanged — the q37 strategy-flip lesson baked in).
     */
-  def q48Triangles(s: SparkSession, d: String): DataFrame = {
+  def q48Triangles(s: SparkSession, d: String): DataFrame =
+    q48TrianglesAdj(s, d)
+
+  /** The r11–r14 wedge-join form, kept for the record (and as the
+    * reference topology the r15 A/B measured against): oriented wedge
+    * self-join closed by an equi-join on the wedge's outer pair. The
+    * r15 adjacency-intersection form ([[q48TrianglesAdj]], now the
+    * registered body) beat it 3.2 s vs 6.5-7.2 s min-of-3 at sf0.1 in
+    * BOTH interleave orders (same process), because the wedge join
+    * materializes and EXCHANGES O(m^1.5) wedge rows that the
+    * intersection form replaces with in-row array work on the same
+    * O(√m)-bounded out-lists.
+    */
+  private[graft] def q48TrianglesWedge(s: SparkSession, d: String): DataFrame = {
     // undirected distinct edges from the SHARED adjacency
     // ([[coPurchaseAdjacency]]): the symmetric set table holds both
     // orientations of every pair, so a map-side explode + a < b
@@ -994,6 +1007,60 @@ object Relational {
         sum(when(col("is_tri") === 0, expr("deg * (deg - 1) DIV 2"))
           .otherwise(lit(0L))).as("n_wedges"),
         sum(col("is_tri")).as("n_triangles"))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(col("n_triangles").cast("double") * 3.0 /
+            col("n_wedges").cast("double"), 4))
+          .otherwise(lit(0.0)).as("global_cc"))
+  }
+
+  /** The registered q48 body (r15): adjacency-intersection triangle
+    * counting — same degree-oriented discipline, two structural
+    * changes measured against the r11-r14 wedge-join form
+    * ([[q48TrianglesWedge]]; same-process A/B, both interleave
+    * orders: 3.16-3.21 s vs 6.47-7.24 s min-of-3 at sf0.1):
+    *  1. Orientation from the DIRECTED adjacency with ONE degree join:
+    *     the symmetric set table already holds both directions of every
+    *     edge, so exploding (a, da=|nbrs|, b) and keeping the copies
+    *     where (da, a) < (db, b) yields each oriented edge exactly once
+    *     after a single shuffle-hash join on b — the wedge-join form
+    *     paid an a<b pre-filter plus TWO degree joins.
+    *  2. Triangles by per-edge out-neighborhood INTERSECTION (the
+    *     adjacency-list form of Schank–Wagner): for each oriented edge
+    *     (u, v), |N+(u) ∩ N+(v)| closing vertices. The out-lists are
+    *     bounded O(√m) by orientation, so the intersect stream carries
+    *     m rows of ≤√m arrays instead of the wedge join's O(m^1.5)
+    *     exchanged wedge ROWS, and no wedge row ever crosses an
+    *     exchange — the per-edge work happens in-row.
+    */
+  private[graft] def q48TrianglesAdj(s: SparkSession, d: String): DataFrame = {
+    val adj = coPurchaseAdjacency(s, d)
+    val deg = adj.select(col("n"), size(col("nbrs")).cast("long").as("deg"))
+      .cache()
+    // oriented edges: one degree join (build = node-sized deg table)
+    val o = adj
+      .select(col("n").as("a"), size(col("nbrs")).cast("long").as("da"),
+        explode(col("nbrs")).as("b"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")).hint("shuffle_hash"), Seq("b"))
+      .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+    // oriented out-adjacency (lists bounded O(√m) by orientation)
+    val oadj = o.groupBy(col("u")).agg(collect_list(col("v")).as("ons"))
+      .localCheckpoint()
+    // per-edge closing counts, tagged deg = -1 in the union (node rows
+    // always have deg >= 1, so the tag is unambiguous)
+    val triRows = o
+      .join(oadj.select(col("u"), col("ons").as("nu")).hint("shuffle_hash"), Seq("u"))
+      .join(oadj.select(col("u").as("v"), col("ons").as("nv")).hint("shuffle_hash"), Seq("v"))
+      .select(lit(-1L).as("deg"),
+        size(array_intersect(col("nu"), col("nv"))).cast("long").as("tcount"))
+    triRows.unionAll(deg.select(col("deg"), lit(0L).as("tcount")))
+      .agg(
+        count(when(col("deg") >= 0, lit(1))).as("n_nodes"),
+        expr("sum(CASE WHEN deg >= 0 THEN deg ELSE 0 END) DIV 2").as("n_edges"),
+        sum(when(col("deg") >= 0, expr("deg * (deg - 1) DIV 2"))
+          .otherwise(lit(0L))).as("n_wedges"),
+        sum(when(col("deg") < 0, col("tcount")).otherwise(lit(0L))).as("n_triangles"))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         when(col("n_wedges") > 0,
           round(col("n_triangles").cast("double") * 3.0 /
@@ -1536,6 +1603,7 @@ object Relational {
     "q38_kmv_distinct" -> q38KmvDistinct _,
     "q47_hll_distinct" -> q47HllDistinct _,
     "q48_triangles" -> q48Triangles _,
+    "zz_q48_wedge" -> q48TrianglesWedge _, // TEMP r15 A/B; remove before final bench
     "q49_hll_setops" -> q49HllSetops _,
     "q50_label_propagation" -> q50LabelPropagation _,
     "q51_quantile_sketch" -> q51QuantileSketch _,
@@ -1572,6 +1640,32 @@ object Relational {
     "q15_stats" -> q15Stats _)
 
   /** DuckDB oracle SQL, column-name and value aligned with [[queries]]. */
+  private val q48OracleSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |  WHERE l1.l_partkey < l2.l_partkey),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+      |  (SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs) GROUP BY n),
+      |o AS (SELECT
+      |   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+      |     THEN p.a ELSE p.b END AS u,
+      |   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+      |     THEN p.b ELSE p.a END AS v
+      |  FROM pairs p JOIN deg da ON p.a = da.n JOIN deg db ON p.b = db.n),
+      |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v <> w2.v
+      |  JOIN o c ON c.u = w1.v AND c.v = w2.v),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |   CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+      |   CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+      |SELECT st.n_nodes, st.n_edges, st.n_wedges, tri.n_triangles,
+      | CASE WHEN st.n_wedges > 0
+      |   THEN round(CAST(tri.n_triangles AS DOUBLE) * 3.0 /
+      |     CAST(st.n_wedges AS DOUBLE), 4)
+      |   ELSE 0.0 END AS global_cc
+      |FROM tri, st""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q45_sliding_distinct" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -1843,31 +1937,8 @@ object Relational {
         | round(CAST(est_distinct - true_distinct AS DOUBLE) /
         |   CAST(true_distinct AS DOUBLE) * 100.0, 2) AS err_pct
         |FROM e""".stripMargin,
-    "q48_triangles" ->
-      """WITH pairs AS (
-        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-        |  WHERE l1.l_partkey < l2.l_partkey),
-        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
-        |  (SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs) GROUP BY n),
-        |o AS (SELECT
-        |   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
-        |     THEN p.a ELSE p.b END AS u,
-        |   CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
-        |     THEN p.b ELSE p.a END AS v
-        |  FROM pairs p JOIN deg da ON p.a = da.n JOIN deg db ON p.b = db.n),
-        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
-        |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v <> w2.v
-        |  JOIN o c ON c.u = w1.v AND c.v = w2.v),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-        |   CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
-        |   CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
-        |SELECT st.n_nodes, st.n_edges, st.n_wedges, tri.n_triangles,
-        | CASE WHEN st.n_wedges > 0
-        |   THEN round(CAST(tri.n_triangles AS DOUBLE) * 3.0 /
-        |     CAST(st.n_wedges AS DOUBLE), 4)
-        |   ELSE 0.0 END AS global_cc
-        |FROM tri, st""".stripMargin,
+    "zz_q48_wedge" -> q48OracleSql, // TEMP r15 A/B; remove before final bench
+    "q48_triangles" -> q48OracleSql,
     // exact-regime replay of the discrete-quantile semantics: the
     // value at row_number ceil(p*n) in each group's sort — identical
     // IEEE double products on both sides (probes are down-rounding
