@@ -18,6 +18,14 @@ object Probe {
       b0.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", dir))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only: SPARK_GRAFT_CONF="k=v;k=v" applies runtime SQL confs
+    // before the warmup — for A/B-ing candidate session settings
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+        println(s"[probe] conf ${k.trim}=${v.trim}")
+      })
     // shared engine warmup (see Bench.warmup): probe first-run numbers
     // should measure per-plan costs, not interpreter/C2 compilation
     Bench.warmup(spark)
@@ -111,8 +119,14 @@ object Probe {
           time(s"$q #$rep") {
             SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save(); 0L
           }
+          // full Bench-parity hygiene: without the gc, per-round
+          // checkpoint/shuffle reference debt from one rep stalls the
+          // next (measured here: 16 -> 51 -> 57 s across reps of
+          // dedup_clusters_incremental without it)
           spark.sharedState.cacheManager.clearCache()
           StateRegistry.sweep(spark)
+          graft.operators.Similarity.dropDistributedEvalState()
+          System.gc()
         }
       case "knjobs" :: q :: Nil =>
         // per-job wall breakdown for one query (dev forensics).

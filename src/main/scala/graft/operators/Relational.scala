@@ -1127,6 +1127,23 @@ object Relational {
     }.toDF("h", "idx", "rho")
   }
 
+  /** Per-register max-rank from the MINIMUM hash (r15): bitlength is
+    * monotone in the 40-bit suffix w, so max(rho) per register ==
+    * 41 − bitlen(min w), and within one register (same top-8 bits)
+    * min w == min h. The register table therefore needs ONLY h — the
+    * corpus-sized dedup exchange shrinks from (h, idx, rho) rows to a
+    * single long (the §2.3 narrow-the-exchange rule), and idx/rho are
+    * derived on the ≤[[256]]-row aggregate where even the base-2
+    * string render is free (w = 0 ⇒ rho = 41 guarded explicitly).
+    */
+  private def hllRegisters(dedupedH: DataFrame): DataFrame =
+    dedupedH
+      .groupBy(shiftrightunsigned(col("h"), 40).as("idx"))
+      .agg(min(col("h")).as("hmin"), count(lit(1)).as("cnt"))
+      .withColumn("w", col("hmin").bitwiseAND(lit((1L << 40) - 1)))
+      .withColumn("mj", when(col("w") === 0, lit(41))
+        .otherwise(lit(41) - length(conv(col("w"), 10, 2))))
+
   def q47HllDistinct(s: SparkSession, d: String): DataFrame = {
     val M = 256               // 2^8 registers
     val Scale = 50            // Z numerator scale: 2^(Scale − rho)
@@ -1134,10 +1151,42 @@ object Relational {
     // alpha_m · m² · 2^Scale, one double constant shared verbatim
     // with the oracle SQL (same literal, same parse)
     val alphaC = 0.7213 / (1.0 + 1.079 / M) * M * M * Dom
+    // the h-dedup exchange exists for the EXACT count the gate rides
+    // along; it carries ONLY h (see [[hllRegisters]] — the kernel's
+    // idx/rho columns are pruned before the exchange)
+    hllRegisters(
+      hll48Kernel(s, Tables.orders(s, d).select(col("o_orderkey")))
+        .select(col("h"))
+        .dropDuplicates("h"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($Scale - mj AS INT))")).as("zp"),
+        count(lit(1)).as("mp"),
+        sum(col("cnt")).as("true_distinct"))
+      .select(col("true_distinct"),
+        (col("zp") + (lit(M.toLong) - col("mp")) * lit(Dom)).as("z_num"),
+        (lit(M.toLong) - col("mp")).as("v"))
+      .select(col("true_distinct"), col("v"),
+        (lit(alphaC) / col("z_num").cast("double")).as("est_raw"))
+      .select(
+        lit(M.toLong).as("m"),
+        floor(when(col("v") > 0 && col("est_raw") <= lit(2.5 * M),
+            lit(M.toDouble) * log(lit(M.toDouble) / col("v").cast("double")))
+          .otherwise(col("est_raw"))).cast("long").as("est_distinct"),
+        col("true_distinct"))
+      .select(col("m"), col("est_distinct"), col("true_distinct"),
+        round((col("est_distinct") - col("true_distinct")).cast("double") /
+          col("true_distinct").cast("double") * 100.0, 2).as("err_pct"))
+  }
+
+  /** TEMP r15 A/B twin of [[q47HllDistinct]] carrying the kernel's
+    * idx/rho through the dedup exchange (the r14 form). Remove before
+    * the final bench. */
+  private[graft] def zzQ47Old(s: SparkSession, d: String): DataFrame = {
+    val M = 256
+    val Scale = 50
+    val Dom = 1L << Scale
+    val alphaC = 0.7213 / (1.0 + 1.079 / M) * M * M * Dom
     hll48Kernel(s, Tables.orders(s, d).select(col("o_orderkey")))
-      // register max is dedup-insensitive; the h-dedup exchange exists
-      // for the EXACT count the gate rides along (idx/rho are pure
-      // functions of h, so they carry through the dedup unchanged)
       .dropDuplicates("h")
       .groupBy(col("idx"))
       .agg(max(col("rho")).as("mj"), count(lit(1)).as("cnt"))
@@ -1183,19 +1232,27 @@ object Relational {
     val Dom = 1L << Scale
     val alphaC = 0.7213 / (1.0 + 1.079 / M) * M * M * Dom
     // per-population distinct hash sets through the same typed kernel
-    // as q47 (no string op in the plan; idx/rho ride the dedup)
+    // as q47; every corpus-sized exchange (the per-population dedups
+    // AND the exact-union distinct) carries ONLY h — idx/rho are
+    // derived from min(h) on the ≤512-row register table (the
+    // [[hllRegisters]] rule, keyed by tag here)
     def hashes(lo: String, hi: String): DataFrame =
       hll48Kernel(s,
         Tables.orders(s, d)
           .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
           .select(col("o_custkey")))
+        .select(col("h"))
         .dropDuplicates("h")
     val ha = hashes("1995-01-01", "1998-01-01")
     val hb = hashes("1998-01-01", "2002-01-01")
     val regsAB = ha.withColumn("tag", lit("a"))
       .unionAll(hb.withColumn("tag", lit("b")))
-      .groupBy(col("tag"), col("idx"))
-      .agg(max(col("rho")).as("mj"), count(lit(1)).as("cnt"))
+      .groupBy(col("tag"), shiftrightunsigned(col("h"), 40).as("idx"))
+      .agg(min(col("h")).as("hmin"), count(lit(1)).as("cnt"))
+      .withColumn("w", col("hmin").bitwiseAND(lit((1L << 40) - 1)))
+      .withColumn("mj", when(col("w") === 0, lit(41))
+        .otherwise(lit(41) - length(conv(col("w"), 10, 2))))
+      .select(col("tag"), col("idx"), col("mj"), col("cnt"))
     // the union sketch: register-max MERGE of the two sketches (512
     // input rows — the cost of a cross-shard rollup is sketch-sized,
     // never corpus-sized)
@@ -1602,6 +1659,7 @@ object Relational {
     "q37_pagerank" -> q37Pagerank _,
     "q38_kmv_distinct" -> q38KmvDistinct _,
     "q47_hll_distinct" -> q47HllDistinct _,
+    "zz_q47_old" -> zzQ47Old _, // TEMP r15 A/B; remove before final bench
     "q48_triangles" -> q48Triangles _,
     "zz_q48_wedge" -> q48TrianglesWedge _, // TEMP r15 A/B; remove before final bench
     "q49_hll_setops" -> q49HllSetops _,

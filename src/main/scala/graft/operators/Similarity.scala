@@ -1169,6 +1169,101 @@ object Similarity {
       }.toDF("vec_id", "m", "code", "sv")
   }
 
+  /** FUSED PQ-encode + coarse-cell assignment kernel (r15): one corpus
+    * pass emitting (vec_id, label, cell, m, code) — the IVFPQ serving
+    * paths previously ran TWO full passes (the [[pqAssign]] encode and
+    * a separate centroid-argmax pass) and re-joined them on vec_id (a
+    * corpus-sized M-row exchange). The cell computation is
+    * BIT-IDENTICAL to the [[centroidSims]] expression form: v is the
+    * same post-cast double array, nrm = sqrt(dot(v, v)) with the same
+    * sequential accumulation as [[graft.functions.DotProduct]],
+    * sim = (dot / nrm) / cn with cn = math.sqrt(Σc²) exactly as
+    * centroidSims builds its literal, and the argmax replicates
+    * array_max over (sim, −cell) structs (strict >, ties keep the
+    * smaller cell) — pinned against the expression form in
+    * PropertySpec. `label` rides through the kernel map-side for the
+    * filtered variant (the unfiltered path feeds a zero literal).
+    */
+  private[graft] def pqAssignCell(s: SparkSession, in: DataFrame,
+      books: Map[(Int, Int), Seq[Double]], cents: Seq[Seq[Double]]): DataFrame = {
+    import s.implicits._
+    val bk: Array[Array[Array[Double]]] =
+      Array.tabulate(PqSubspaces, PqCodes)((m, k) => books((m, k)).toArray)
+    val half: Array[Array[Double]] = bk.map(_.map(c => c.map(x => x * x).sum / 2))
+    val cm: Array[Array[Double]] = cents.map(_.toArray).toArray
+    val cn: Array[Double] = cents.map(c => math.sqrt(c.map(x => x * x).sum)).toArray
+    val M = PqSubspaces; val K = PqCodes; val D = PqSubDim
+    in.as[(Long, Option[Int], Seq[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, label, vSeq) =>
+          val v = vSeq.toArray
+          var nacc = 0.0
+          var ni = 0
+          while (ni < v.length) { nacc += v(ni) * v(ni); ni += 1 }
+          val nrm = math.sqrt(nacc)
+          var best = Double.NegativeInfinity
+          var bestCell = 0
+          var c = 0
+          while (c < cm.length) {
+            val cc = cm(c)
+            val n = math.min(v.length, cc.length)
+            var dp = 0.0
+            var i = 0
+            while (i < n) { dp += v(i) * cc(i); i += 1 }
+            val sim = dp / nrm / cn(c)
+            if (sim > best) { best = sim; bestCell = c }
+            c += 1
+          }
+          val cell = bestCell
+          (0 until M).iterator.map { m =>
+            var bestS = Double.NegativeInfinity
+            var bestK = 0
+            var k = 0
+            while (k < K) {
+              val cb = bk(m)(k)
+              var dp = 0.0
+              var i = 0
+              while (i < D) { dp += v(m * D + i) * cb(i); i += 1 }
+              val sim = dp - half(m)(k)
+              if (sim > bestS) { bestS = sim; bestK = k }
+              k += 1
+            }
+            (id, label, cell, m, bestK)
+          }
+        }
+      }.toDF("vec_id", "label", "cell", "m", "code")
+  }
+
+  /** TEMP r15 A/B: the pre-fusion IVFPQ candidate subtree (separate
+    * pqAssign pass + centroid-argmax pass re-joined on vec_id).
+    * Remove before the final bench. */
+  private[graft] def zzIvfpqCandOld(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d).withColumn("sims", centroidSims(kmeansCentroids(s, d)))
+    val books = pqCodebooks(s, d)
+    val cellOf = e
+      .withColumn("cell", (-array_max(col("sims")).getField("negcell")).cast("int"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val codes = pqAssign(s, d, books)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      .join(cellOf, Seq("neighbor_id"))
+    val probes = e.filter(col("vec_id") < NumQueryVecs)
+      .withColumn("cell", explode(expr(
+        s"transform(slice(reverse(array_sort(sims)), 1, $NumProbe), e -> cast(-e.negcell AS int))")))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val adc = codes.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(pqLut(s, e, books)), Seq("query_id", "m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((sum(col("pdot")) / max(col("nrma")) / sqrt(sum(col("cnorm2")))).as("approx_cos"))
+    refineExact(e, adcRefineCut(adc, percentile = true))
+  }
+
+  /** Test accessors for the PropertySpec fused-kernel parity pin. */
+  private[graft] def centroidSimsForTest(cents: Seq[Seq[Double]]): Column =
+    centroidSims(cents)
+  private[graft] def pqAssignForTest(s: SparkSession, d: String,
+      books: Map[(Int, Int), Seq[Double]]): DataFrame = pqAssign(s, d, books)
+
   /** Fitted PQ codebooks, keyed like [[centroidCache]]: the M×K×8
     * centroid tensor is model state shared by the top-k and recall
     * queries, exactly as a deployed PQ index shares one training run.
@@ -1347,12 +1442,14 @@ object Similarity {
     * generator and the [[ivfpqDiag]] calibration diagnostic. */
   private def ivfpqAdc(s: SparkSession, d: String, e: DataFrame): DataFrame = {
     val books = pqCodebooks(s, d)
-    val cellOf = e
-      .withColumn("cell", (-array_max(col("sims")).getField("negcell")).cast("int"))
-      .select(col("vec_id").as("neighbor_id"), col("cell"))
-    val codes = pqAssign(s, d, books)
-      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
-      .join(cellOf, Seq("neighbor_id"))
+    // ONE fused corpus pass for (cell, code): see [[pqAssignCell]] —
+    // replaces the former pqAssign pass + centroid-argmax pass +
+    // their vec_id re-join
+    val codes = pqAssignCell(s,
+        withNorm(s, d).select(col("vec_id"),
+          lit(null).cast("int").as("label"), col("v")),
+        books, kmeansCentroids(s, d))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("m"), col("code"))
     val probes = e.filter(col("vec_id") < NumQueryVecs)
       .withColumn("cell", explode(expr(
         s"transform(slice(reverse(array_sort(sims)), 1, $NumProbe), e -> cast(-e.negcell AS int))")))
@@ -1454,12 +1551,12 @@ object Similarity {
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .withColumn("sims", centroidSims(cents))
-    val cellOf = e
-      .withColumn("cell", (-array_max(col("sims")).getField("negcell")).cast("int"))
-      .select(col("vec_id").as("neighbor_id"), col("cell"), col("label"))
-    val codes = pqAssign(s, d, books)
-      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
-      .join(cellOf, Seq("neighbor_id"))
+    // ONE fused corpus pass for (cell, code) with label riding
+    // map-side (see [[pqAssignCell]])
+    val codes = pqAssignCell(s,
+        e.select(col("vec_id"), col("label"), col("v")), books, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("m"), col("code"),
+        col("label"))
     val probes = e.filter(col("vec_id") < NumQueryVecs)
       .withColumn("cell", explode(expr(
         s"transform(slice(reverse(array_sort(sims)), 1, $NumProbe), e -> cast(-e.negcell AS int))")))
@@ -2042,6 +2139,9 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_topk" -> annIvfpqTopk _,
     "ann_ivfpq_recall" -> annIvfpqRecall _,
+    // TEMP r15 A/B pair; remove before final bench
+    "zz_ivfpq_new" -> ((s: SparkSession, d: String) => ivfpqCandidates(s, d)),
+    "zz_ivfpq_old" -> zzIvfpqCandOld _,
     "ann_filtered_ivfpq" -> annFilteredIvfpq _,
     "ann_filtered_ivfpq_recall" -> annFilteredIvfpqRecall _,
     "ann_hybrid_rrf" -> annHybridRrf _,

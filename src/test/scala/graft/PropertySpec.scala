@@ -571,4 +571,42 @@ class PropertySpec extends AnyFunSuite {
       assert(idx >= 0 && idx < 256 && rho >= 1 && rho <= 41)
     }
   }
+
+  test("pqAssignCell fused kernel matches the centroidSims expression cell and pqAssign codes") {
+    import graft.operators.Similarity
+    // The r15 fused serving kernel computes the coarse cell inside the
+    // PQ-encode pass; the IVFPQ gate rows depend on it matching the
+    // array_max(centroidSims) expression BIT-FOR-BIT (same sequential
+    // dot accumulation, same division order, ties to the smaller
+    // cell). Pin cell+code equality per (vec_id, m) on the real
+    // sf0.001 corpus through both paths.
+    val d = "/root/testdata/sf0.001"
+    val cents = Similarity.kmeansCentroids(spark, d)
+    val books = Similarity.pqCodebooks(spark, d)
+    val e = graft.sources.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct.dot(col("v"), col("v"))))
+    val exprCell = e
+      .withColumn("sims", Similarity.centroidSimsForTest(cents))
+      .select(col("vec_id"),
+        (-array_max(col("sims")).getField("negcell")).cast("int").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fused = Similarity.pqAssignCell(spark,
+        e.select(col("vec_id"), col("label"), col("v")), books, cents)
+      .collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      assert(r.getInt(2) == exprCell(r.getLong(0)),
+        s"cell mismatch for vec ${r.getLong(0)}")
+    }
+    val oldCodes = Similarity.pqAssignForTest(spark, d, books)
+      .select(col("vec_id"), col("m"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    fused.foreach { r =>
+      assert(r.getInt(4) == oldCodes((r.getLong(0), r.getInt(3))),
+        s"code mismatch for vec ${r.getLong(0)} m ${r.getInt(3)}")
+    }
+  }
 }
