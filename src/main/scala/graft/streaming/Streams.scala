@@ -203,19 +203,45 @@ object Streams {
       val src = epochStream(s, inDir, withEp.drop("ep").schema).as[Ev]
       val out = sessionizeStateful(src)
       val name = "ss_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      val q = out.writeStream.outputMode("append").format("memory")
-        .queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // State-store partition count DERIVED from the measured slice
+      // size (r15): every state partition costs a per-batch store
+      // commit (provider init, delta file, snapshot bookkeeping), so a
+      // bounded slice behind the session's full shuffle width pays
+      // fixed machinery per trigger that dwarfs its row work —
+      // measured 3.1-4.1 s at 32 partitions vs 2.3-2.5 s at 8 for the
+      // sf0.1 slice (same process, min-of-3). ~2k rows per store keeps
+      // the commit overhead <10% of partition work; the session's
+      // numShufflePartitions stays the CAP, so a cluster-scale slice
+      // (100x: 1.4M rows) runs at full width — the partitioning
+      // derives from data, it is not a local-mode constant. Results
+      // are partitioning-invariant (keyed state by user_id); the gate
+      // hash is unchanged. Restored in finally: only this stream's
+      // checkpoint is planned at the derived width.
+      val rowsPerStore = 2000L
+      val statePartitions = math.max(1L, math.min(
+        s.sessionState.conf.numShufflePartitions.toLong,
+        (st.getLong(2) + rowsPerStore - 1) / rowsPerStore)).toInt
+      // restored only AFTER awaitTermination: the stream plans its
+      // first batch asynchronously, so the conf must hold until the
+      // query terminates (the bench drives queries one at a time, so
+      // nothing else plans under the narrowed width)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       try {
-        q.awaitTermination()
-        // structural pin: the cross-trigger carry the gate certifies
-        // only exists if each epoch file really arrived as its own
-        // trigger (maxFilesPerTrigger=1 under AvailableNow)
-        val fired = q.recentProgress.count(_.numInputRows > 0)
-        require(fired == nEp,
-          s"stream_session_stateful: expected $nEp data triggers, saw $fired")
-      } finally q.stop()
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try {
+          q.awaitTermination()
+          // structural pin: the cross-trigger carry the gate certifies
+          // only exists if each epoch file really arrived as its own
+          // trigger (maxFilesPerTrigger=1 under AvailableNow)
+          val fired = q.recentProgress.count(_.numInputRows > 0)
+          require(fired == nEp,
+            s"stream_session_stateful: expected $nEp data triggers, saw $fired")
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       val res = s.table(name)
         .groupBy(col("user_id"))
         .agg(max(col("n_sessions")).as("n_sessions"),
