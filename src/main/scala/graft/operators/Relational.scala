@@ -1178,38 +1178,6 @@ object Relational {
           col("true_distinct").cast("double") * 100.0, 2).as("err_pct"))
   }
 
-  /** TEMP r15 A/B twin of [[q47HllDistinct]] carrying the kernel's
-    * idx/rho through the dedup exchange (the r14 form). Remove before
-    * the final bench. */
-  private[graft] def zzQ47Old(s: SparkSession, d: String): DataFrame = {
-    val M = 256
-    val Scale = 50
-    val Dom = 1L << Scale
-    val alphaC = 0.7213 / (1.0 + 1.079 / M) * M * M * Dom
-    hll48Kernel(s, Tables.orders(s, d).select(col("o_orderkey")))
-      .dropDuplicates("h")
-      .groupBy(col("idx"))
-      .agg(max(col("rho")).as("mj"), count(lit(1)).as("cnt"))
-      .agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($Scale - mj AS INT))")).as("zp"),
-        count(lit(1)).as("mp"),
-        sum(col("cnt")).as("true_distinct"))
-      .select(col("true_distinct"),
-        (col("zp") + (lit(M.toLong) - col("mp")) * lit(Dom)).as("z_num"),
-        (lit(M.toLong) - col("mp")).as("v"))
-      .select(col("true_distinct"), col("v"),
-        (lit(alphaC) / col("z_num").cast("double")).as("est_raw"))
-      .select(
-        lit(M.toLong).as("m"),
-        floor(when(col("v") > 0 && col("est_raw") <= lit(2.5 * M),
-            lit(M.toDouble) * log(lit(M.toDouble) / col("v").cast("double")))
-          .otherwise(col("est_raw"))).cast("long").as("est_distinct"),
-        col("true_distinct"))
-      .select(col("m"), col("est_distinct"), col("true_distinct"),
-        round((col("est_distinct") - col("true_distinct")).cast("double") /
-          col("true_distinct").cast("double") * 100.0, 2).as("err_pct"))
-  }
-
   /** HLL sketch set algebra — [[q47HllDistinct]]'s registers made
     * mergeable, the production cross-shard rollup pattern: one sketch
     * per population from ONE pass over its hash set, the union sketch
@@ -1659,9 +1627,7 @@ object Relational {
     "q37_pagerank" -> q37Pagerank _,
     "q38_kmv_distinct" -> q38KmvDistinct _,
     "q47_hll_distinct" -> q47HllDistinct _,
-    "zz_q47_old" -> zzQ47Old _, // TEMP r15 A/B; remove before final bench
     "q48_triangles" -> q48Triangles _,
-    "zz_q48_wedge" -> q48TrianglesWedge _, // TEMP r15 A/B; remove before final bench
     "q49_hll_setops" -> q49HllSetops _,
     "q50_label_propagation" -> q50LabelPropagation _,
     "q51_quantile_sketch" -> q51QuantileSketch _,
@@ -1995,7 +1961,6 @@ object Relational {
         | round(CAST(est_distinct - true_distinct AS DOUBLE) /
         |   CAST(true_distinct AS DOUBLE) * 100.0, 2) AS err_pct
         |FROM e""".stripMargin,
-    "zz_q48_wedge" -> q48OracleSql, // TEMP r15 A/B; remove before final bench
     "q48_triangles" -> q48OracleSql,
     // exact-regime replay of the discrete-quantile semantics: the
     // value at row_number ceil(p*n) in each group's sort — identical

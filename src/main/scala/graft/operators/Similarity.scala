@@ -1234,30 +1234,6 @@ object Similarity {
       }.toDF("vec_id", "label", "cell", "m", "code")
   }
 
-  /** TEMP r15 A/B: the pre-fusion IVFPQ candidate subtree (separate
-    * pqAssign pass + centroid-argmax pass re-joined on vec_id).
-    * Remove before the final bench. */
-  private[graft] def zzIvfpqCandOld(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(s, d).withColumn("sims", centroidSims(kmeansCentroids(s, d)))
-    val books = pqCodebooks(s, d)
-    val cellOf = e
-      .withColumn("cell", (-array_max(col("sims")).getField("negcell")).cast("int"))
-      .select(col("vec_id").as("neighbor_id"), col("cell"))
-    val codes = pqAssign(s, d, books)
-      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
-      .join(cellOf, Seq("neighbor_id"))
-    val probes = e.filter(col("vec_id") < NumQueryVecs)
-      .withColumn("cell", explode(expr(
-        s"transform(slice(reverse(array_sort(sims)), 1, $NumProbe), e -> cast(-e.negcell AS int))")))
-      .select(col("vec_id").as("query_id"), col("cell"))
-    val adc = codes.join(broadcast(probes), Seq("cell"))
-      .join(broadcast(pqLut(s, e, books)), Seq("query_id", "m", "code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg((sum(col("pdot")) / max(col("nrma")) / sqrt(sum(col("cnorm2")))).as("approx_cos"))
-    refineExact(e, adcRefineCut(adc, percentile = true))
-  }
-
   /** Test accessors for the PropertySpec fused-kernel parity pin. */
   private[graft] def centroidSimsForTest(cents: Seq[Seq[Double]]): Column =
     centroidSims(cents)
@@ -2139,9 +2115,6 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfpq_topk" -> annIvfpqTopk _,
     "ann_ivfpq_recall" -> annIvfpqRecall _,
-    // TEMP r15 A/B pair; remove before final bench
-    "zz_ivfpq_new" -> ((s: SparkSession, d: String) => ivfpqCandidates(s, d)),
-    "zz_ivfpq_old" -> zzIvfpqCandOld _,
     "ann_filtered_ivfpq" -> annFilteredIvfpq _,
     "ann_filtered_ivfpq_recall" -> annFilteredIvfpqRecall _,
     "ann_hybrid_rrf" -> annHybridRrf _,
