@@ -624,6 +624,35 @@ object Probe {
           }
         }
 
+      case "npplan" :: Nil =>
+        // dev forensics: the neardup-probe drive with the last
+        // micro-batch's EXECUTED plan printed (streaming plans are
+        // invisible to the explain modes above)
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val docs = graft.sources.Tables.documents(spark, d).select(col("doc_id"), col("text"))
+        val shardRows = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .as[(Long, String)].collect().toSeq
+        val (tl, mn) = shardRows.partition(_._1 % 1000 == 0)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val stream =
+          org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val out = graft.streaming.Streams.neardupProbeStream(
+          spark, stream.toDF().toDF("doc_id", "text"), corpus, pinBands = true)
+        val q = out.writeStream.outputMode("append").format("memory")
+          .queryName("npplan").start()
+        try {
+          val t0 = System.nanoTime()
+          stream.addData(mn)
+          q.processAllAvailable()
+          println(f"[npplan] trigger1 ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          val t1 = System.nanoTime()
+          stream.addData(tl)
+          q.processAllAvailable()
+          println(f"[npplan] trigger2 ${(System.nanoTime() - t1) / 1e9}%.2f s")
+          q.explain(extended = false)
+        } finally q.stop()
       case "explainall" :: outDir :: qs =>
         // dump .explain("formatted") for every query (or the given
         // subset) to <outDir>/<query>.txt — the plans/r15 evidence

@@ -550,8 +550,22 @@ object Dedup {
   private[graft] def clusterPairs(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // SEEDED initialization (round 16): label₀(v) = min(v, min
+    // neighbor) — the state the old identity initialization only
+    // reached after round 1's propagate step, for the same price as
+    // the old node-set distinct (one aggregation over the edge list;
+    // the symmetric edge table's groupBy(src) covers every node).
+    // Seeding is sound for the same reason propagation is: every
+    // label is a node id from v's own component with label(v) ≤ v.
+    // On a near-dup corpus — almost all components are pairs/stars
+    // whose minimum is adjacent to every member — the seed IS the
+    // fixpoint, so the loop ends after ONE confirming round instead
+    // of propagate + confirm (a full round of join machinery saved
+    // per invocation; path-shaped components just converge one round
+    // earlier than before, DedupSpec's chain/star/mixed pins hold).
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .withColumnRenamed("src", "doc_id")
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < MaxClusterRounds) {
@@ -568,12 +582,16 @@ object Dedup {
       // pointer doubling: label ← label(label). doc_id is unique on
       // the build side, so the join is 1:1; hot labels (a giant
       // cluster converging) skew only the streamed side.
+      // LAZY checkpoint (round 16): the convergence count below is the
+      // frame's first action and materializes the checkpoint blocks in
+      // the same job — the eager form paid a separate materialization
+      // job per round for the same blocks.
       val next = stepped.as("x")
         .join(stepped.select(col("doc_id").as("ldoc"), col("mid").as("llabel")).as("y"),
           col("x.mid") === col("y.ldoc"), "left")
         .select(col("x.doc_id").as("doc_id"), col("x.old").as("old"),
           coalesce(col("y.llabel"), col("x.mid")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("label"))
       rounds += 1

@@ -1035,8 +1035,13 @@ object Relational {
     */
   private[graft] def q48TrianglesAdj(s: SparkSession, d: String): DataFrame = {
     val adj = coPurchaseAdjacency(s, d)
+    // NOT cached (ADVICE r15: the cache was never unpersisted, leaking
+    // a cached plan per invocation into drivers that don't sweep, e.g.
+    // Verify): deg is a map-side size() projection of the REGISTRY-
+    // CHECKPOINTED adjacency, so each of its two consumers recomputes
+    // it for the cost of a cached-block scan anyway — the cache bought
+    // nothing but the leak.
     val deg = adj.select(col("n"), size(col("nbrs")).cast("long").as("deg"))
-      .cache()
     // oriented edges: one degree join (build = node-sized deg table)
     val o = adj
       .select(col("n").as("a"), size(col("nbrs")).cast("long").as("da"),
@@ -1136,9 +1141,13 @@ object Relational {
     * derived on the ≤[[256]]-row aggregate where even the base-2
     * string render is free (w = 0 ⇒ rho = 41 guarded explicitly).
     */
-  private def hllRegisters(dedupedH: DataFrame): DataFrame =
+  /** `groupCols` (ADVICE r15): q49's per-population registers group by
+    * (tag, idx) — both HLL rows now share this ONE copy of the
+    * min(h) → mj derivation instead of maintaining two that can drift.
+    */
+  private def hllRegisters(dedupedH: DataFrame, groupCols: Column*): DataFrame =
     dedupedH
-      .groupBy(shiftrightunsigned(col("h"), 40).as("idx"))
+      .groupBy(groupCols :+ shiftrightunsigned(col("h"), 40).as("idx"): _*)
       .agg(min(col("h")).as("hmin"), count(lit(1)).as("cnt"))
       .withColumn("w", col("hmin").bitwiseAND(lit((1L << 40) - 1)))
       .withColumn("mj", when(col("w") === 0, lit(41))
@@ -1213,13 +1222,9 @@ object Relational {
         .dropDuplicates("h")
     val ha = hashes("1995-01-01", "1998-01-01")
     val hb = hashes("1998-01-01", "2002-01-01")
-    val regsAB = ha.withColumn("tag", lit("a"))
-      .unionAll(hb.withColumn("tag", lit("b")))
-      .groupBy(col("tag"), shiftrightunsigned(col("h"), 40).as("idx"))
-      .agg(min(col("h")).as("hmin"), count(lit(1)).as("cnt"))
-      .withColumn("w", col("hmin").bitwiseAND(lit((1L << 40) - 1)))
-      .withColumn("mj", when(col("w") === 0, lit(41))
-        .otherwise(lit(41) - length(conv(col("w"), 10, 2))))
+    val regsAB = hllRegisters(
+        ha.withColumn("tag", lit("a")).unionAll(hb.withColumn("tag", lit("b"))),
+        col("tag"))
       .select(col("tag"), col("idx"), col("mj"), col("cnt"))
     // the union sketch: register-max MERGE of the two sketches (512
     // input rows — the cost of a cross-shard rollup is sketch-sized,

@@ -1151,22 +1151,63 @@ object Similarity {
         it.flatMap { case (id, vSeq) =>
           val v = vSeq.toArray
           (0 until M).iterator.map { m =>
-            var best = Double.NegativeInfinity
-            var bestK = 0
-            var k = 0
-            while (k < K) {
-              val c = bk(m)(k)
-              var dp = 0.0
-              var i = 0
-              while (i < D) { dp += v(m * D + i) * c(i); i += 1 }
-              val sim = dp - half(m)(k)
-              if (sim > best) { best = sim; bestK = k }
-              k += 1
-            }
-            (id, m, bestK, v.slice(m * D, (m + 1) * D).toSeq)
+            (id, m, pqBestCode(bk, half, v, m, K, D),
+              v.slice(m * D, (m + 1) * D).toSeq)
           }
         }
       }.toDF("vec_id", "m", "code", "sv")
+  }
+
+  /** The ONE PQ-encode inner loop (ADVICE r15: [[pqAssign]] and
+    * [[pqAssignCell]] carried hand-written copies a future edit could
+    * silently diverge; parity now holds by construction, on top of the
+    * PropertySpec pin): argmax (sv·c − ‖c‖²/2) over subspace m's K
+    * codes, strict >, ties toward the smaller code id, sequential
+    * left-to-right double accumulation.
+    */
+  private def pqBestCode(bk: Array[Array[Array[Double]]],
+      half: Array[Array[Double]], v: Array[Double], m: Int, K: Int, D: Int): Int = {
+    var best = Double.NegativeInfinity
+    var bestK = 0
+    var k = 0
+    while (k < K) {
+      val c = bk(m)(k)
+      var dp = 0.0
+      var i = 0
+      while (i < D) { dp += v(m * D + i) * c(i); i += 1 }
+      val sim = dp - half(m)(k)
+      if (sim > best) { best = sim; bestK = k }
+      k += 1
+    }
+    bestK
+  }
+
+  /** The ONE coarse-cell argmax (ADVICE r15, same rationale as
+    * [[pqBestCode]]): cosine argmax over the centroid matrix with the
+    * exact [[centroidSims]] arithmetic — nrm = sqrt(Σv²) accumulated
+    * sequentially, sim = (dot / nrm) / cn, strict >, ties toward the
+    * smaller cell.
+    */
+  private def cellArgmax(cm: Array[Array[Double]], cn: Array[Double],
+      v: Array[Double]): Int = {
+    var nacc = 0.0
+    var ni = 0
+    while (ni < v.length) { nacc += v(ni) * v(ni); ni += 1 }
+    val nrm = math.sqrt(nacc)
+    var best = Double.NegativeInfinity
+    var bestCell = 0
+    var c = 0
+    while (c < cm.length) {
+      val cc = cm(c)
+      val n = math.min(v.length, cc.length)
+      var dp = 0.0
+      var i = 0
+      while (i < n) { dp += v(i) * cc(i); i += 1 }
+      val sim = dp / nrm / cn(c)
+      if (sim > best) { best = sim; bestCell = c }
+      c += 1
+    }
+    bestCell
   }
 
   /** FUSED PQ-encode + coarse-cell assignment kernel (r15): one corpus
@@ -1197,38 +1238,9 @@ object Similarity {
       .mapPartitions { it =>
         it.flatMap { case (id, label, vSeq) =>
           val v = vSeq.toArray
-          var nacc = 0.0
-          var ni = 0
-          while (ni < v.length) { nacc += v(ni) * v(ni); ni += 1 }
-          val nrm = math.sqrt(nacc)
-          var best = Double.NegativeInfinity
-          var bestCell = 0
-          var c = 0
-          while (c < cm.length) {
-            val cc = cm(c)
-            val n = math.min(v.length, cc.length)
-            var dp = 0.0
-            var i = 0
-            while (i < n) { dp += v(i) * cc(i); i += 1 }
-            val sim = dp / nrm / cn(c)
-            if (sim > best) { best = sim; bestCell = c }
-            c += 1
-          }
-          val cell = bestCell
+          val cell = cellArgmax(cm, cn, v)
           (0 until M).iterator.map { m =>
-            var bestS = Double.NegativeInfinity
-            var bestK = 0
-            var k = 0
-            while (k < K) {
-              val cb = bk(m)(k)
-              var dp = 0.0
-              var i = 0
-              while (i < D) { dp += v(m * D + i) * cb(i); i += 1 }
-              val sim = dp - half(m)(k)
-              if (sim > bestS) { bestS = sim; bestK = k }
-              k += 1
-            }
-            (id, label, cell, m, bestK)
+            (id, label, cell, m, pqBestCode(bk, half, v, m, K, D))
           }
         }
       }.toDF("vec_id", "label", "cell", "m", "code")

@@ -417,24 +417,36 @@ object Sinks {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val u = updates.persist()
     try {
-      require(u.filter(col(partCol).isNull).isEmpty,
+      // ONE validation + partition-list job (round 16; was four
+      // actions per batch — null-partition filter, duplicate groupBy,
+      // a distinct count AND a distinct collect): one aggregation over
+      // the (key, partition) groups yields both guards' evidence and
+      // the distinct partition values in a single collected row. Guard
+      // messages and precedence unchanged.
+      val vrow = u.groupBy(col(keyCol), col(partCol))
+        .agg(count(lit(1)).as("c"))
+        .agg(
+          sum(when(col(partCol).isNull, col("c")).otherwise(lit(0L))).as("n_null_part"),
+          max(col("c")).as("max_dup"),
+          collect_set(col(partCol)).as("parts"))
+        .head()
+      require(vrow.isNullAt(0) || vrow.getLong(0) == 0L,
         s"upsert: null $partCol in updates — hive null-partition rows cannot be merged safely")
-      require(u.groupBy(col(keyCol), col(partCol)).count()
-          .filter(col("count") > 1).isEmpty,
+      require(vrow.isNullAt(1) || vrow.getLong(1) <= 1L,
         s"upsert: update batch has duplicate ($keyCol, $partCol) rows — " +
           "MERGE target ambiguity; resolve duplicates before upserting")
+      val partVals = vrow.getSeq[Any](2)
       if (!fs.exists(hPath)) {
         u.write.partitionBy(partCol).parquet(path)
-        return u.select(col(partCol)).distinct().count().toInt
+        return partVals.size
       }
-      val partDf = u.select(col(partCol)).distinct()
-      val nParts = partDf.count()
       val existing = spark.read.parquet(path)
       val affected =
-        if (nParts <= isInPruneMax)
-          existing.filter(col(partCol).isin(partDf.collect().map(_.get(0)).toIndexedSeq: _*))
+        if (partVals.size <= isInPruneMax)
+          existing.filter(col(partCol).isin(partVals: _*))
         else
-          existing.join(broadcast(partDf), Seq(partCol), "left_semi")
+          existing.join(broadcast(u.select(col(partCol)).distinct()),
+            Seq(partCol), "left_semi")
       // anti-join on BOTH key and partition: the key is scoped to its
       // partition, so only the exact (key, partition) target row dies
       val survivors = affected.join(

@@ -395,34 +395,64 @@ object Versioned {
     }.toIndexedSeq
   }
 
-  /** Per-file min/max of `statsKey` for freshly written files — ONE
-    * column-pruned Spark scan over only the new files (the merge
-    * already paid the write amplification for exactly these files;
-    * the stats pass re-reads one column of them — production formats
-    * lift the same numbers from the parquet footers they just
-    * wrote). Files are matched back by their `dir/name` tail — the
-    * part-file NAME alone is ambiguous because a dynamic-partition
-    * write reuses the same part-file name across partition dirs. A
-    * file whose key values are all NULL gets no stats (min/max
-    * ignore nulls) and is never pruned.
+  /** Per-file min/max of `statsKey` for freshly written files, lifted
+    * from the parquet FOOTERS the merge just wrote (round 16; was a
+    * column-pruned Spark scan over the new files — a full scheduled
+    * job per commit whose only output is per-file metadata the footer
+    * already holds, exactly the numbers production formats read back).
+    * Driver-side metadata IO only: one footer per new file, no Spark
+    * job. Semantics match the scan form bit for bit — min/max over
+    * non-null values per FILE (row-group stats folded together), a
+    * file whose key values are all NULL gets no stats, and any chunk
+    * with missing/foreign-typed statistics makes the whole file
+    * conservatively stats-less (pruning keeps it; [[pruneEntries]]
+    * never drops a stats-less file, so a footer anomaly can cost IO
+    * but never rows).
     */
   private def entriesWithStats(spark: SparkSession, path: String,
       newFiles: Seq[String], statsKey: Option[String]): Seq[FileEntry] = statsKey match {
     case Some(k) if newFiles.nonEmpty =>
-      def tail2(p: String) = p.split('/').takeRight(2).mkString("/")
-      val byTail = spark.read.option("basePath", path)
-        .parquet(newFiles.map(f => s"$path/$f"): _*)
-        .groupBy(input_file_name().as("f"))
-        .agg(min(col(k).cast("long")).as("mn"), max(col(k).cast("long")).as("mx"))
-        .collect()
-        .map(r => tail2(r.getString(0)) ->
-          (Option(r.get(1)).map(_.asInstanceOf[Long]),
-            Option(r.get(2)).map(_.asInstanceOf[Long])))
-        .toMap
+      val conf = spark.sparkContext.hadoopConfiguration
       newFiles.map { f =>
-        byTail.get(tail2(f)) match {
-          case Some((Some(mn), Some(mx))) => FileEntry(f, Some(k), Some(mn), Some(mx))
-          case _ => FileEntry(f, None, None, None)
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(s"$path/$f"), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var seen = false // any non-null key value in the file
+            var safe = true  // every non-empty chunk carried usable stats
+            r.getFooter.getBlocks.asScala.foreach { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == k) match {
+                case Some(cc) =>
+                  val st = cc.getStatistics
+                  if (st == null || st.isEmpty) {
+                    // no statistics for a chunk that may hold values:
+                    // the file's range is unknowable from metadata
+                    if (cc.getValueCount > 0) safe = false
+                  } else if (st.hasNonNullValue) {
+                    st match {
+                      case s: org.apache.parquet.column.statistics.LongStatistics =>
+                        if (s.getMin < mn) mn = s.getMin
+                        if (s.getMax > mx) mx = s.getMax
+                        seen = true
+                      case s: org.apache.parquet.column.statistics.IntStatistics =>
+                        if (s.getMin.toLong < mn) mn = s.getMin.toLong
+                        if (s.getMax.toLong > mx) mx = s.getMax.toLong
+                        seen = true
+                      case _ => safe = false // non-integral physical type
+                    }
+                  } // else: all-null row group — nothing to bound
+                case None => safe = false // chunk missing the column
+              }
+            }
+            if (safe && seen) FileEntry(f, Some(k), Some(mn), Some(mx))
+            else FileEntry(f, None, None, None)
+          } finally r.close()
+        } catch { case scala.util.control.NonFatal(_) =>
+          FileEntry(f, None, None, None)
         }
       }
     case _ => newFiles.map(FileEntry(_, None, None, None))
@@ -476,21 +506,39 @@ object Versioned {
     val fs = fsOf(spark, root)
     val u = changes.persist()
     try {
-      require(u.filter(col(partCol).isNull).isEmpty,
-        s"versioned upsert: null $partCol in updates")
-      require(u.groupBy(col(keyCol), col(partCol)).count()
-          .filter(col("count") > 1).isEmpty,
-        s"versioned upsert: duplicate ($keyCol, $partCol) rows in the update batch")
-      // Reject malformed CDC input up front: `=!= "delete"` is NULL
+      // ONE validation + partition-list job (round 16; was four
+      // separate actions per batch — null-partition filter, duplicate
+      // groupBy, CDC-op filter, and a distinct-partition collect that
+      // ran TWICE more below): a single aggregation over the
+      // (key, partition) groups yields every guard's evidence plus the
+      // distinct partition values in one collected row. The guards and
+      // their messages (and their precedence) are unchanged — the
+      // malformed-CDC rationale still applies: `=!= "delete"` is NULL
       // for a NULL op, so an unchecked junk/null op row would be
       // excluded from inserts yet still claim its (key, partition) in
-      // the anti-join — silently deleting the existing row. Same
-      // guard discipline as the null-partition and duplicate-key
-      // requires above.
+      // the anti-join, silently deleting the existing row.
+      val badOp = opCol.map(c => sum(when(
+          col(c).isNull || !col(c).isin("upsert", "delete"), 1L).otherwise(0L)))
+        .getOrElse(lit(0L))
+      val vrow = u.groupBy(col(keyCol), col(partCol))
+        .agg(count(lit(1)).as("c"), badOp.as("bad"))
+        .agg(
+          sum(when(col(partCol).isNull, col("c")).otherwise(lit(0L))).as("n_null_part"),
+          max(col("c")).as("max_dup"),
+          sum(col("bad")).as("n_bad_op"),
+          collect_set(col(partCol)).as("parts"))
+        .head()
+      require(vrow.isNullAt(0) || vrow.getLong(0) == 0L,
+        s"versioned upsert: null $partCol in updates")
+      require(vrow.isNullAt(1) || vrow.getLong(1) <= 1L,
+        s"versioned upsert: duplicate ($keyCol, $partCol) rows in the update batch")
       opCol.foreach { c =>
-        require(u.filter(col(c).isNull || !col(c).isin("upsert", "delete")).isEmpty,
+        require(vrow.isNullAt(2) || vrow.getLong(2) == 0L,
           s"versioned cdc: $c must be 'upsert' or 'delete' (non-null) for every row")
       }
+      // the batch's distinct partition values (nulls rejected above),
+      // shared by the manifest prune and the post-write claim
+      val partVals = vrow.getSeq[Any](3)
       // rows that insert data: everything, minus delete tombstones
       val inserts = opCol match {
         case None => u
@@ -526,8 +574,7 @@ object Versioned {
           }
           val added = inserts.schema.filterNot(g => tableSchema.exists(_.name == g.name))
           // ALL change keys (upserts AND deletes) claim their partition
-          val parts = u.select(col(partCol)).distinct().collect()
-            .map(r => s"$partCol=${r.get(0)}").toSet
+          val parts = partVals.map(v => s"$partCol=$v").toSet
           // driver-side manifest pruning: only affected partitions' files
           val prevFiles = manifestFiles(spark, path, v)
           val affectedFiles = prevFiles.filter(f => parts.contains(f.split('/').head))
@@ -551,8 +598,7 @@ object Versioned {
       // delete batch) produces no new file — it must still drop out of
       // the carried set, so the CLAIM covers every affected partition,
       // not just those that got new files
-      val changedParts = u.select(col(partCol)).distinct().collect()
-        .map(r => s"$partCol=${r.get(0)}").toSet
+      val changedParts = partVals.map(v => s"$partCol=$v").toSet
       val claimed = newFiles.map(_.split('/').head).toSet ++ changedParts
       // carried files KEEP their recorded stats; new files get theirs
       // from the one-column stats pass
