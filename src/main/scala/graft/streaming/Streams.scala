@@ -438,25 +438,9 @@ object Streams {
     // Batch-mode consumers (streamNeardup) leave it off: the bands are
     // consumed exactly once there, so pinning would only add a
     // materialization pass.
-    val corpusSh =
-      if (pinBands)
-        GraftColumnBridge.withStablePartitioning(s)(
-          GraftColumnBridge.localCheckpointHashPartitionedSorted(
-            Dedup.shingleArrays(s, corpusDocs)
-              .repartition(nPart, col("doc_id"))
-              .sortWithinPartitions(col("doc_id")),
-            Seq("doc_id")))
-      else Dedup.shingleArrays(s, corpusDocs).localCheckpoint()
+    val corpusSh = Dedup.shingleArrays(s, corpusDocs).localCheckpoint()
     val corpusBands0 = Dedup.bandTable(s, corpusSh)
-    val corpusBands =
-      if (pinBands)
-        GraftColumnBridge.withStablePartitioning(s)(
-          GraftColumnBridge.localCheckpointHashPartitionedSorted(
-            corpusBands0
-              .repartition(nPart, col("band"), col("bh"))
-              .sortWithinPartitions(col("band"), col("bh")),
-            Seq("band", "bh")))
-      else corpusBands0
+    val corpusBands = if (pinBands) corpusBands0.localCheckpoint() else corpusBands0
     val bandRows = Dedup.NumHashes / Dedup.NumBands
     val shardBands = Dedup.shingleArrays(s, shardDocs)
       .withColumn("hs", expr("transform(sh, x -> xxhash64(x))"))
